@@ -1,0 +1,46 @@
+"""Sources/sinks for the batch surface: parquet scans of the testdata star
+schema, plus generic writers.
+
+Scale note: scans are plain ``spark.read.parquet`` so Catalyst keeps full
+control of predicate pushdown, column pruning and partition pruning — at
+100 TB the lineitem scan must only read the columns/row-groups a query
+touches, which ``.explain`` confirms via PushedFilters/ReadSchema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trike_spark.schemas import TESTDATA_TABLES
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. No .cache(), no .collect() — the plan stays
+    lazy so downstream filters push into the parquet reader."""
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries work —
+    mirrors the DuckDB oracle's pre-registered views."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

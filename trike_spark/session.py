@@ -1,0 +1,83 @@
+"""SparkSession factory with config-from-env precedence mirroring the
+reference's compile-default → runtime-env layering (reference
+config/config.exs:15-21, config/runtime.exs:51-65).
+
+Scale posture: these defaults are tuned for the test harness (local[N],
+single JVM) but every knob is env-overridable so the same code deploys to a
+1000-executor cluster by changing config only, never code. AQE is on so
+shuffle partition counts, skew joins, and broadcast decisions re-plan at
+runtime from real statistics.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Engine configuration, env-overridable (names mirror the reference's
+    LISTEN_PORT / STALE_TIMEOUT_MS / KINESIS_STREAM contract,
+    reference config/runtime.exs:3,11-15,51-65)."""
+
+    master: str = field(
+        default_factory=lambda: os.environ.get(
+            "SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+        )
+    )
+    shuffle_partitions: int = field(
+        default_factory=lambda: int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    )
+    # trike's stale connection timeout (reference config/config.exs:19)
+    stale_timeout_ms: int = field(
+        default_factory=lambda: int(os.environ.get("STALE_TIMEOUT_MS", "300000"))
+    )
+    # trike's heartbeat packet (reference config/config.exs:21)
+    heartbeat: str = field(
+        default_factory=lambda: os.environ.get("OCS_HEARTBEAT", "HEARTBEAT")
+    )
+    # "console" selects the fake sink, like KINESIS_STREAM=console
+    # (reference config/runtime.exs:11-15)
+    kinesis_stream: str = field(
+        default_factory=lambda: os.environ.get("KINESIS_STREAM", "console")
+    )
+    sf_dir: str = field(
+        default_factory=lambda: os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+    )
+
+
+def get_spark(app_name: str = "trike_spark", config: EngineConfig | None = None) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    Settings that matter at 100 TB:
+      * AQE + skew-join handling: runtime re-planning from observed stats.
+      * autoBroadcastJoinThreshold stays default (10 MiB) — dimension tables
+        (region/nation/supplier) broadcast automatically; we additionally
+        hint ``broadcast()`` where we *know* the dim is small.
+      * Arrow enabled for every pandas interchange (the two stateful ops).
+      * UTC session timezone so results are oracle-comparable and
+        cluster-location-independent.
+    """
+    cfg = config or EngineConfig()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    # Only set master when not already inside a cluster-provided session.
+    if "SPARK_CONNECT_MODE_ENABLED" not in os.environ:
+        builder = builder.master(cfg.master)
+    return builder.getOrCreate()
