@@ -1,0 +1,79 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced with a full collect (the driver-comparable unit of
+work: plan → execute → materialize results on the driver). Queries come
+from the central registry, so bench coverage grows with the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the scan/join/agg-heavy queries that dominate at scale.
+# Extended as operator families land (window/dedup/similarity are the
+# next-most-expensive shapes).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q10_returned_items",
+    "window_running_total",
+    "join_asof_event_order",
+    "dedup_ngram_jaccard_pairs",
+    "sim_topk_bruteforce",
+    "text_tokens_top20",
+    "events_sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from trike_spark.registry import REGISTRY, load_all_query_modules
+    from trike_spark.session import get_spark
+
+    load_all_query_modules()
+    spark = get_spark("trike_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+
+    # Warm-up pass: JVM JIT, whole-stage codegen compile, parquet footer
+    # cache. We benchmark steady-state execution, which is what a long-lived
+    # cluster sees; cold-start is a one-time cost amortized over a session.
+    for name in names:
+        REGISTRY[name].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
