@@ -25,6 +25,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     lazy so downstream filters push into the parquet reader."""
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
+        # timestamp type, so read nanos as long and truncate to micros
+        # (the synthetic data is micro-precision, so this is lossless).
+        # Runtime conf so it also works under the driver's own session.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -1,1 +1,193 @@
-"""Placeholder — populated in later milestones."""
+"""Aggregation operators: basic aggs, distinct, having, rollup/cube/
+grouping sets, approx-distinct, and a decimal-exact stddev
+(SURVEY.md §2.6 "Aggregation").
+
+Scale notes: every groupBy here is partial-aggregated map-side by Catalyst
+before the exchange; group key cardinalities are small relative to input so
+the shuffle moves pre-combined rows only. ``approx_count_distinct`` is the
+100 TB path for distinct counts (HLL, no giant shuffle of raw keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from trike_spark.io import load_table
+from trike_spark.queries._util import davg, dec, dsum, sql_davg, sql_dsum
+from trike_spark.registry import register
+
+
+@register(
+    "agg_basic_stats",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="groupBy sum/avg/min/max/count.",
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact multi-column count distinct (expand + two-phase agg in Spark).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+@register(
+    "agg_having_frequent_customers",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_spent
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    """,
+    doc="Post-aggregation HAVING filter.",
+)
+def agg_having_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    f"""
+    SELECT r_name, n_name, COUNT(*) AS n_cust, {sql_dsum('c_acctbal')} AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP hierarchy: (region,nation) → (region) → grand total.",
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("sum_bal"))
+    )
+
+
+@register(
+    "agg_cube_flags",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE: all 2^2 grouping combinations in one pass.",
+)
+def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS via Spark SQL.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    None,  # HLL estimates are engine-specific → rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the scalable distinct-count path.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB, exact COUNT(DISTINCT key) shuffles every key; HLL sketches
+    merge in constant memory. Estimates differ across engines → rows-only."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        )
+    )
+
+
+@register(
+    "agg_stddev_decimal_exact",
+    f"""
+    SELECT l_returnflag,
+           ROUND(SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)), 6) AS stddev_qty,
+           {sql_davg('l_quantity')} AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Sample stddev from exact decimal moments — order-independent bits, unlike native stddev over doubles.",
+)
+def agg_stddev_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = dec("l_quantity")
+    s1 = F.sum(q).cast("double")
+    s2 = F.sum(q * q).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))), 6).alias("stddev_qty"),
+            davg("l_quantity").alias("avg_qty"),
+        )
+    )

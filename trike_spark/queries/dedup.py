@@ -1,1 +1,318 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication operators (driver contract "Deduplication"): exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All are oracle-checked because every hash is built from md5 — the one hash
+both engines compute identically — folded to a 60-bit int via hex→bigint.
+
+Scale notes (the whole point of these designs):
+  * Exact dedup groups on a fingerprint hash, never the full text — the
+    shuffle carries 16 bytes/doc, not documents.
+  * MinHash signatures are computed ARRAY-SIDE (transform/aggregate over
+    the shingle array): zero shuffles until the band bucket-join, which is
+    the standard LSH candidate generation — band hash is the join key, so
+    cost scales with collisions, not |docs|².
+  * N-gram Jaccard joins on individual shingles with a doc-frequency cap
+    (drop shingles seen in > 100 docs — the classic hot-key guard): pair
+    blow-up is bounded by DF², independent of corpus size.
+  * SimHash reduces each doc to one 16-bit int; bucket equality is a
+    trivially scalable near-dup candidate filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trike_spark.io import load_table
+from trike_spark.registry import register
+
+K_HASHES = 8  # minhash signature length
+N_BANDS = 4  # LSH bands (rows-per-band = 2)
+MAX_SHINGLE_DF = 100  # hot-shingle guard for the jaccard join
+SIMHASH_BITS = 16
+
+
+# --- shared shingle/hash expressions (Spark side) ---------------------------
+
+def _trigrams() -> Column:
+    """Distinct token 3-gram shingles, computed array-side (no explode)."""
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    z = F.zip_with(
+        F.slice(t, 1, n - 2),
+        F.slice(t, 2, n - 2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.array_distinct(
+        F.zip_with(z, F.slice(t, 3, n - 2), lambda ab, c: F.concat(ab, F.lit(" "), c))
+    )
+
+
+def _h60(c: Column) -> Column:
+    """md5 folded to a 60-bit bigint — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _minhash_sig(i: int) -> Column:
+    """i-th minhash: min over shingles of h60(i || ':' || shingle)."""
+    return F.array_min(
+        F.transform(F.col("shingles"), lambda s: _h60(F.concat(F.lit(f"{i}:"), s)))
+    )
+
+
+# --- shared SQL fragments (DuckDB side) -------------------------------------
+
+_SQL_TRIGRAMS = """list_distinct(list_transform(
+      list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)]),
+      p -> p[1] || ' ' || p[2] || ' ' || p[3]))"""
+
+
+def _sql_h60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _sql_sig(i: int) -> str:
+    return (
+        "list_aggregate(list_transform(shingles, s -> "
+        + _sql_h60(f"'{i}:' || s")
+        + "), 'min')"
+    )
+
+
+_SQL_SHINGLE_CTE = f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sh AS (SELECT doc_id, {_SQL_TRIGRAMS} AS shingles FROM docs)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS survivor_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: group on content hash, keep lowest doc_id (shuffle carries 16-byte keys).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.min("doc_id").alias("survivor_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    _SQL_SHINGLE_CTE
+    + f"""
+    SELECT doc_id, {', '.join(f'{_sql_sig(i)} AS sig_{i}' for i in range(K_HASHES))}
+    FROM sh
+    """,
+    doc=f"MinHash signatures (k={K_HASHES}) computed array-side — zero shuffles.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _trigrams().alias("shingles"))
+    return d.select(
+        "doc_id", *[_minhash_sig(i).alias(f"sig_{i}") for i in range(K_HASHES)]
+    )
+
+
+def _band_exprs_spark() -> list[Column]:
+    rows = K_HASHES // N_BANDS
+    out = []
+    for b in range(N_BANDS):
+        parts = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+        out.append(F.md5(F.concat_ws("_", *parts)).alias(f"band_{b}"))
+    return out
+
+
+def _band_exprs_sql() -> list[str]:
+    rows = K_HASHES // N_BANDS
+    return [
+        "md5("
+        + " || '_' || ".join(f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f") AS band_{b}"
+        for b in range(N_BANDS)
+    ]
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    _SQL_SHINGLE_CTE
+    + f""",
+    sigs AS (
+      SELECT doc_id, {', '.join(f'{_sql_sig(i)} AS sig_{i}' for i in range(K_HASHES))}
+      FROM sh),
+    bands AS (
+      SELECT doc_id, {', '.join(_band_exprs_sql())} FROM sigs),
+    buckets AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash FROM bands" for b in range(N_BANDS))})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+    doc=f"MinHash LSH candidate pairs: {N_BANDS} bands × 2 rows; bucket-join on band hash.",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup_minhash_signatures(spark, sf_dir)
+    bands = sigs.select("doc_id", *_band_exprs_spark())
+    # unpivot bands → (doc_id, band_idx, band_hash); the bucket join shuffles
+    # on band_hash so identical signatures co-locate — LSH's scalable core.
+    buckets = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.band_hash")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    _SQL_SHINGLE_CTE
+    + f""",
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    df AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+    exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN df ON ex.s = df.s),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= 0.3
+    """,
+    doc=f"Exact n-gram Jaccard ≥ 0.3 via shingle join with DF ≤ {MAX_SHINGLE_DF} hot-key guard.",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _trigrams().alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # hot-shingle guard: a shingle in >DF docs contributes DF² pairs; at
+    # corpus scale these are boilerplate n-grams with no dedup signal.
+    df_ok = ex.groupBy("s").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") <= MAX_SHINGLE_DF
+    )
+    exf = ex.join(df_ok.select("s"), "s")
+    a = exf.alias("a")
+    b = exf.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    jac = F.col("n_inter").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("n_inter"))
+    return (
+        inter.join(sizes.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sizes.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents),
+    hashed AS (SELECT doc_id, {_sql_h60('t')} AS h FROM tok),
+    bits AS (
+      SELECT doc_id,
+             {', '.join(f"CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END AS bit_{b}" for b in range(SIMHASH_BITS))}
+      FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {' + '.join(f'bit_{b}' for b in range(SIMHASH_BITS))} AS simhash
+    FROM bits
+    """,
+    doc=f"SimHash ({SIMHASH_BITS}-bit): per-bit majority vote over token hashes.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t")
+    )
+    hashed = tok.select("doc_id", _h60(F.col("t")).alias("h"))
+    bit_aggs = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << b),
+        )
+        .otherwise(0)
+        .alias(f"bit_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_aggs)
+    total = bits.columns[1:]
+    expr = F.col(total[0])
+    for c in total[1:]:
+        expr = expr + F.col(c)
+    return bits.select("doc_id", expr.alias("simhash"))
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(
+             list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+             / (SQRT(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * SQRT(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+          / (SQRT(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+           * SQRT(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= 0.4
+    """,
+    doc="Embedding near-dup: all pairs with cosine ≥ 0.4 (brute force here; LSH path in vectors module).",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

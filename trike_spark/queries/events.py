@@ -1,1 +1,152 @@
-"""Placeholder — populated in later milestones."""
+"""Event-time operators over the ``events`` table: tumbling / sliding /
+session windows and deterministic dedup (SURVEY.md §2.6 "Streaming").
+
+These are the batch-checkable faces of the streaming surface in
+``trike_spark.streaming`` — identical column expressions run under
+``readStream`` with watermarks; proving them against the DuckDB oracle here
+proves the streaming semantics (same Catalyst plan below the source).
+
+Scale notes: all windows key by (user_id | window), both high-cardinality
+and evenly distributed; session windows shuffle once on user_id. Nothing
+global, nothing collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trike_spark.io import load_table
+from trike_spark.queries._util import dsum, sql_dsum
+from trike_spark.registry import register
+
+
+@register(
+    "events_tumbling_hourly",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h window × event_type (streaming: window(ts,'1 hour') + watermark).",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+    FROM assigned GROUP BY window_start
+    """,
+    doc="Sliding window (1h size, 30m slide): each event lands in 2 windows.",
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "events_sessionization",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    doc="Session windows, 10 min gap (streaming: session_window(ts,'10 minutes')).",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's session_window merges events strictly less than gap apart;
+    window end = last event + gap (half-open) — the oracle's gaps-and-
+    islands CTE reproduces exactly that boundary rule (>= gap → new)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_dedup_first_per_key",
+    """
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT event_id, user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    doc="Deterministic dedup: first event per (user_id, event_type) — the batch face of streaming dropDuplicates within a watermark.",
+)
+def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "events_user_activity_pivot",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+    doc="Conditional aggregation (pivot-style) per user.",
+)
+def events_user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def n(t: str) -> F.Column:
+        return F.count_if(F.col("event_type") == t).alias(f"n_{t}")
+
+    return e.groupBy("user_id").agg(
+        n("click"), n("view"), n("purchase"), n("signup"), n("error")
+    )

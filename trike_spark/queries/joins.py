@@ -1,1 +1,252 @@
-"""Placeholder — populated in later milestones."""
+"""Join operators: inner/left/right/full/semi/anti/cross equi-joins, a
+range (theta) join, and an as-of join (SURVEY.md §2.6 "Joins").
+
+Scale notes:
+  * Dim sides are ``broadcast()``-hinted whenever bounded (nation/region:
+    fixed cardinality; order-date dimension: bounded by calendar days) so
+    the fact side never shuffles for them.
+  * The as-of join avoids the classic single-partition global sort: the
+    right side (distinct order dates) is bounded, so it folds into ONE
+    broadcast array row and each event does a vectorized JVM-side
+    ``filter → element_at(-1)`` probe. For an unbounded right side the
+    pattern generalizes to a range-bucketed sort-merge join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from trike_spark.io import load_table
+from trike_spark.registry import register
+
+
+@register(
+    "join_inner_big_orders",
+    """
+    SELECT o_orderkey, c_name, n_name, o_totalprice
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_totalprice > 400000
+    """,
+    doc="Inner equi-join, row-level output; selective filter pushed to the fact scan.",
+)
+def join_inner_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "c_name", "n_name", "o_totalprice")
+    )
+
+
+@register(
+    "join_left_order_counts",
+    """
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    doc="Left outer join preserving order-less customers (count = 0).",
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right_orders_customer",
+    """
+    SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal < -900
+    """,
+    doc="Right outer join: all low-balance customers, order cols null when absent.",
+)
+def join_right_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -900)
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "right").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_full_nation_presence",
+    """
+    SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+    doc="Full outer join over two aggregates; null-filled on either side.",
+)
+def join_full_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.nk == s.nk, "full").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "join_semi_active_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    doc="Left-semi join (EXISTS): customers with at least one big order.",
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_anti_inactive_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
+)
+def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross_region_pairs",
+    """
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name < b.r_name
+    """,
+    doc="Cross join of a bounded dim with dedup predicate (unordered pairs).",
+)
+def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("r1"))
+    b = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("r2"))
+    return a.crossJoin(broadcast(b)).filter(F.col("r1") < F.col("r2"))
+
+
+@register(
+    "join_range_acctbal_band",
+    """
+    SELECT s_suppkey, COUNT(*) AS n_similar
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey
+     AND c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
+    GROUP BY s_suppkey
+    """,
+    doc="Theta join: equi key + range band predicate (customers with similar balance in same nation).",
+)
+def join_range_acctbal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey)
+            & (c.c_acctbal >= s.s_acctbal - 500)
+            & (c.c_acctbal <= s.s_acctbal + 500),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_similar"))
+    )
+
+
+@register(
+    "join_asof_event_order",
+    """
+    WITH od AS (SELECT o_orderdate, MAX(o_orderkey) AS asof_orderkey
+                FROM orders GROUP BY o_orderdate)
+    SELECT e.event_id, e.ts, od.o_orderdate AS asof_orderdate, od.asof_orderkey
+    FROM events e ASOF JOIN od ON e.ts >= od.o_orderdate
+    """,
+    doc="As-of join: each event matched to the latest order date <= ts.",
+)
+def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (nearest-predecessor) join, Spark-first and scale-first.
+
+    Plan shape: the right side (distinct order dates — bounded by the
+    calendar, independent of fact scale) is bucketed BY MONTH into a tiny
+    dimension: each month carries (a) its own sorted (date, key) entries
+    (≤ 31) and (b) the latest entry of all strictly-earlier months
+    (cumulative fill over a month spine, so empty months inherit).
+    Events broadcast-hash-join on their (clamped) month and probe at most
+    31 structs — no shuffle of the event stream, no global sort, and the
+    probe is evaluated once behind a generate barrier (project collapse
+    would otherwise inline the higher-order filter into every field
+    reference).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+
+    od = orders.groupBy("o_orderdate").agg(F.max("o_orderkey").alias("asof_orderkey"))
+    buckets = (
+        od.withColumn("m", F.date_trunc("month", F.col("o_orderdate")))
+        .groupBy("m")
+        .agg(F.sort_array(F.collect_list(F.struct("o_orderdate", "asof_orderkey"))).alias("entries"))
+    )
+    bounds = od.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("mn"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("mx"),
+    )
+    # gap-free month spine; single-partition window is fine — the spine is
+    # a bounded dimension (#months), never fact-sized
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 month"))).alias("m")
+    )
+    from pyspark.sql import Window
+
+    w_prev = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    monthly = (
+        spine.join(buckets, "m", "left")
+        .withColumn("prev_cum", F.max(F.element_at("entries", -1)).over(w_prev))
+    )
+
+    ev = (
+        events.select("event_id", "ts", F.date_trunc("month", "ts").alias("em"))
+        .crossJoin(broadcast(bounds.select("mx")))
+        .withColumn("m", F.least("em", "mx"))
+    )
+    probe = F.coalesce(
+        F.element_at(F.filter(F.col("entries"), lambda e: e["o_orderdate"] <= F.col("ts")), -1),
+        F.col("prev_cum"),
+    )
+    return (
+        ev.join(broadcast(monthly), "m", "left")
+        # explode(array(x)) = 1:1 generate barrier → probe evaluated once
+        .select("event_id", "ts", F.explode(F.array(probe)).alias("mm"))
+        .select(
+            "event_id",
+            "ts",
+            F.col("mm.o_orderdate").alias("asof_orderdate"),
+            F.col("mm.asof_orderkey").alias("asof_orderkey"),
+        )
+    )

@@ -1,1 +1,140 @@
-"""Placeholder — populated in later milestones."""
+"""Multimodal-column operators (driver contract "Multimodal columns"):
+opaque binary payloads + typed metadata travel together through the plan;
+decode/feature-extraction runs as Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is a
+DETERMINISTIC FAKE (md5-derived pseudo-features) behind the real Spark
+plumbing — schema, batch iteration, partitioning are exactly what a real
+decoder would use; swap ``_fake_decode_batch`` for PIL/ffmpeg in prod.
+
+Scale notes: binary payloads stay columnar (parquet BYTE_ARRAY) end-to-end;
+mapInPandas streams Arrow batches so one task never materializes more than
+a batch of payloads; no shuffle is introduced by decode (narrow map).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from trike_spark.io import load_table
+from trike_spark.registry import register
+
+
+@register(
+    "multimodal_assemble",
+    """
+    SELECT d.doc_id,
+           octet_length(encode(d.text)) AS payload_bytes,
+           len(e.embedding) AS dim,
+           d.lang, d.source, e.label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    doc="Multimodal record assembly: binary payload + embedding + metadata in one row.",
+)
+def multimodal_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payload is text re-encoded as binary — standing in for an image/
+    audio blob column (same BinaryType plumbing either way)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            F.octet_length(F.encode("text", "utf-8")).alias("payload_bytes"),
+            F.size("embedding").alias("dim"),
+            "lang",
+            "source",
+            "label",
+        )
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_bytes", IntegerType()),
+        StructField("feature_hash", StringType()),
+        StructField("pseudo_width", IntegerType()),
+        StructField("pseudo_height", IntegerType()),
+    ]
+)
+
+
+def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decoder: a real implementation would call PIL/librosa/ffmpeg on
+    ``payload``. This fake derives deterministic pseudo-dimensions from the
+    md5 of the payload so results are oracle-checkable. The Arrow batch
+    shape (Iterator[pd.DataFrame] → Iterator[pd.DataFrame]) is the real
+    production contract."""
+    import hashlib
+
+    for pdf in batches:
+        md5s = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload_bytes": [len(p) for p in pdf["payload"]],
+                "feature_hash": md5s,
+                "pseudo_width": [int(m[:4], 16) % 1920 for m in md5s],
+                "pseudo_height": [int(m[4:8], 16) % 1080 for m in md5s],
+            }
+        )
+
+
+@register(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           md5(text) AS feature_hash,
+           CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1920 AS INT) AS pseudo_width,
+           CAST(CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1080 AS INT) AS pseudo_height
+    FROM documents
+    """,
+    doc="mapInPandas decode stage (stubbed codec, real Arrow plumbing).",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(_fake_decode_batch, schema=_DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, frame_idx,
+           md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+    FROM documents, (SELECT unnest(generate_series(0, 9)) AS frame_idx)
+    WHERE doc_id % 50 = 0
+    """,
+    doc="Frame sampling: explode N pseudo-frames per video payload (1:N narrow expansion).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stands in for video frame extraction: each payload row fans out to
+    10 frame rows via explode — the same 1:N narrow-expansion shape a real
+    frame sampler produces (no shuffle; downstream ops see frame rows)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.lit(9).cast("bigint"))).alias("frame_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.concat(F.col("text"), F.lit(":"), F.col("frame_idx").cast("string"))).alias(
+            "frame_hash"
+        ),
+    )

@@ -1,1 +1,240 @@
-"""Placeholder — populated in later milestones."""
+"""Scalar function families: string, date/time, math, conditional, array,
+JSON, hash (SURVEY.md §2.6 "Scalar fns").
+
+All pure built-in column expressions — whole-stage-codegen'd, no UDFs, no
+shuffles; at any scale these are embarrassingly parallel map work fused
+into the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trike_spark.io import load_table
+from trike_spark.registry import register
+
+
+@register(
+    "scalar_string_funcs",
+    r"""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_type) AS type_lower,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_name, 1, 6) AS name_pre,
+           CONCAT(p_brand, '/', p_type) AS brand_type,
+           REPLACE(p_brand, 'Brand#', 'B') AS brand_short,
+           REGEXP_EXTRACT(p_name, '^([a-zA-Z]+)', 1) AS first_word,
+           REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           TRIM('  ' || p_brand || ' ') AS trimmed
+    FROM part
+    """,
+    doc="String library: case, slice, concat, replace, regexp, pad, trim.",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 6).alias("name_pre"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.regexp_extract("p_name", r"^([a-zA-Z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_name"), F.lit("[aeiou]"), F.lit("")).alias("no_vowels"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(date_part('dow', o_orderdate) AS INT) AS dow0,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 7 DAY AS plus_week,
+           DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch95,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
+    FROM orders
+    """,
+    doc="Date/time library: parts, trunc, interval arith, diff, epoch.",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        (F.dayofweek(d) - 1).alias("dow0"),  # Spark 1=Sun; DuckDB dow 0=Sun
+        F.date_trunc("month", d).alias("month_start"),
+        (d + F.expr("INTERVAL 7 DAYS")).alias("plus_week"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).alias("days_since_epoch95"),
+        F.unix_timestamp(d).alias("unix_sec"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 1) AS DOUBLE) AS price_r1,
+           ABS(o_totalprice - 300000) AS dist_300k,
+           CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           SQRT(o_totalprice) AS price_sqrt,
+           ROUND(LN(o_totalprice), 6) AS price_ln,
+           (o_totalprice / 100000) * (o_totalprice / 100000) AS price_sq_100k,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM orders WHERE o_totalprice > 0
+    """,
+    doc="Math library: round/abs/ceil/floor/sqrt/ln/square/mod (sqrt is IEEE-exact; ln rounded).",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        # round via exact decimal: double-rounding differs across engines
+        F.round(p.cast("decimal(18,4)"), 1).cast("double").alias("price_r1"),
+        F.abs(p - 300000).alias("dist_300k"),
+        F.ceil(p).alias("price_ceil"),
+        F.floor(p).alias("price_floor"),
+        F.sqrt(p).alias("price_sqrt"),
+        F.round(F.log(p), 6).alias("price_ln"),
+        ((p / 100000) * (p / 100000)).alias("price_sq_100k"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@register(
+    "scalar_conditional_funcs",
+    """
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'pending' END AS status_label,
+           CASE WHEN o_totalprice >= 300000 THEN 'big'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'small' END AS size_band,
+           COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'unknown') AS priority_or_unknown,
+           CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS open_value
+    FROM orders
+    """,
+    doc="CASE/WHEN, COALESCE, NULLIF conditional logic.",
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("pending")
+        .alias("status_label"),
+        F.when(F.col("o_totalprice") >= 300000, "big")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")), F.lit("unknown")
+        ).alias("priority_or_unknown"),
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))
+        .otherwise(F.lit(0.0))
+        .alias("open_value"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           string_split(text, ' ')[len(string_split(text, ' '))] AS last_token,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+    FROM documents
+    """,
+    doc="Array library: split, size, element_at, contains, distinct.",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_field
+    FROM events
+    """,
+    doc="JSON extraction from string props (from_json/get_json_object path).",
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_mod10"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )
+
+
+@register(
+    "scalar_hash_funcs",
+    """
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           to_base64(from_hex(md5(text))) AS md5_b64,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS md5_int60
+    FROM documents
+    """,
+    doc="Hash/codec library: md5, sha256, base64, hex→int (cross-engine stable).",
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.base64(F.unhex(F.md5("text"))).alias("md5_b64"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint").alias("md5_int60"),
+    )
+
+
+@register(
+    "scalar_hash_spark_native",
+    None,  # xxhash64/crc32 are engine-specific → rows-only
+    doc="Spark-native hashes (xxhash64 — the shuffle/bucketing hash; crc32).",
+)
+def scalar_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.crc32("text").alias("text_crc32"),
+        F.hash("text").alias("text_murmur3"),
+    )

@@ -1,1 +1,245 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis operators over ``documents``: corpus stats, term
+frequency, n-grams, language-ID heuristic, quality scoring, token
+counting, fingerprinting (SURVEY.md §2.6 "Text analysis"; driver contract
+"text analysis" extension ops).
+
+Scale notes: tokenization stays array-valued inside the row (no explode)
+until an aggregation genuinely needs token-level rows; the explode-then-
+groupBy paths (term frequency, bigrams) are the canonical map-side-combine
+shape — partial counts before the shuffle, so the wire carries (token,
+partial_count), not raw tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trike_spark.io import load_table
+from trike_spark.queries._util import davg, sql_davg
+from trike_spark.registry import register
+
+
+def _tokens() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "text_stats_by_lang_source",
+    f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           {sql_davg('n_chars')} AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           {sql_davg("len(string_split(text, ' '))")} AS avg_tokens
+    FROM documents GROUP BY lang, source
+    """,
+    doc="Corpus statistics grouped by language and source.",
+)
+def text_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        davg(F.size(_tokens())).alias("avg_tokens"),
+    )
+
+
+@register(
+    "text_tokens_top20",
+    """
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY freq DESC, token LIMIT 20
+    """,
+    doc="Term frequency: explode → partial-count → shuffle → top-k.",
+)
+def text_tokens_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_bigrams_top10",
+    """
+    SELECT bigram, COUNT(*) AS freq
+    FROM (
+      SELECT unnest(list_transform(
+               list_zip(l[1:len(l)-1], l[2:len(l)]),
+               p -> p[1] || ' ' || p[2])) AS bigram
+      FROM (SELECT string_split(text, ' ') AS l FROM documents)
+    )
+    GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 10
+    """,
+    doc="Bigram frequency via array zip (no self-join), then explode + count.",
+)
+def text_bigrams_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram"))
+        .limit(10)
+    )
+
+
+# stopword votes per language for the heuristic language-ID
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+@register(
+    "text_langid_heuristic",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS actual_lang,
+        {', '.join(
+            "len(list_filter(string_split(text, ' '), t -> t IN ("
+            + ', '.join(f"'{m}'" for m in ms) + f"))) AS hits_{lg}"
+            for lg, ms in _LANG_MARKERS.items()
+        )}
+      FROM documents)
+    SELECT doc_id, actual_lang,
+           CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+                WHEN hits_es >= hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+                WHEN hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+                WHEN hits_fr >= hits_zh THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           hits_en + hits_es + hits_de + hits_fr + hits_zh AS total_marker_hits
+    FROM scored
+    """,
+    doc="Language-ID: stopword-marker voting, pure column expressions.",
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    # NB: higher-order lambdas must take exactly one parameter — pyspark
+    # treats a second parameter (even defaulted) as the array index.
+    def _marker_hits(ms: tuple[str, ...]) -> Column:
+        return F.size(F.filter(t, lambda x: x.isin(*ms)))
+
+    hits = {lg: _marker_hits(ms) for lg, ms in _LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["zh"]),
+            "en",
+        )
+        .when((hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"]) & (hits["es"] >= hits["zh"]), "es")
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["zh"]), "de")
+        .when(hits["fr"] >= hits["zh"], "fr")
+        .otherwise("zh")
+    )
+    total = hits["en"] + hits["es"] + hits["de"] + hits["fr"] + hits["zh"]
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("predicted_lang"),
+        total.alias("total_marker_hits"),
+    )
+
+
+@register(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / LENGTH(text), 6) AS punct_ratio,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                 AND CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / LENGTH(text) < 0.1
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM documents
+    """,
+    doc="Quality scoring: length / stopword / punctuation heuristics (C4-style filters).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    n_tokens = F.size(t)
+    stop_hits = F.size(F.filter(t, lambda x: x.isin("the", "a", "of", "and", "is")))
+    punct_len = F.length(F.regexp_replace(F.col("text"), F.lit("[a-z0-9 ]"), F.lit("")))
+    punct_ratio = punct_len.cast("double") / F.length("text")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens,
+            6,
+        ).alias("avg_token_len"),
+        F.round(stop_hits.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.when(n_tokens.between(20, 1000) & (punct_ratio < 0.1), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS chars_div4_est
+    FROM documents
+    """,
+    doc="Token counting: whitespace, BPE-ish regex pieces, chars/4 estimate.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("chars_div4_est"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fingerprint,
+           md5(text) AS exact_fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprints: exact md5 + order-insensitive bag-of-words md5.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))).alias(
+            "bow_fingerprint"
+        ),
+        F.md5("text").alias("exact_fingerprint"),
+    )

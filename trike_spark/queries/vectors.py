@@ -1,1 +1,217 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity-search operators over ``embeddings`` (driver contract
+"Similarity search"): brute-force cosine top-k as the exact baseline, a
+random-hyperplane-LSH bucketed variant as the scale path, and an
+IVF-flavored centroid aggregation.
+
+Scale notes:
+  * Brute force broadcasts the (small) query set and streams candidates —
+    a single narrow pass + per-query top-k window; cost O(|Q|·|C|) but
+    embarrassingly parallel and shuffle-light (only the k·|Q| survivors).
+  * The LSH path assigns each vector a deterministic hyperplane-sign
+    bucket; candidate generation joins on bucket equality so compared-pair
+    count scales with bucket occupancy, not |C|². Hyperplanes are derived
+    from md5 (cross-engine reproducible), not a runtime RNG.
+  * The dot product folds left-to-right over the array in BOTH engines
+    (Spark ``aggregate``, DuckDB ``list_aggregate``) after exact
+    float→double casts, so cosine bits match without rounding tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from trike_spark.io import load_table
+from trike_spark.registry import register
+
+N_QUERIES = 10  # vec_id < 10 are the query set
+TOP_K = 5
+LSH_PLANES = 12  # hyperplane count → 4096 buckets
+DIM = 64
+
+
+def dot(x: Column, y: Column) -> Column:
+    """Sequential left fold — deterministic, matches DuckDB list_aggregate."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+_SQL_DOT_AB = (
+    "list_aggregate(list_transform(list_zip(a.embedding, b.embedding), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+
+
+def _sql_norm(alias: str) -> str:
+    return (
+        f"SQRT(list_aggregate(list_transform({alias}.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+
+
+_SQL_COS = f"{_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})"
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""
+    SELECT q_vec_id, n_vec_id, cosine, rk FROM (
+      SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+             ROUND({_SQL_COS}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY ROUND({_SQL_COS}, 6) DESC, b.vec_id) AS rk
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES})
+    WHERE rk <= {TOP_K}
+    """,
+    doc=f"Exact ANN baseline: top-{TOP_K} cosine neighbors for {N_QUERIES} query vectors.",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("n_emb"))
+    cos = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("n_vec_id"))
+    return (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "n_vec_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@register(
+    "sim_range_search",
+    f"""
+    SELECT b.vec_id, ROUND({_SQL_COS}, 6) AS cosine
+    FROM (SELECT * FROM embeddings WHERE vec_id = 0) a
+    JOIN embeddings b ON b.vec_id <> 0
+    WHERE {_SQL_COS} >= 0.30
+    """,
+    doc="Range search: all vectors within cosine ≥ 0.30 of query vec_id=0.",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = cosine(F.col("q_emb"), F.col("embedding"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(broadcast(q))
+        .filter(cos >= 0.30)
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+    )
+
+
+def _plane_component(p: int, j: Column | int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5-derived, so both engines build identical planes."""
+    jc = F.lit(j) if isinstance(j, int) else j
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"plane{p}:"), jc.cast("string"))), 1, 15), 16, 10
+    ).cast("bigint")
+    return (h % 2000).cast("double") / 1000.0 - 1.0
+
+
+def _sql_plane_component(p: int, j_expr: str) -> str:
+    h = f"CAST(('0x' || substr(md5('plane{p}:' || CAST({j_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"(CAST({h} % 2000 AS DOUBLE) / 1000.0 - 1.0)"
+
+
+@register(
+    "sim_lsh_bucket_topk",
+    f"""
+    WITH planes AS (
+      SELECT vec_id, embedding, label,
+             {', '.join(
+                 "CASE WHEN list_aggregate(list_transform(list_zip(embedding, "
+                 f"list_transform(generate_series(0, {DIM - 1}), j -> {_sql_plane_component(p, 'j')})), "
+                 "p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') > 0 "
+                 f"THEN {1 << p} ELSE 0 END AS b_{p}"
+                 for p in range(LSH_PLANES)
+             )}
+      FROM embeddings),
+    bucketed AS (SELECT vec_id, embedding, {' + '.join(f'b_{p}' for p in range(LSH_PLANES))} AS bucket FROM planes)
+    SELECT q_vec_id, n_vec_id, cosine, rk FROM (
+      SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+             ROUND({_SQL_COS}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY ROUND({_SQL_COS}, 6) DESC, b.vec_id) AS rk
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES})
+    WHERE rk <= {TOP_K}
+    """,
+    doc=f"ANN scale path: {LSH_PLANES}-plane random-hyperplane LSH buckets, rerank within bucket.",
+)
+def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    def _plane(p: int) -> Column:
+        # one-param lambda: a second (defaulted) param would be read as the
+        # array-index argument by pyspark's higher-order function binding
+        return F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), lambda j: _plane_component(p, j))
+
+    bucket = None
+    for p in range(LSH_PLANES):
+        plane = _plane(p)
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("n_vec_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("bucket").alias("n_bucket"),
+    )
+    cos = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("n_vec_id"))
+    return (
+        b.join(broadcast(a), (F.col("n_bucket") == F.col("q_bucket")) & (F.col("n_vec_id") != F.col("q_vec_id")))
+        .select("q_vec_id", "n_vec_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@register(
+    "sim_centroids_by_label",
+    """
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS centroid
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY label, i
+    """,
+    doc="IVF-flavored centroid build: per-label per-dimension mean (decimal-exact).",
+)
+def sim_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid")
+        )
+    )

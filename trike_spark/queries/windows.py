@@ -1,1 +1,158 @@
-"""Placeholder — populated in later milestones."""
+"""Window-function operators: ranking, lag/lead, running frames, range
+frames, ntile (SURVEY.md §2.6 "Window functions").
+
+Scale notes: every window partitions by a high-cardinality key (custkey),
+so state is distributed evenly; no global (unpartitioned) windows appear
+anywhere in the engine — those serialize onto one task at 100 TB. ORDER BY
+inside each window always carries a unique tie-break column so results are
+deterministic and cross-engine comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trike_spark.io import load_table
+from trike_spark.queries._util import dec, dsum
+from trike_spark.registry import register
+
+_BY_CUST = ["o_orderdate", "o_orderkey"]  # deterministic within customer
+
+
+@register(
+    "window_rownum_first_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+    doc="row_number: first 3 orders per customer (per-group top-k).",
+)
+def window_rownum_first_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(*_BY_CUST)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_price_in_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             RANK()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+      FROM orders) WHERE rnk <= 5
+    """,
+    doc="rank + dense_rank (value-based, tie-stable across engines).",
+)
+def window_rank_price_in_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "window_lag_lead_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderdate)  OVER w AS prev_date,
+           LEAD(o_orderdate) OVER w AS next_date,
+           DATE_DIFF('day', LAG(o_orderdate) OVER w, o_orderdate) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead navigation + day gap between consecutive orders.",
+)
+def window_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(*_BY_CUST)
+    prev = F.lag("o_orderdate").over(w)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        prev.alias("prev_date"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+        F.datediff(F.col("o_orderdate"), prev).alias("gap_days"),
+    )
+
+
+@register(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="Running sum with ROWS frame; decimal-exact so prefix sums match bit-for-bit.",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*_BY_CUST)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_range_30d_activity",
+    """
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_orders_30d
+    FROM orders
+    """,
+    doc="RANGE frame over event-time seconds: orders in the trailing 30 days per customer.",
+)
+def window_range_30d_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.count(F.lit(1)).over(w).alias("n_orders_30d")
+    )
+
+
+@register(
+    "window_ntile_spend_quartiles",
+    f"""
+    SELECT o_orderpriority, quartile, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+    FROM (SELECT o_orderpriority, o_totalprice,
+                 NTILE(4) OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS quartile
+          FROM orders)
+    GROUP BY o_orderpriority, quartile
+    """,
+    doc="ntile quartiles (unique tie-break → positional assignment is stable).",
+)
+def window_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price"))
+    )

@@ -75,6 +75,7 @@ def get_spark(app_name: str = "trike_spark", config: EngineConfig | None = None)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     # Only set master when not already inside a cluster-provided session.
