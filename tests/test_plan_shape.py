@@ -1,0 +1,48 @@
+"""Plan-shape regression tests: the physical properties that make these
+queries survive a 100x scale-up are asserted, not assumed."""
+
+from __future__ import annotations
+
+from trike_spark import plans
+from trike_spark.queries.relational import q1_pricing_summary, q5_revenue_by_nation
+from trike_spark.queries.joins import join_asof_event_order, join_inner_big_orders
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = q1_pricing_summary(spark, SF_DIR)
+    assert plans.has_pushed_filter(df, "l_shipdate"), plans.formatted_plan(df)
+
+
+def test_q1_column_pruning(spark):
+    df = q1_pricing_summary(spark, SF_DIR)
+    schemas = plans.read_schemas(df)
+    assert schemas, "no ReadSchema found"
+    # only the 7 referenced columns are read, not all 11
+    assert "l_orderkey" not in schemas[0]
+    assert "l_partkey" not in schemas[0]
+
+
+def test_q5_dims_broadcast_no_fact_shuffle_join(spark):
+    """lineitem must never be the build side of a shuffle join: all dim
+    joins broadcast; the only exchanges are for the final small agg."""
+    df = q5_revenue_by_nation(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
+
+
+def test_inner_join_pushes_selective_filter(spark):
+    df = join_inner_big_orders(spark, SF_DIR)
+    assert plans.has_pushed_filter(df, "o_totalprice")
+    assert plans.broadcast_join_count(df) >= 2
+
+
+def test_asof_join_no_event_shuffle(spark):
+    """The event side must reach the result without a repartition exchange:
+    only broadcast exchanges (dimension) are allowed to touch it."""
+    df = join_asof_event_order(spark, SF_DIR)
+    plan = plans.formatted_plan(df)
+    assert plan.count("BroadcastExchange") >= 1
+    # the events scan feeds a BroadcastHashJoin / BroadcastNestedLoopJoin,
+    # never a SortMergeJoin
+    assert plans.sort_merge_join_count(df) == 0, plan

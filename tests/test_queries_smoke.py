@@ -1,0 +1,39 @@
+"""Smoke: every registered query runs at sf0.001 and returns a stable
+schema; entry() returns rows. (Value correctness is the driver's DuckDB
+oracle + tools/check_correctness.py at sf0.01.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from trike_spark.registry import REGISTRY, load_all_query_modules
+
+SF_DIR = "/root/testdata/sf0.001"
+
+load_all_query_modules()
+
+
+def test_entry_smoke(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["n_name", "revenue"]
+
+
+def test_oracle_coverage():
+    """Every query either has an oracle or documents why not."""
+    no_oracle = [n for n, s in REGISTRY.items() if s.oracle is None]
+    # keep the rows-only set small and intentional
+    assert set(no_oracle) <= {"agg_approx_distinct", "scalar_hash_spark_native"}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    assert df.columns  # schema resolves
+    df.limit(5).collect()  # executes

@@ -1,0 +1,129 @@
+"""Stateful EOT framing + stale-session timeout — trike's F1 + T1 in one
+keyed stateful operator (reference lib/trike/proxy.ex:212-217 extract/2 and
+:230-240 stale timer; tests proxy_test.exs:85-111, :128-134).
+
+Spark mapping: ``applyInPandasWithState`` keyed by ``conn_id``:
+  * state = carried byte buffer (exactly the reference's per-connection
+    buffer; partial frames stitch across micro-batches like they stitch
+    across TCP packets)
+  * processing-time timeout = the stale timer; CRITICAL subtlety preserved:
+    the timer resets on ANY inbound chunk — heartbeats and garbage included
+    — because framing runs BEFORE the heartbeat filter (proxy.ex:104 vs
+    :242-244, proxy_test.exs:128-145). On timeout we emit a
+    ``session_closed`` control row (the analog of closing the socket).
+
+Scale: state partitions by conn_id across the cluster; each connection's
+buffer is a few KiB (socket-buffer bounded upstream), so state size is
+O(live connections), exactly like the reference's per-process heap usage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EOT = "\x04"  # proxy.ex:42
+DEFAULT_STALE_TIMEOUT_MS = 300_000  # config/config.exs:19
+
+# input: one row per received chunk
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("conn_id", StringType(), False),
+        StructField("chunk", StringType(), False),
+        StructField("arrival_ts", TimestampType(), False),
+        StructField("arrival_seq", LongType(), False),  # intra-key order
+    ]
+)
+
+# output: framed messages + session-control rows
+FRAMED_SCHEMA = StructType(
+    [
+        StructField("conn_id", StringType(), False),
+        StructField("raw", StringType(), True),
+        StructField("time", TimestampType(), True),
+        StructField("kind", StringType(), False),  # 'message' | 'session_closed'
+    ]
+)
+
+_STATE_SCHEMA = "buffer STRING"
+
+
+def extract(buffer: str) -> tuple[list[str], str]:
+    """Split on EOT; final (possibly empty) segment is the carry-over —
+    a faithful re-expression of extract/2 (proxy.ex:212-217)."""
+    parts = buffer.split(EOT)
+    return parts[:-1], parts[-1]
+
+
+def frame_and_session(
+    key: tuple[str],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    stale_timeout_ms: int = DEFAULT_STALE_TIMEOUT_MS,
+) -> Iterator[pd.DataFrame]:
+    """The per-key stateful function (Arrow-batched, called once per key per
+    micro-batch, or on timeout with no input)."""
+    conn_id = key[0]
+    if state.hasTimedOut:
+        # stale timer fired with no traffic → close session (proxy.ex:121-127)
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "conn_id": [conn_id],
+                "raw": [None],
+                "time": [None],
+                "kind": ["session_closed"],
+            }
+        )
+        return
+
+    (buffer,) = state.get if state.exists else ("",)
+    rows: dict[str, list[Any]] = {"conn_id": [], "raw": [], "time": [], "kind": []}
+    for pdf in pdfs:
+        pdf = pdf.sort_values("arrival_seq")
+        for chunk, ts in zip(pdf["chunk"], pdf["arrival_ts"]):
+            messages, buffer = extract(buffer + chunk)
+            for m in messages:
+                rows["conn_id"].append(conn_id)
+                rows["raw"].append(m)
+                # one shared timestamp per packet (proxy.ex:150)
+                rows["time"].append(ts)
+                rows["kind"].append("message")
+    state.update((buffer,))
+    # ANY traffic re-arms the stale timer, even if it framed no message
+    state.setTimeoutDuration(stale_timeout_ms)
+    if rows["conn_id"]:
+        yield pd.DataFrame(rows)
+
+
+def framed_stream(
+    chunks: DataFrame, stale_timeout_ms: int = DEFAULT_STALE_TIMEOUT_MS
+) -> DataFrame:
+    """chunks (CHUNK_SCHEMA, batch or stream) → framed messages + control
+    rows (FRAMED_SCHEMA)."""
+
+    def fn(key, pdfs, state):  # bind the timeout
+        yield from frame_and_session(key, pdfs, state, stale_timeout_ms)
+
+    return (
+        chunks.groupBy("conn_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FRAMED_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

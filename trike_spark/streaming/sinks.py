@@ -1,0 +1,151 @@
+"""Ordered, keyed Kinesis sink — trike's K1/K2 (reference
+lib/trike/kinesis_client.ex:13-15, proxy.ex:164-204,
+lib/fakes/fake_kinesis_client.ex:9-12).
+
+Design:
+  * ``foreachBatch``: each micro-batch groups events per partition key into
+    ONE JSON-array record (the reference's per-packet batching F4,
+    proxy.ex:164-175 — micro-batch boundary replaces packet boundary).
+  * Strict per-key ordering: records are put sequentially per key, passing
+    ``SequenceNumberForOrdering`` = the sequence number returned by the
+    previous put for that key (proxy.ex:177-204); the chain persists across
+    micro-batches in a sequence ledger.
+  * The client is injectable exactly like the reference's ``put_record_fn``
+    (proxy.ex:23-24, :65): ``KINESIS_STREAM=console`` (default) selects the
+    logging fake (runtime.exs:11-15); production wires boto3.
+  * Delivery contract: at-least-once. A failed put raises → Spark retries
+    the micro-batch (the reference crashes the connection process and lets
+    upstream resend, proxy.ex:203). Deterministic CloudEvent ids make
+    downstream dedup possible.
+
+Scale: the per-batch group-and-encode is a distributed aggregation; the
+put loop runs per key, and keys are independent — on a real cluster use
+``df.repartition("partitionkey").foreachPartition`` so each executor owns
+a disjoint key range and its own client. The driver-side loop below is the
+local[*] / test configuration, where records-per-batch = O(live keys), not
+O(events).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+logger = logging.getLogger("trike_spark.kinesis")
+
+
+class FakeKinesisClient:
+    """Console fake: logs instead of calling AWS; returns sequence "0"
+    (fake_kinesis_client.ex:9-12). Optionally spools records to a dir so
+    tests can assert on what was 'sent'."""
+
+    def __init__(self, spool_dir: str | None = None) -> None:
+        self.spool_dir = spool_dir
+        self.calls: list[dict[str, Any]] = []
+
+    def put_record(
+        self,
+        stream: str,
+        partition_key: str,
+        data: str,
+        sequence_number_for_ordering: str | None = None,
+    ) -> dict[str, str]:
+        rec = {
+            "stream": stream,
+            "partition_key": partition_key,
+            "data": data,
+            "sequence_number_for_ordering": sequence_number_for_ordering,
+        }
+        self.calls.append(rec)
+        logger.info("put_record stream=%s partition_key=%s bytes=%d", stream, partition_key, len(data))
+        if self.spool_dir:
+            os.makedirs(self.spool_dir, exist_ok=True)
+            with open(os.path.join(self.spool_dir, "records.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        return {"SequenceNumber": str(len(self.calls) - 1)}
+
+
+def boto3_client_factory(region: str | None = None) -> Callable[[], Any]:
+    """Production client factory (import-gated; boto3 isn't in this
+    container)."""
+
+    def make() -> Any:
+        import boto3  # noqa: PLC0415
+
+        kinesis = boto3.client("kinesis", region_name=region)
+
+        class _Boto3Client:
+            def put_record(self, stream, partition_key, data, sequence_number_for_ordering=None):
+                kwargs = {"StreamName": stream, "PartitionKey": partition_key, "Data": data.encode()}
+                if sequence_number_for_ordering is not None:
+                    kwargs["SequenceNumberForOrdering"] = sequence_number_for_ordering
+                return kinesis.put_record(**kwargs)
+
+        return _Boto3Client()
+
+    return make
+
+
+@dataclass
+class KinesisSink:
+    """foreachBatch sink with per-key sequence-number chaining."""
+
+    stream: str = "console"
+    client: Any = None  # injectable, like the reference's put_record_fn
+    # sequence ledger: partition_key → last SequenceNumber (proxy.ex:203-204)
+    _last_seq: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.client is None:
+            self.client = FakeKinesisClient()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # F4 batch-encode: all events of one key in this micro-batch →
+        # one JSON-array record, ordered by event id for determinism
+        records = (
+            batch_df.groupBy("partitionkey")
+            .agg(F.to_json(F.sort_array(F.collect_list(F.col("event")))).alias("record"))
+            .collect()  # one row per live key — bounded, not event-volume
+        )
+        for row in sorted(records, key=lambda r: r["partitionkey"]):
+            key = row["partitionkey"]
+            t0 = time.perf_counter()
+            resp = self.client.put_record(
+                self.stream,
+                key,
+                row["record"],
+                sequence_number_for_ordering=self._last_seq.get(key),
+            )
+            # observability contract O4 (proxy.ex:192-201)
+            logger.info(
+                "put_record_timing batch_id=%s partition_key=%s msec=%.1f result=ok",
+                batch_id,
+                key,
+                (time.perf_counter() - t0) * 1e3,
+            )
+            self._last_seq[key] = resp["SequenceNumber"]
+
+
+def write_stream_to_kinesis(
+    events: DataFrame,
+    sink: KinesisSink,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """events must carry columns (partitionkey, event struct)."""
+    writer = (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

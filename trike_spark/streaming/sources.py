@@ -1,0 +1,72 @@
+"""Streaming sources — trike's S1/S2/S3 re-expressed for Spark
+(SURVEY.md §2.1).
+
+  * Production ingest (S1/S2): a Kinesis/socket streaming source producing
+    (conn_id, chunk, arrival_ts) rows. Spark has no TCP *server* source —
+    per the survey's non-goals, the connection identity arrives as a
+    column, not a process. ``socket_chunk_stream`` adapts the dev socket
+    source; a Kinesis connector source plugs in the same shape.
+  * Replay (S2, kinesis_source.ex:123-169): re-read archived events and
+    re-emit, optionally duplicated ×scale — ``explode(array_repeat(...))``,
+    with the poll cadence as the trigger interval.
+  * Fake source (S3, fake_source.ex:60-97): rate-source joined to canned
+    messages with heartbeat/garbage injection — deterministic, pure
+    expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trike_spark.functions.cloud_event import EOT, HEARTBEAT
+
+CANNED_MESSAGES = [  # shape of priv/ocs_data.csv lines (proxy_test fixtures)
+    "4994,TSCH,02:00:06,R,RLD,W",
+    "4995,TSCH,03:00:06,R,RLD,W",
+    "4996,TSCH,04:00:06,B,RLD,E",
+]
+
+
+def socket_chunk_stream(spark: SparkSession, host: str = "localhost", port: int = 8001) -> DataFrame:
+    """Dev socket source → CHUNK_SCHEMA-shaped stream (single logical
+    connection; Kinesis source replaces this in production)."""
+    raw = spark.readStream.format("socket").option("host", host).option("port", port).load()
+    return raw.select(
+        F.lit(f"{host}:{port}").alias("conn_id"),
+        F.col("value").alias("chunk"),
+        F.current_timestamp().alias("arrival_ts"),
+        F.monotonically_increasing_id().alias("arrival_seq"),
+    )
+
+
+def fake_chunk_stream(
+    spark: SparkSession,
+    rows_per_second: int = 1,
+    n_connections: int = 4,
+    heartbeat_every: int = 5,
+) -> DataFrame:
+    """S3 fake source: deterministic canned OCS messages + periodic
+    heartbeats, EOT-terminated, spread over n_connections."""
+    msgs = F.array(*[F.lit(m) for m in CANNED_MESSAGES])
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    body = (
+        F.when(F.col("value") % heartbeat_every == 0, F.lit(HEARTBEAT))
+        .otherwise(F.element_at(msgs, (F.col("value") % len(CANNED_MESSAGES)).cast("int") + 1))
+    )
+    return rate.select(
+        F.concat(F.lit("conn-"), (F.col("value") % n_connections).cast("string")).alias("conn_id"),
+        F.concat(body, F.lit(EOT)).alias("chunk"),
+        F.col("timestamp").alias("arrival_ts"),
+        F.col("value").alias("arrival_seq"),
+    )
+
+
+def replay_scaled(records: DataFrame, raw_col: str = "raw", scale: int = 1) -> DataFrame:
+    """S2 replay semantics: duplicate each message ×scale
+    (kinesis_source.ex:129-147) — a narrow explode, no shuffle."""
+    if scale <= 1:
+        return records
+    return records.withColumn(
+        raw_col, F.explode(F.array_repeat(F.col(raw_col), scale))
+    )
