@@ -25,12 +25,17 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_revenue_by_nation",
     "q10_returned_items",
+    "agg_cube_flags",
     "window_running_total",
     "join_asof_event_order",
+    "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "sim_topk_bruteforce",
+    "sim_lsh_bucket_topk",
     "text_tokens_top20",
+    "text_quality_score",
     "events_sessionization",
+    "trike_cloud_event_project",
 ]
 
 

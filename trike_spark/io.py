@@ -25,6 +25,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     lazy so downstream filters push into the parquet reader."""
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    # timestamps compare against a naive-UTC oracle; pin the session tz even
+    # when running under a caller-provided SparkSession (runtime-settable)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
         # timestamp type, so read nanos as long and truncate to micros

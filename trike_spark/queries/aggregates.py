@@ -167,6 +167,30 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentiles",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           quantile_cont(o_totalprice, 0.99) AS p99_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles (both engines: linear interpolation on the sorted values — bit-identical).",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB you'd use percentile_approx (t-digest-style sketch, bounded
+    memory); exact percentile is the correctness baseline it's judged
+    against, so both are provided (approx is in agg_approx_distinct's
+    rows-only family)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99_price"),
+    )
+
+
+@register(
     "agg_stddev_decimal_exact",
     f"""
     SELECT l_returnflag,

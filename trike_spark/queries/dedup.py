@@ -53,10 +53,27 @@ def _h60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+# universal-hash family for the k permutations: ONE md5 per shingle, then
+# k cheap affine maps (a_i·h + b_i) mod p — 8× less hashing than k md5s.
+# h is folded to 30 bits so a_i·h stays far below 2^63 (DuckDB errors on
+# overflow; Spark would silently wrap — both avoided).
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+_H_BITS_MOD = 1 << 30
+
+
+def _perm_a(i: int) -> int:
+    return 1_000_003 + 2 * i  # odd, < 2^20
+
+
+def _perm_b(i: int) -> int:
+    return 12_345 + 7 * i
+
+
 def _minhash_sig(i: int) -> Column:
-    """i-th minhash: min over shingles of h60(i || ':' || shingle)."""
+    """i-th minhash: min over pre-hashed shingles of (a_i·h + b_i) mod p."""
+    a, b = _perm_a(i), _perm_b(i)
     return F.array_min(
-        F.transform(F.col("shingles"), lambda s: _h60(F.concat(F.lit(f"{i}:"), s)))
+        F.transform(F.col("hs"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
     )
 
 
@@ -72,16 +89,18 @@ def _sql_h60(expr: str) -> str:
 
 
 def _sql_sig(i: int) -> str:
+    a, b = _perm_a(i), _perm_b(i)
     return (
-        "list_aggregate(list_transform(shingles, s -> "
-        + _sql_h60(f"'{i}:' || s")
-        + "), 'min')"
+        f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}), 'min')"
     )
 
 
 _SQL_SHINGLE_CTE = f"""
     WITH docs AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-    sh AS (SELECT doc_id, {_SQL_TRIGRAMS} AS shingles FROM docs)
+    sh AS (SELECT doc_id, {_SQL_TRIGRAMS} AS shingles FROM docs),
+    shh AS (SELECT doc_id, shingles,
+                   list_transform(shingles, s -> {_sql_h60('s')} % {_H_BITS_MOD}) AS hs
+            FROM sh)
 """
 
 
@@ -108,12 +127,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SQL_SHINGLE_CTE
     + f"""
     SELECT doc_id, {', '.join(f'{_sql_sig(i)} AS sig_{i}' for i in range(K_HASHES))}
-    FROM sh
+    FROM shh
     """,
     doc=f"MinHash signatures (k={K_HASHES}) computed array-side — zero shuffles.",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", _trigrams().alias("shingles"))
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _trigrams().alias("shingles"))
+        .select(
+            "doc_id",
+            F.transform(F.col("shingles"), lambda s: _h60(s) % _H_BITS_MOD).alias("hs"),
+        )
+    )
     return d.select(
         "doc_id", *[_minhash_sig(i).alias(f"sig_{i}") for i in range(K_HASHES)]
     )
@@ -144,7 +170,7 @@ def _band_exprs_sql() -> list[str]:
     + f""",
     sigs AS (
       SELECT doc_id, {', '.join(f'{_sql_sig(i)} AS sig_{i}' for i in range(K_HASHES))}
-      FROM sh),
+      FROM shh),
     bands AS (
       SELECT doc_id, {', '.join(_band_exprs_sql())} FROM sigs),
     buckets AS (

@@ -129,6 +129,35 @@ def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_enrich_stream_static",
+    f"""
+    SELECT e.event_id, e.event_type, c.c_name, c.c_mktsegment, n.n_name,
+           {sql_dsum('e.value', 4)} AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY e.event_id, e.event_type, c.c_name, c.c_mktsegment, n.n_name
+    """,
+    doc="Stream-static enrichment join (batch face): events joined to dimension tables.",
+)
+def events_enrich_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In streaming form this is readStream(events) ⋈ static customer ⋈
+    static nation — stream-static joins broadcast the static side per
+    micro-batch; identical column logic here."""
+    from pyspark.sql.functions import broadcast
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        e.join(broadcast(c), e.user_id == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("event_id", "event_type", "c_name", "c_mktsegment", "n_name")
+        .agg(dsum("value", 4).alias("sum_value"))
+    )
+
+
+@register(
     "events_user_activity_pivot",
     """
     SELECT user_id,

@@ -186,7 +186,8 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
            CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
-           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_field
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_field,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_from_json
     FROM events
     """,
     doc="JSON extraction from string props (from_json/get_json_object path).",
@@ -194,11 +195,14 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
+    # from_json with an explicit schema — the streaming-ingest decode path
+    parsed = F.from_json("props", "k BIGINT")
     return e.select(
         "event_id",
         k.alias("k_val"),
         (k % 10).alias("k_mod10"),
         F.get_json_object("props", "$.missing").alias("missing_field"),
+        parsed["k"].alias("k_from_json"),
     )
 
 

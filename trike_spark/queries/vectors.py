@@ -113,14 +113,19 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_component(p: int, j: Column | int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1):
-    md5-derived, so both engines build identical planes."""
-    jc = F.lit(j) if isinstance(j, int) else j
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"plane{p}:"), jc.cast("string"))), 1, 15), 16, 10
-    ).cast("bigint")
-    return (h % 2000).cast("double") / 1000.0 - 1.0
+def _plane_values(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1):
+    md5-derived with the same formula the oracle SQL uses, but computed
+    once at PLAN BUILD time — they're constants, so paying 12×64 md5 calls
+    per row would be pure waste (Catalyst doesn't constant-fold through
+    higher-order lambdas)."""
+    import hashlib
+
+    out = []
+    for j in range(DIM):
+        h = int(hashlib.md5(f"plane{p}:{j}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2000) / 1000.0 - 1.0)
+    return out
 
 
 def _sql_plane_component(p: int, j_expr: str) -> str:
@@ -156,14 +161,9 @@ def _sql_plane_component(p: int, j_expr: str) -> str:
 )
 def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    def _plane(p: int) -> Column:
-        # one-param lambda: a second (defaulted) param would be read as the
-        # array-index argument by pyspark's higher-order function binding
-        return F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), lambda j: _plane_component(p, j))
-
     bucket = None
     for p in range(LSH_PLANES):
-        plane = _plane(p)
+        plane = F.array(*[F.lit(v) for v in _plane_values(p)])
         proj = F.aggregate(
             F.zip_with(F.col("embedding"), plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),

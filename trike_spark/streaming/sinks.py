@@ -134,6 +134,48 @@ class KinesisSink:
             self._last_seq[key] = resp["SequenceNumber"]
 
 
+@dataclass
+class DistributedKinesisSink:
+    """Executor-side variant for cluster scale: after the per-key batch
+    encode, records repartition BY KEY and each executor partition puts its
+    disjoint key set with its own client (created from a picklable
+    factory). One writer per key per batch ⇒ per-key order within a batch;
+    cross-batch order rides on Kinesis' per-PartitionKey ordering with a
+    single in-flight writer per key (the repartition guarantees that) —
+    the SequenceNumberForOrdering ledger is per-batch here, since executor
+    state doesn't persist across batches.
+
+    The driver-side :class:`KinesisSink` is the strict-chaining
+    configuration (exact reference semantics, proxy.ex:177-204); this one
+    is the horizontal-scale configuration. Both are at-least-once.
+    """
+
+    stream: str
+    client_factory: Callable[[], Any]
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        records = (
+            batch_df.groupBy("partitionkey")
+            .agg(F.to_json(F.sort_array(F.collect_list(F.col("event")))).alias("record"))
+            .repartition("partitionkey")
+        )
+        stream, factory = self.stream, self.client_factory
+
+        def put_partition(rows) -> None:
+            client = factory()
+            last_seq: dict[str, str] = {}
+            for row in rows:
+                resp = client.put_record(
+                    stream,
+                    row["partitionkey"],
+                    row["record"],
+                    sequence_number_for_ordering=last_seq.get(row["partitionkey"]),
+                )
+                last_seq[row["partitionkey"]] = resp["SequenceNumber"]
+
+        records.foreachPartition(put_partition)
+
+
 def write_stream_to_kinesis(
     events: DataFrame,
     sink: KinesisSink,
