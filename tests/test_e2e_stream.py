@@ -1,0 +1,51 @@
+"""Full-pipeline streaming test: fake source → stateful framing →
+heartbeat filter → CloudEvent projection → ordered Kinesis sink — the
+whole SURVEY.md §3.1 path running as one Structured Streaming query."""
+
+from __future__ import annotations
+
+import time
+
+from trike_spark.streaming.pipeline import build_ingest_pipeline
+from trike_spark.streaming.sinks import FakeKinesisClient, KinesisSink
+from trike_spark.streaming.sources import CANNED_MESSAGES, fake_chunk_stream
+
+
+def test_ingest_pipeline_end_to_end(spark, tmp_path):
+    client = FakeKinesisClient()
+    sink = KinesisSink(stream="console", client=client)
+    chunks = fake_chunk_stream(spark, rows_per_second=20, n_connections=3, heartbeat_every=5)
+    events = build_ingest_pipeline(chunks, stale_timeout_ms=60_000)
+    q = (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and len(client.calls) < 3:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(client.calls) >= 3, "no records reached the sink"
+    # records are JSON arrays of CloudEvents with the full field set
+    sample = client.calls[-1]["data"]
+    for field in ('"data"', '"id"', '"partitionkey"', '"source"', '"sourceip"', '"specversion"', '"time"', '"type"'):
+        assert field in sample
+    assert '"com.mbta.ocs.raw_message"' in sample
+    # heartbeats framed upstream but never forwarded (F2 after F1)
+    assert "HEARTBEAT" not in sample
+    # payloads are the canned OCS messages
+    assert any(m in sample for m in CANNED_MESSAGES)
+    # per-key sequence chaining: a key seen twice carries the prior seq
+    by_key: dict[str, list] = {}
+    for c in client.calls:
+        by_key.setdefault(c["partition_key"], []).append(c)
+    chained = [k for k, calls in by_key.items() if len(calls) >= 2]
+    assert chained, "need a key with 2+ records to check chaining"
+    for k in chained:
+        assert by_key[k][0]["sequence_number_for_ordering"] is None
+        assert by_key[k][1]["sequence_number_for_ordering"] is not None

@@ -1,0 +1,45 @@
+"""Source/sink connector coverage: CSV, JSON, partitioned parquet with
+partition pruning (SURVEY.md §2.1/§2.3 extension surface)."""
+
+from __future__ import annotations
+
+from trike_spark import plans
+from trike_spark.io import (
+    load_table,
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_csv_round_trip(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = str(tmp_path / "orders_csv")
+    write_csv(orders, path)
+    back = read_csv(spark, path, schema="o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+
+
+def test_json_round_trip(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "events_json")
+    write_json(ev, path)
+    back = read_json(spark, path, schema="event_id BIGINT, event_type STRING, value DOUBLE")
+    assert back.count() == ev.count()
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_part")
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter("o_orderstatus = 'F'")
+    plan = plans.formatted_plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+    total = spark.read.parquet(path).count()
+    f_only = back.count()
+    assert 0 < f_only < total

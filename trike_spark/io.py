@@ -53,7 +53,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Parquet sink; with partition_by, downstream scans get partition
+    pruning (PartitionFilters in the plan) — the layout choice that turns
+    a 100 TB scan into a per-partition scan."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV source (the reference's file-based test source reads CSV lines,
+    fake_source.ex:17-36). Explicit schema preferred — inference is a full
+    extra pass at scale."""
+    r = spark.read.option("header", str(header).lower())
+    return (r.schema(schema) if schema is not None else r.option("inferSchema", "true")).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source (the shape Kinesis replay archives use)."""
+    r = spark.read
+    return (r.schema(schema) if schema is not None else r).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

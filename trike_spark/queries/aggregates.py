@@ -167,6 +167,28 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_scalar_subquery",
+    f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT {sql_davg('o_totalprice', 6)} * 1.8 FROM orders)
+    """,
+    doc="Uncorrelated scalar subquery: orders 1.8x above the global average.",
+)
+def agg_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar aggregate folds to one broadcast row — the fact scan
+    filters against it without any shuffle (same plan Catalyst builds for
+    a SQL scalar subquery)."""
+    o = load_table(spark, sf_dir, "orders")
+    thr = o.agg((davg("o_totalprice", 6) * 1.8).alias("thr"))
+    return (
+        o.join(broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
     "agg_percentiles",
     """
     SELECT o_orderstatus,

@@ -225,6 +225,36 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rolling_hash",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1073741824)),
+             (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_hash
+    FROM documents
+    """,
+    doc="Polynomial rolling hash over the token stream (order-sensitive document fingerprint).",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h = fold(tokens, acc·31 + h30(token) mod 2^31-1) — order-sensitive,
+    unlike the bag-of-words fingerprint; all arithmetic bounded < 2^36 so
+    both engines stay in exact bigint range."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = F.transform(
+        _tokens(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % (1 << 30),
+    )
+    rolling = F.aggregate(
+        hs,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % 2_147_483_647,
+    )
+    return d.select("doc_id", rolling.alias("rolling_hash"))
+
+
+@register(
     "text_fingerprint",
     """
     SELECT doc_id,

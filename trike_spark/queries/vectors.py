@@ -192,6 +192,89 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_COS_QC = (
+    "list_aggregate(list_transform(list_zip(q_emb, cvec), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / "
+    "(SQRT(list_aggregate(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) "
+    "* SQRT(list_aggregate(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+
+_SQL_COS_QM = (
+    "list_aggregate(list_transform(list_zip(q_emb, m.embedding), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / "
+    "(SQRT(list_aggregate(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) "
+    "* SQRT(list_aggregate(list_transform(m.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+
+
+@register(
+    "sim_ivf_search",
+    f"""
+    WITH ex AS (SELECT label, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    cent AS (SELECT label, i,
+                    CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS v
+             FROM ex GROUP BY label, i),
+    cvecs AS (SELECT label, list(v ORDER BY i) AS cvec FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    qc AS (SELECT q_vec_id, q_emb, label,
+                  ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                     ORDER BY {_SQL_COS_QC} DESC, label) AS rn
+           FROM q CROSS JOIN cvecs),
+    best AS (SELECT q_vec_id, q_emb, label AS probe_label FROM qc WHERE rn = 1)
+    SELECT q_vec_id, probe_label, n_vec_id, cosine, rk FROM (
+      SELECT best.q_vec_id, best.probe_label, m.vec_id AS n_vec_id,
+             ROUND({_SQL_COS_QM}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY best.q_vec_id
+                                ORDER BY ROUND({_SQL_COS_QM}, 6) DESC, m.vec_id) AS rk
+      FROM best JOIN embeddings m
+        ON m.label = best.probe_label AND m.vec_id <> best.q_vec_id)
+    WHERE rk <= {TOP_K}
+    """,
+    doc="IVF-style ANN: coarse-quantize to the nearest label centroid, rerank inside that cell only.",
+)
+def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search shape at scale: the centroid table is tiny (n_cells) and
+    broadcast; each query probes ONE cell, so compared pairs scale with
+    cell occupancy — |C|/n_cells per query instead of |C|."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "x"))
+    cent = ex.groupBy("label", "i").agg(
+        (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    cvecs = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
+        .select("label", F.transform("iv", lambda e: e["v"]).alias("cvec"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    w_c = Window.partitionBy("q_vec_id").orderBy(
+        cosine(F.col("q_emb"), F.col("cvec")).desc(), F.col("label")
+    )
+    best = (
+        q.crossJoin(broadcast(cvecs))
+        .withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") == 1)
+        .select("q_vec_id", "q_emb", F.col("label").alias("probe_label"))
+    )
+    m = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("label"), F.col("embedding").alias("n_emb"))
+    cos = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+    w_m = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("n_vec_id"))
+    return (
+        m.join(
+            broadcast(best),
+            (m.label == F.col("probe_label")) & (F.col("n_vec_id") != F.col("q_vec_id")),
+        )
+        .select("q_vec_id", "probe_label", "n_vec_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w_m))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
 @register(
     "sim_centroids_by_label",
     """
