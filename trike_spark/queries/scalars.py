@@ -181,6 +181,26 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_predicate_funcs",
+    """
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part
+    WHERE p_name LIKE '%a%ke%'
+       OR (p_size BETWEEN 10 AND 20 AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3'))
+       OR (p_type = 'ECONOMY' AND NOT p_size >= 15)
+    """,
+    doc="Predicate library: LIKE, BETWEEN, IN, AND/OR/NOT — all pushed to the scan.",
+)
+def scalar_predicate_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%a%ke%")
+        | (F.col("p_size").between(10, 20) & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        | ((F.col("p_type") == "ECONOMY") & ~(F.col("p_size") >= 15))
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+@register(
     "scalar_json_funcs",
     """
     SELECT event_id,
