@@ -22,9 +22,15 @@ def test_ingest_pipeline_end_to_end(spark, tmp_path):
         .foreachBatch(sink)
         .start()
     )
+    def some_key_repeated() -> bool:
+        seen: dict[str, int] = {}
+        for c in client.calls:
+            seen[c["partition_key"]] = seen.get(c["partition_key"], 0) + 1
+        return any(v >= 2 for v in seen.values())
+
     try:
         deadline = time.time() + 90
-        while time.time() < deadline and len(client.calls) < 3:
+        while time.time() < deadline and not (len(client.calls) >= 3 and some_key_repeated()):
             if q.exception():
                 raise AssertionError(str(q.exception()))
             time.sleep(1)
