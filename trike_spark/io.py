@@ -62,6 +62,26 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table (hash-partitioned on disk by bucket_col).
+
+    The co-location contract: two tables bucketed the same way join WITHOUT
+    a shuffle — at 100 TB this turns the recurring lineitem⋈orders join
+    from the dominant exchange into a map-side zip. Bucket count is the
+    a-priori analog of shuffle partitions; pick ~(total size / 128 MB).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
     """CSV source (the reference's file-based test source reads CSV lines,
     fake_source.ex:17-36). Explicit schema preferred — inference is a full

@@ -213,6 +213,32 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_correlated_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c_acctbal > (SELECT 2 * AVG(CAST(o_totalprice AS DECIMAL(18,4)) / 1000)
+                       FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Correlated scalar subquery — Catalyst decorrelates to an aggregate + join.",
+)
+def agg_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Written in SQL on purpose: the point is the decorrelation rewrite
+    (subquery → groupBy(o_custkey) agg + left join + filter), which
+    .explain shows as a plain Aggregate/Join plan — no per-row re-execution
+    anywhere. avg over exact decimals keeps the threshold deterministic."""
+    from trike_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE c_acctbal > (SELECT 2 * AVG(CAST(o_totalprice AS DECIMAL(18,4)) / 1000)
+                           FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """
+    )
+
+
+@register(
     "agg_stddev_decimal_exact",
     f"""
     SELECT l_returnflag,

@@ -171,11 +171,13 @@ def events_enrich_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Conditional aggregation (pivot-style) per user.",
 )
 def events_user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True relational PIVOT: explicit value list keeps the plan a single
+    pass (no extra distinct-values job) and the output schema static —
+    which is also the only safe form at 100 TB."""
     e = load_table(spark, sf_dir, "events")
-
-    def n(t: str) -> F.Column:
-        return F.count_if(F.col("event_type") == t).alias(f"n_{t}")
-
-    return e.groupBy("user_id").agg(
-        n("click"), n("view"), n("purchase"), n("signup"), n("error")
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = e.groupBy("user_id").pivot("event_type", types).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
     )
