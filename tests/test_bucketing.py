@@ -16,9 +16,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     # managed tables land in ./spark-warehouse (gitignored); warehouse.dir
-    # is a static conf and can't move per-test
+    # is a static conf and can't move per-test — clear stale locations from
+    # previous sessions too (metastore is per-session, the dir is not)
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     write_bucketed(
         load_table(spark, SF_DIR, "orders"), "b_orders", "o_orderkey", 4, sort_col="o_orderkey"
     )

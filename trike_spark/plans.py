@@ -23,6 +23,13 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def plan_tree(df: DataFrame) -> str:
+    """Just the operator tree (formatted output repeats every operator in
+    the details section, which double-counts naive string counts)."""
+    full = formatted_plan(df)
+    return full.split("\n\n(", 1)[0]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters entries across scans."""
     plan = formatted_plan(df)
@@ -34,17 +41,16 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("BroadcastHashJoin")
+    return plan_tree(df).count("BroadcastHashJoin")
 
 
 def shuffle_count(df: DataFrame) -> int:
     """Exchange operators in the plan (AQE may collapse some at runtime)."""
-    plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange\b", plan))
+    return len(re.findall(r"\bExchange\b", plan_tree(df)))
 
 
 def sort_merge_join_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("SortMergeJoin")
+    return plan_tree(df).count("SortMergeJoin")
 
 
 def read_schemas(df: DataFrame) -> list[str]:
@@ -57,4 +63,4 @@ def wholestage_codegen_ids(df: DataFrame) -> set[str]:
 
 
 def scan_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("Scan parquet")
+    return plan_tree(df).count("Scan parquet")
