@@ -258,6 +258,81 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_JACCARD_PAIRS = (
+    _SQL_SHINGLE_CTE
+    + f""",
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfo AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+    exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfo ON ex.s = dfo.s),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= 0.3)
+"""
+)
+
+
+@register(
+    "dedup_cluster_canonical",
+    _SQL_JACCARD_PAIRS
+    + """,
+    nodes AS (SELECT DISTINCT doc FROM
+              (SELECT doc_a AS doc FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(doc, lbl) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.doc)
+      SELECT doc, MIN(lbl) AS canonical_id FROM r GROUP BY doc)
+    SELECT doc AS doc_id, canonical_id FROM reach
+    """,
+    doc="Near-dup clustering: connected components over the Jaccard≥0.3 graph; canonical = min doc_id.",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by iterative min-label propagation. Each
+    iteration is a fully distributed join+agg; the driver only checks the
+    converged flag (a count, not data). Iteration count = graph diameter —
+    near-dup graphs are shallow (tiny clusters), so this is a handful of
+    rounds even at corpus scale; the production-hardened variant is the
+    alternating-star algorithm, same join primitives."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+    )
+    for _ in range(20):  # diameter bound; converges long before this
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc)
+            .groupBy(F.col("doc_b").alias("doc"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select("doc", F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("canonical_id"))
+
+
 @register(
     "dedup_simhash",
     f"""

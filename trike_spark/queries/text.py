@@ -225,6 +225,53 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top3",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ROUND(LN(CAST(n.n_docs AS DOUBLE) / df.df), 6), 6) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+    SELECT doc_id, token, tfidf, rk FROM (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+    doc="TF-IDF: top-3 highest-scoring terms per document (tf × ln(N/df)).",
+)
+def text_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three aggregations sharing one tokenization: tf (doc,token), df
+    (token, broadcastable — vocabulary-sized), N (scalar). The scoring
+    join broadcasts df so the (doc,token) stream never reshuffles."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar dimension (a count, not data motion)
+    scored = tf.join(broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", "rk")
+    )
+
+
+@register(
     "text_rolling_hash",
     """
     SELECT doc_id,
