@@ -181,6 +181,71 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_string_funcs2",
+    """
+    SELECT p_partkey,
+           position('a' IN p_name) AS a_pos,
+           left(p_name, 3) AS name_l3,
+           right(p_name, 3) AS name_r3,
+           contains(p_name, 'ol') AS has_ol,
+           starts_with(p_type, 'ECO') AS is_eco,
+           ends_with(p_brand, '1') AS brand_ends_1,
+           split_part(p_type, 'O', 2) AS type_part2,
+           reverse(p_brand) AS brand_rev,
+           repeat(SUBSTR(p_name, 1, 2), 2) AS name2x,
+           translate(p_name, 'ae', 'xy') AS name_tr
+    FROM part
+    """,
+    doc="String library 2: position/left/right/contains/starts/ends/split_part/reverse/repeat/translate.",
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.instr("p_name", "a").alias("a_pos"),
+        F.substring("p_name", 1, 3).alias("name_l3"),
+        F.substring(F.col("p_name"), -3, 3).alias("name_r3"),
+        F.contains("p_name", F.lit("ol")).alias("has_ol"),
+        F.startswith("p_type", F.lit("ECO")).alias("is_eco"),
+        F.endswith("p_brand", F.lit("1")).alias("brand_ends_1"),
+        F.split_part(F.col("p_type"), F.lit("O"), F.lit(2)).alias("type_part2"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("name2x"),
+        F.translate("p_name", "ae", "xy").alias("name_tr"),
+    )
+
+
+@register(
+    "scalar_bitwise_funcs",
+    """
+    SELECT o_orderkey,
+           o_orderkey << 2 AS k_shl2,
+           o_orderkey >> 3 AS k_shr3,
+           o_orderkey & 255 AS k_and_ff,
+           o_orderkey | 4096 AS k_or_4k,
+           xor(o_orderkey, 21845) AS k_xor,
+           least(o_orderkey % 97, o_orderkey % 89) AS k_least,
+           greatest(o_orderkey % 97, o_orderkey % 89) AS k_greatest
+    FROM orders
+    """,
+    doc="Bitwise + least/greatest over the order key.",
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.shiftleft(k, 2).alias("k_shl2"),
+        F.shiftright(k, 3).alias("k_shr3"),
+        k.bitwiseAND(F.lit(255)).alias("k_and_ff"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or_4k"),
+        k.bitwiseXOR(F.lit(21845)).alias("k_xor"),
+        F.least(k % 97, k % 89).alias("k_least"),
+        F.greatest(k % 97, k % 89).alias("k_greatest"),
+    )
+
+
+@register(
     "scalar_predicate_funcs",
     """
     SELECT p_partkey, p_name, p_brand, p_size
