@@ -78,6 +78,15 @@ def get_spark(app_name: str = "trike_spark", config: EngineConfig | None = None)
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # RocksDB state store: bounds streaming state memory at scale (millions
+    # of live sessions) — the reference's unbounded per-process heap buffer
+    # is its acknowledged risk (SURVEY §4.2). Env-gated; HDFS-backed default
+    # store is fine for tests.
+    if os.environ.get("SPARK_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     # Only set master when not already inside a cluster-provided session.
     if "SPARK_CONNECT_MODE_ENABLED" not in os.environ:
         builder = builder.master(cfg.master)

@@ -62,6 +62,33 @@ def fake_chunk_stream(
     )
 
 
+CLOUD_EVENT_JSON_SCHEMA = (
+    "array<struct<data:struct<raw:string>,id:string,partitionkey:string,"
+    "source:string,sourceip:string,specversion:string,time:string,type:string>>"
+)
+
+
+def parse_kinesis_records(records: DataFrame, record_col: str = "record") -> DataFrame:
+    """Kinesis-native ingest (the replay path, kinesis_source.ex:123-147):
+    each Kinesis record is a JSON ARRAY of CloudEvents (our sink's F4
+    encoding) — framing happened upstream, so ingest is just
+    ``explode(from_json(...))``. Inverse of the sink's batch-encode;
+    round-trip-tested against it."""
+    from pyspark.sql import functions as F
+
+    return (
+        records.select(
+            F.explode(F.from_json(F.col(record_col), CLOUD_EVENT_JSON_SCHEMA)).alias("event")
+        )
+        .select(
+            F.col("event.partitionkey").alias("conn_id"),
+            F.col("event.data.raw").alias("raw"),
+            F.col("event.id").alias("id"),
+            F.col("event.time").alias("time_iso"),
+        )
+    )
+
+
 def replay_scaled(records: DataFrame, raw_col: str = "raw", scale: int = 1) -> DataFrame:
     """S2 replay semantics: duplicate each message ×scale
     (kinesis_source.ex:129-147) — a narrow explode, no shuffle."""
