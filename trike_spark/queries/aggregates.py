@@ -129,6 +129,36 @@ def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_rollup_grouping_id",
+    """
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS INT) AS g_region,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           COUNT(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="GROUPING() flags disambiguate rollup NULLs from data NULLs.",
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+
+
+@register(
     "agg_grouping_sets",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

@@ -292,6 +292,60 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_trycast_funcs",
+    """
+    SELECT o_orderkey,
+           try_cast(o_orderpriority AS INTEGER) AS prio_as_int,
+           try_cast(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4))
+                                / NULLIF(CAST(o_orderkey % 5 AS DOUBLE), 0), 4) AS DOUBLE)
+           END AS safe_div
+    FROM orders
+    """,
+    doc="Safe casting/arithmetic: try_cast (NULL on failure), division guarded by NULLIF.",
+)
+def scalar_trycast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_to_number(F.col("o_orderpriority"), F.lit("999")).cast("int").alias("prio_as_int"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_digit"),
+        F.round(
+            F.try_divide(
+                F.col("o_totalprice").cast("decimal(18,4)"),
+                F.nullif((F.col("o_orderkey") % 5).cast("double"), F.lit(0.0)),
+            ),
+            4,
+        ).cast("double").alias("safe_div"),
+    )
+
+
+@register(
+    "scalar_map_funcs",
+    """
+    SELECT p_partkey,
+           map(['brand', 'type'], [p_brand, p_type])['brand'][1] AS m_brand,
+           map(['brand', 'type'], [p_brand, p_type])['type'][1] AS m_type,
+           cardinality(map(['brand', 'type'], [p_brand, p_type])) AS m_size
+    FROM part
+    """,
+    doc="Map-typed columns: construct, extract by key, cardinality.",
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")), F.array(F.col("p_brand"), F.col("p_type"))
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("m_brand"),
+        F.element_at(m, "type").alias("m_type"),
+        F.size(m).alias("m_size"),
+    )
+
+
+@register(
     "scalar_hash_funcs",
     """
     SELECT doc_id,

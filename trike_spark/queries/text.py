@@ -225,6 +225,39 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_explode_outer_trigrams",
+    """
+    SELECT doc_id, s AS shingle
+    FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tg) = 0 THEN [NULL] ELSE tg END) AS s
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)]),
+                 p -> p[1] || ' ' || p[2] || ' ' || p[3])) AS tg
+        FROM (SELECT doc_id, string_split(text, ' ')[1:2] AS l
+              FROM documents WHERE doc_id % 25 = 0)))
+    """,
+    doc="explode_outer: rows with empty shingle arrays survive as NULL rows.",
+)
+def text_explode_outer_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigrams over only the first 2 tokens are always empty — the point:
+    ``explode_outer`` keeps those documents as NULL rows (a plain explode
+    would silently drop them from the corpus)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    t = F.slice(_tokens(), 1, 2)
+    n = F.size(t)
+    z = F.zip_with(
+        F.slice(t, 1, n - 2), F.slice(t, 2, n - 2), lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+    tg = F.array_distinct(
+        F.zip_with(z, F.slice(t, 3, n - 2), lambda ab, c: F.concat(ab, F.lit(" "), c))
+    )
+    return d.select("doc_id", F.explode_outer(tg).alias("shingle"))
+
+
+@register(
     "text_tfidf_top3",
     """
     WITH tok AS (

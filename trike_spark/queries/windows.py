@@ -136,6 +136,37 @@ def window_range_30d_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution_funcs",
+    """
+    SELECT o_orderkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER wf AS first_key,
+           last_value(o_orderkey) OVER wf AS last_key,
+           nth_value(o_orderkey, 2) OVER wf AS second_key,
+           lag(o_orderkey, 1, -1) OVER w AS prev_key_or_neg1
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Distribution + navigation window fns: percent_rank, cume_dist, first/last/nth_value, lag-with-default.",
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        F.lag("o_orderkey", 1, -1).over(w).alias("prev_key_or_neg1"),
+    )
+
+
+@register(
     "window_ntile_spend_quartiles",
     f"""
     SELECT o_orderpriority, quartile, COUNT(*) AS n,
