@@ -266,6 +266,86 @@ def scalar_predicate_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_timestamp_parse",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_roundtrip,
+           CAST(to_timestamp(CAST(epoch(o_orderdate) AS BIGINT)) AS TIMESTAMP) AS ts_from_unix
+    FROM orders
+    """,
+    doc="Timestamp formatting/parsing round-trip + unix-seconds reconstruction.",
+)
+def scalar_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        s.alias("ts_str"),
+        F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss").alias("ts_roundtrip"),
+        F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("ts_from_unix"),
+    )
+
+
+@register(
+    "scalar_math_funcs2",
+    """
+    SELECT o_orderkey,
+           ROUND(pow(o_totalprice / 1000, 2), 6) AS price_k_sq,
+           ROUND(log10(o_totalprice), 6) AS price_log10,
+           CAST(sign(o_totalprice - 300000) AS INT) AS above_300k,
+           ROUND(exp(o_totalprice / 1000000), 6) AS price_exp
+    FROM orders WHERE o_totalprice > 0
+    """,
+    doc="Math library 2: pow, log10, sign, exp (rounded past double-ulp divergence).",
+)
+def scalar_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.pow(p / 1000, 2), 6).alias("price_k_sq"),
+        F.round(F.log10(p), 6).alias("price_log10"),
+        F.signum(p - 300000).cast("int").alias("above_300k"),
+        F.round(F.exp(p / 1000000), 6).alias("price_exp"),
+    )
+
+
+@register(
+    "scalar_array_funcs2",
+    """
+    SELECT doc_id,
+           COALESCE(list_position(string_split(text, ' '), 'spark'), 0) AS spark_pos,
+           list_has_any(string_split(text, ' '), ['spark', 'sql']) AS mentions_engine,
+           array_to_string(list_sort(list_distinct(
+             list_concat(string_split(text, ' ')[1:3], ['spark', 'sql']))), ',') AS union_sorted,
+           array_to_string(string_split(text, ' ')[2:4], ',') AS slice_2_4,
+           array_to_string(list_reverse(string_split(text, ' ')[1:3]), ',') AS first3_rev,
+           len(list_filter(list_distinct(string_split(text, ' ')),
+               x -> list_contains(['the', 'a', 'data', 'spark'], x))) AS n_common
+    FROM documents
+    """,
+    doc="Array library 2: position, overlap, union/sort, slice, reverse, intersect-count.",
+)
+def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    lit_arr = F.array(F.lit("spark"), F.lit("sql"))
+    common = F.array(F.lit("the"), F.lit("a"), F.lit("data"), F.lit("spark"))
+    return d.select(
+        "doc_id",
+        F.array_position(t, "spark").alias("spark_pos"),
+        F.arrays_overlap(t, lit_arr).alias("mentions_engine"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(F.concat(F.slice(t, 1, 3), lit_arr)))).alias(
+            "union_sorted"
+        ),
+        F.concat_ws(",", F.slice(t, 2, 3)).alias("slice_2_4"),
+        F.concat_ws(",", F.reverse(F.slice(t, 1, 3))).alias("first3_rev"),
+        F.size(F.array_intersect(t, common)).alias("n_common"),
+    )
+
+
+@register(
     "scalar_json_funcs",
     """
     SELECT event_id,

@@ -276,6 +276,33 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_norms_pandas_udf",
+    """
+    SELECT vec_id,
+           ROUND(SQRT(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+    doc="Vectorized pandas_udf (Arrow-batched) computing L2 norms — the UDF escape hatch, oracle-checked.",
+)
+def sim_norms_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one demonstration of a scalar ``pandas_udf``: Arrow batches in,
+    numpy-free sequential accumulation so the fold order matches the
+    engines' list folds bit-for-bit. Everything else in the engine stays
+    JVM-side — this exists to prove the escape hatch works, not as a
+    pattern to copy for expressible logic."""
+    from trike_spark.functions.vector_udfs import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        l2_norm(F.col("embedding")).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register(
     "sim_centroids_by_label",
     """
     SELECT label, CAST(i - 1 AS INT) AS dim,
