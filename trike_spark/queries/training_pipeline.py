@@ -1,0 +1,113 @@
+"""Capstone: the end-to-end training-data preparation pipeline — the
+composition the LLM operators exist for (driver contract: dedup, quality,
+text analysis as first-class components).
+
+    documents
+      → quality filter (length / punctuation heuristics)
+      → exact dedup (content-hash groupBy, keep min doc_id)
+      → near-dup removal (Jaccard≥0.3 connected components, keep canonical)
+      → per-language corpus stats
+
+Every stage is the already-oracle-proven operator; this query proves they
+COMPOSE — one lazy plan end-to-end, so Catalyst prunes columns through all
+four stages and the text column is never carried past its last use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trike_spark.io import load_table
+from trike_spark.queries._util import davg, sql_davg
+from trike_spark.queries.dedup import _SQL_JACCARD_PAIRS, dedup_ngram_jaccard_pairs
+from trike_spark.registry import register
+
+
+@register(
+    "pipeline_training_data_prep",
+    _SQL_JACCARD_PAIRS
+    + f""",
+    quality AS (
+      SELECT doc_id, text, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+        AND CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / LENGTH(text) < 0.1),
+    exact_survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+    nodes AS (SELECT DISTINCT doc FROM
+              (SELECT doc_a AS doc FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(doc, lbl) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.doc)
+      SELECT doc, MIN(lbl) AS canonical_id FROM r GROUP BY doc),
+    neardup_losers AS (SELECT doc FROM reach WHERE doc <> canonical_id),
+    kept AS (
+      SELECT q.* FROM quality q
+      JOIN exact_survivors es ON q.doc_id = es.doc_id
+      WHERE q.doc_id NOT IN (SELECT doc FROM neardup_losers))
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           {sql_davg('n_chars')} AS avg_chars
+    FROM kept GROUP BY lang
+    """,
+    doc="End-to-end corpus prep: quality filter → exact dedup → near-dup removal → per-lang stats.",
+)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_tokens = F.size(t)
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), F.lit("[a-z0-9 ]"), F.lit(""))).cast("double")
+        / F.length("text")
+    )
+    quality = d.filter(n_tokens.between(20, 1000) & (punct_ratio < 0.1)).select(
+        "doc_id", "text", "lang", "n_chars", n_tokens.alias("n_tokens")
+    )
+    exact_survivors = quality.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+
+    # near-dup losers: every clustered doc except its canonical
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = edges.select(F.col("doc_a").alias("doc")).distinct().withColumn("lbl", F.col("doc"))
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc)
+            .groupBy(F.col("doc_b").alias("doc"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = labels.join(neighbor_min, "doc", "left").select(
+            "doc", F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl")
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    losers = labels.filter(F.col("doc") != F.col("lbl")).select(F.col("doc").alias("doc_id"))
+
+    kept = (
+        quality.join(exact_survivors, "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        davg("n_chars").alias("avg_chars"),
+    )

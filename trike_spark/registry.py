@@ -61,6 +61,7 @@ def load_all_query_modules() -> None:
         scalars,
         setops,
         text,
+        training_pipeline,
         trike_pipeline,
         vectors,
         windows,
