@@ -37,6 +37,36 @@ def test_inner_join_pushes_selective_filter(spark):
     assert plans.broadcast_join_count(df) >= 2
 
 
+def test_q1_partial_aggregation_before_exchange(spark):
+    """Map-side combine: the shuffle must carry pre-aggregated rows
+    (partial_sum), never raw lineitem rows."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = q1_pricing_summary(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "partial_sum" in plan
+    # partial agg appears below (after in text) the Exchange
+    assert plan.index("Exchange") < plan.index("partial_sum")
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    from trike_spark.queries.text import text_tfidf_top3
+
+    df = text_tfidf_top3(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+
+
+def test_ivf_broadcasts_centroids(spark):
+    from trike_spark.queries.vectors import sim_ivf_search
+
+    df = sim_ivf_search(spark, SF_DIR)
+    assert plans.formatted_plan(df).count("BroadcastExchange") >= 1
+
+
 def test_asof_join_no_event_shuffle(spark):
     """The event side must reach the result without a repartition exchange:
     only broadcast exchanges (dimension) are allowed to touch it."""

@@ -71,7 +71,7 @@ def frame_and_session(
     key: tuple[str],
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
-    stale_timeout_ms: int = DEFAULT_STALE_TIMEOUT_MS,
+    stale_timeout_ms: int | None = DEFAULT_STALE_TIMEOUT_MS,
 ) -> Iterator[pd.DataFrame]:
     """The per-key stateful function (Arrow-batched, called once per key per
     micro-batch, or on timeout with no input)."""
@@ -103,20 +103,32 @@ def frame_and_session(
                 rows["kind"].append("message")
     state.update((buffer,))
     # ANY traffic re-arms the stale timer, even if it framed no message
-    state.setTimeoutDuration(stale_timeout_ms)
+    if stale_timeout_ms is not None:
+        state.setTimeoutDuration(stale_timeout_ms)
     if rows["conn_id"]:
         yield pd.DataFrame(rows)
 
 
 def framed_stream(
-    chunks: DataFrame, stale_timeout_ms: int = DEFAULT_STALE_TIMEOUT_MS
+    chunks: DataFrame, stale_timeout_ms: int | None = DEFAULT_STALE_TIMEOUT_MS
 ) -> DataFrame:
     """chunks (CHUNK_SCHEMA, batch or stream) → framed messages + control
-    rows (FRAMED_SCHEMA)."""
+    rows (FRAMED_SCHEMA).
+
+    ``stale_timeout_ms=None`` disables the stale-session timer entirely —
+    the bounded-replay/backfill configuration: with no timers pending,
+    ``Trigger.AvailableNow`` drains the source and terminates (live timers
+    would keep the query scheduling batches forever).
+    """
 
     def fn(key, pdfs, state):  # bind the timeout
         yield from frame_and_session(key, pdfs, state, stale_timeout_ms)
 
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if stale_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         chunks.groupBy("conn_id")
         .applyInPandasWithState(
@@ -124,6 +136,6 @@ def framed_stream(
             outputStructType=FRAMED_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )
