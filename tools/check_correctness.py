@@ -73,14 +73,26 @@ def main() -> int:
                 print(f"  WARN {name}: 0 rows")
             continue
         try:
-            res = con.execute(spec.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(spec.oracle)
+            ocols = list(rel.columns)
+            otypes = [str(t).upper() for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
             continue
         problems = []
+        # The driver's normalizer renders engine-specific types differently
+        # (round-1 lesson: DuckDB SUM(int) -> HUGEINT hashed != Spark bigint
+        # even though our stringified cells matched). Fail any oracle output
+        # type Spark cannot produce so the class of bug can't recur.
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(ocols, otypes)
+            if t in ("HUGEINT", "INT128", "UHUGEINT") or t.startswith("DECIMAL")
+        ]
+        if bad_types:
+            problems.append(f"oracle type not Spark-comparable: {bad_types} (CAST it)")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if sorted(scols) != sorted(ocols):

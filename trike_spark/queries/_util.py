@@ -12,15 +12,30 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Wide enough for sf0.1 sums; at real 100 TB scale you would widen to
-# DECIMAL(38,4) or aggregate per-partition and combine, but the testdata
-# magnitudes fit comfortably.
-DEC = "decimal(18,4)"
+# DECIMAL(38,4): wide enough that even 100 TB-scale sums cannot overflow the
+# accumulator (10^34 headroom above the 4 fraction digits). Spark widens
+# SUM(decimal(38,4)) to decimal(38,4) (cap) and DuckDB keeps DECIMAL(38,4),
+# so both engines fold in exact, order-independent arithmetic.
+DEC = "decimal(38,4)"
+
+# Multiplication operands stay at DECIMAL(18,4): the product of two (18,4)
+# values is (37,8) — still exact within Spark's 38-digit cap. Widening the
+# OPERANDS to (38,4) would push the product past precision 38 and trigger
+# Spark's allowPrecisionLoss scale truncation (38,6), a double-rounding hazard
+# vs DuckDB's exact (but differently-typed) product. SUMs over the exact
+# product still accumulate at precision 38 in both engines.
+DECMUL = "decimal(18,4)"
 
 
 def dec(c: str | Column) -> Column:
     col = F.col(c) if isinstance(c, str) else c
     return col.cast(DEC)
+
+
+def mdec(c: str | Column) -> Column:
+    """Cast for a multiplication operand — see DECMUL note."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DECMUL)
 
 
 def dsum(c: str | Column, scale: int = 2) -> Column:
@@ -35,7 +50,7 @@ def davg(c: str | Column, scale: int = 6) -> Column:
 
 
 def sql_dec(expr: str) -> str:
-    return f"CAST({expr} AS DECIMAL(18,4))"
+    return f"CAST({expr} AS DECIMAL(38,4))"
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:

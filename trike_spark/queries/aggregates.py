@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from trike_spark.io import load_table
-from trike_spark.queries._util import davg, dec, dsum, sql_davg, sql_dsum
+from trike_spark.queries._util import davg, dsum, mdec, sql_davg, sql_dsum
 from trike_spark.registry import register
 
 
@@ -281,7 +281,7 @@ def agg_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sample stddev from exact decimal moments — order-independent bits, unlike native stddev over doubles.",
 )
 def agg_stddev_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q = dec("l_quantity")
+    q = mdec("l_quantity")
     s1 = F.sum(q).cast("double")
     s2 = F.sum(q * q).cast("double")
     n = F.count(F.lit(1))

@@ -18,13 +18,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from trike_spark.io import load_table
-from trike_spark.queries._util import DEC, davg, dec, dsum
+from trike_spark.queries._util import DECMUL, davg, dsum, mdec
 from trike_spark.registry import register
 
 
 def _disc_price() -> F.Column:
     # exact decimal: l_extendedprice * (1 - l_discount)
-    return dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    return mdec("l_extendedprice") * (F.lit(1).cast(DECMUL) - mdec("l_discount"))
 
 
 _SQL_DISC = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
@@ -59,7 +59,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_base_price"),
             F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_disc_price"),
             F.round(
-                F.sum(_disc_price() * (F.lit(1).cast(DEC) + dec("l_tax"))), 2
+                F.sum(_disc_price() * (F.lit(1).cast(DECMUL) + mdec("l_tax"))), 2
             ).cast("double").alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
@@ -158,7 +158,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 2)
+        F.round(F.sum(mdec("l_extendedprice") * mdec("l_discount")), 2)
         .cast("double")
         .alias("revenue")
     )
@@ -168,8 +168,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping_buckets",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'

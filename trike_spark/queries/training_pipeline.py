@@ -54,7 +54,7 @@ from trike_spark.registry import register
       WHERE q.doc_id NOT IN (SELECT doc FROM neardup_losers))
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            {sql_davg('n_chars')} AS avg_chars
     FROM kept GROUP BY lang
     """,

