@@ -24,7 +24,7 @@ def test_distributed_sink_puts_every_key(spark, tmp_path):
 
     sink = DistributedKinesisSink(stream="test-stream", client_factory=factory)
     framed = spark.createDataFrame(
-        [(f"conn-{i}", MSG, T, "message") for i in range(5)], FRAMED_SCHEMA
+        [(f"conn-{i}", MSG, T, "message", 0) for i in range(5)], FRAMED_SCHEMA
     )
     sink(messages_to_cloud_events(framed), 0)
     records = []

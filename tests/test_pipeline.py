@@ -26,9 +26,9 @@ def test_heartbeats_filtered_but_not_forwarded(spark):
     framed = _framed(
         spark,
         [
-            ("conn-1", MSG1, T, "message"),
-            ("conn-1", HEARTBEAT, T, "message"),
-            ("conn-1", None, None, "session_closed"),
+            ("conn-1", MSG1, T, "message", 0),
+            ("conn-1", HEARTBEAT, T, "message", 1),
+            ("conn-1", None, None, "session_closed", None),
         ],
     )
     out = messages_to_cloud_events(framed).collect()
@@ -42,8 +42,8 @@ def test_sink_sequence_chaining(spark):
     returned by the first (proxy_test.exs:113-126)."""
     client = FakeKinesisClient()
     sink = KinesisSink(stream="test-stream", client=client)
-    framed1 = _framed(spark, [("conn-1", MSG1, T, "message")])
-    framed2 = _framed(spark, [("conn-1", MSG2, T, "message")])
+    framed1 = _framed(spark, [("conn-1", MSG1, T, "message", 0)])
+    framed2 = _framed(spark, [("conn-1", MSG2, T, "message", 1)])
     sink(messages_to_cloud_events(framed1), 0)
     sink(messages_to_cloud_events(framed2), 1)
     assert len(client.calls) == 2
@@ -54,6 +54,25 @@ def test_sink_sequence_chaining(spark):
     assert client.calls[0]["data"].startswith("[{")
 
 
+def test_sink_preserves_arrival_order_not_content_order(spark):
+    """K1 regression (ADVICE r1): a batch whose arrival order is
+    lexicographically DESCENDING must still encode in arrival order — the
+    sink sorts on the framing seq, never on event content."""
+    client = FakeKinesisClient()
+    sink = KinesisSink(stream="test-stream", client=client)
+    late_alpha = "0001,AAAA,first-alphabetically-but-arrived-last"
+    framed = _framed(
+        spark,
+        [
+            ("conn-1", MSG2, T, "message", 0),  # content sorts AFTER late_alpha
+            ("conn-1", late_alpha, T, "message", 1),
+        ],
+    )
+    sink(messages_to_cloud_events(framed), 0)
+    record = client.calls[0]["data"]
+    assert record.index(MSG2.split(",")[0]) < record.index("0001,AAAA")
+
+
 def test_sink_batches_per_key(spark):
     """All events of one key in one micro-batch → ONE record; keys are
     independent records (proxy.ex:164-175)."""
@@ -62,9 +81,9 @@ def test_sink_batches_per_key(spark):
     framed = _framed(
         spark,
         [
-            ("conn-1", MSG1, T, "message"),
-            ("conn-1", MSG2, T, "message"),
-            ("conn-2", MSG1, T, "message"),
+            ("conn-1", MSG1, T, "message", 0),
+            ("conn-1", MSG2, T, "message", 1),
+            ("conn-2", MSG1, T, "message", 0),
         ],
     )
     sink(messages_to_cloud_events(framed), 0)

@@ -67,6 +67,43 @@ def test_ivf_broadcasts_centroids(spark):
     assert plans.formatted_plan(df).count("BroadcastExchange") >= 1
 
 
+def test_embedding_cosine_pairs_no_nested_loop(spark):
+    """The exact all-pairs op must distribute via the grid equality join:
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan."""
+    from trike_spark.queries.dedup import dedup_embedding_cosine_pairs
+
+    plan = plans.plan_tree(dedup_embedding_cosine_pairs(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_embedding_lsh_pairs_bucket_equality_join(spark):
+    """The LSH candidate path is a bucket-equality join, never a loop."""
+    from trike_spark.queries.dedup import dedup_embedding_lsh_cosine_pairs
+
+    plan = plans.plan_tree(dedup_embedding_lsh_cosine_pairs(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_connected_components_constant_plan_depth(spark):
+    """Each CC iteration must localCheckpoint: the returned labels' plan
+    reads materialized blocks (ExistingRDD scan), not a 20-iteration-deep
+    join lineage — the r1 O(d²)-recompute anti-pattern."""
+    from trike_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["doc_a", "doc_b"]
+    )
+    labels = connected_components(edges, src="doc_a", dst="doc_b", max_iter=20)
+    plan = plans.plan_tree(labels)
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    # lineage truncated: no joins survive into the returned plan
+    assert "Join" not in plan, plan
+    got = {(r.node, r.lbl) for r in labels.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
+
+
 def test_asof_join_no_event_shuffle(spark):
     """The event side must reach the result without a repartition exchange:
     only broadcast exchanges (dimension) are allowed to touch it."""

@@ -19,7 +19,7 @@ def test_sink_records_parse_back(spark):
     client = FakeKinesisClient()
     sink = KinesisSink(stream="s", client=client)
     framed = spark.createDataFrame(
-        [("conn-1", m, T, "message") for m in MSGS] + [("conn-2", MSGS[0], T, "message")],
+        [("conn-1", m, T, "message", i) for i, m in enumerate(MSGS)] + [("conn-2", MSGS[0], T, "message", 0)],
         FRAMED_SCHEMA,
     )
     sink(messages_to_cloud_events(framed), 0)

@@ -32,7 +32,7 @@ def test_sink_error_propagates_and_retry_keeps_order(spark):
     client = FlakyClient(fail_first=1)
     sink = KinesisSink(stream="s", client=client)
     events = messages_to_cloud_events(
-        spark.createDataFrame([("conn-1", "m1", T, "message")], FRAMED_SCHEMA)
+        spark.createDataFrame([("conn-1", "m1", T, "message", 0)], FRAMED_SCHEMA)
     )
     with pytest.raises(RuntimeError):
         sink(events, 0)

@@ -60,7 +60,7 @@ def test_duplicate_events_dedup_on_deterministic_id(spark):
 
     T = datetime(2021, 8, 13, 12, 0, 0)
     framed = spark.createDataFrame(
-        [("conn-1", MSGS[0], T, "message")] * 3 + [("conn-1", MSGS[1], T, "message")],
+        [("conn-1", MSGS[0], T, "message", i) for i in range(3)] + [("conn-1", MSGS[1], T, "message", 3)],
         FRAMED_SCHEMA,
     )
     events = messages_to_cloud_events(framed)

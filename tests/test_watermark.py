@@ -5,7 +5,6 @@ the watermark are dropped)."""
 from __future__ import annotations
 
 import json
-import time
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -35,6 +34,13 @@ def _write(src, name, rows):
 
 
 def test_late_event_dropped_beyond_watermark(spark, tmp_path):
+    """Deflaked (VERDICT r1 #3): all three files are written BEFORE start;
+    ``maxFilesPerTrigger=1`` still processes them as three ordered
+    micro-batches (FileStreamSource orders by mod-time then path, and the
+    names sort b1 < b2 < b3), so the watermark advances between batches
+    exactly as in the incremental-write version. With no processing-time
+    timers in the plan, ``processAllAvailable()`` terminates deterministically
+    — no wall-clock poll deadline to lose under full-suite contention."""
     src = tmp_path / "in"
     src.mkdir()
     # batch 1: events at 10:00 and 12:00 → watermark advances to 12:00-10min
@@ -45,6 +51,20 @@ def test_late_event_dropped_beyond_watermark(spark, tmp_path):
             {"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0},
             {"event_id": 2, "ts": "2024-01-01T12:00:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0},
         ],
+    )
+    # batch 2: a late event at 09:30 (window 09:00) arrives AFTER the
+    # watermark passed 11:50 → must be dropped, so window 09:00 never
+    # appears and the sealed 10:00 window isn't resurrected
+    _write(
+        src,
+        "b2.json",
+        [{"event_id": 3, "ts": "2024-01-01T09:30:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0}],
+    )
+    # batch 3: push the watermark far forward so earlier windows seal
+    _write(
+        src,
+        "b3.json",
+        [{"event_id": 4, "ts": "2024-01-01T15:00:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0}],
     )
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -65,37 +85,14 @@ def test_late_event_dropped_beyond_watermark(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-
-    def wait_rows(pred, timeout=90):
-        deadline = time.time() + timeout
-        while time.time() < deadline:
-            if q.exception():
-                raise AssertionError(str(q.exception()))
-            rows = spark.table("wm_out").collect()
-            if pred(rows):
-                return rows
-            time.sleep(1)
-        raise AssertionError(f"timeout; rows={spark.table('wm_out').collect()}")
-
     try:
-        # a late event at 09:30 (window 09:00) arrives AFTER the watermark
-        # passed 11:50 → must be dropped, so window 09:00 never appears;
-        # window 10:00 seals (1 event), the late one doesn't resurrect 09:00
-        _write(
-            src,
-            "b2.json",
-            [{"event_id": 3, "ts": "2024-01-01T09:30:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0}],
-        )
-        # push the watermark far forward so earlier windows seal
-        _write(
-            src,
-            "b3.json",
-            [{"event_id": 4, "ts": "2024-01-01T15:00:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0}],
-        )
-        rows = wait_rows(lambda rows: len(rows) >= 2)
+        q.processAllAvailable()
+        if q.exception():
+            raise AssertionError(str(q.exception()))
+        rows = spark.table("wm_out").collect()
         starts = {r["window_start"].strftime("%H:%M"): r["n"] for r in rows}
-        assert starts.get("10:00") == 1
-        assert starts.get("12:00") == 1
-        assert "09:00" not in starts  # late event beyond watermark dropped
+        assert starts.get("10:00") == 1, starts
+        assert starts.get("12:00") == 1, starts
+        assert "09:00" not in starts, starts  # late event beyond watermark dropped
     finally:
         q.stop()

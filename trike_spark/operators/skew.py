@@ -32,7 +32,19 @@ def salted_join(
     value, n). We derive the salt from xxhash64 of the row's full tuple
     plus a monotonic id surrogate — deterministic per run, uniform enough
     to split a hot key across tasks.
+
+    Only ``inner``/``left``/``left_semi`` are legal: with a right or full
+    outer join, an unmatched small-side row would surface once per salt
+    (×n_salts NULL-extended duplicates) because the small side is
+    replicated before the join. Outer-join salting needs a post-join dedup
+    of unmatched replicas — out of scope here, so it's rejected loudly.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner','left','left_semi'}}, got {how!r}: "
+            "the replicated small side would emit one unmatched row per salt "
+            "under right/full outer joins"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns], F.monotonically_increasing_id()), F.lit(n_salts))
     l_salted = large.withColumn("_salt", salt.cast("int"))
     s_replicated = small.withColumn(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trike_spark.io import load_table
+from trike_spark.operators.graph import connected_components
 from trike_spark.queries._util import davg, sql_davg
 from trike_spark.queries.dedup import _SQL_JACCARD_PAIRS, dedup_ngram_jaccard_pairs
 from trike_spark.registry import register
@@ -75,32 +76,11 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
 
-    # near-dup losers: every clustered doc except its canonical
+    # near-dup losers: every clustered doc except its canonical. Shared
+    # persisted/lineage-truncated CC operator (operators/graph.py).
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    labels = edges.select(F.col("doc_a").alias("doc")).distinct().withColumn("lbl", F.col("doc"))
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(labels, edges.doc_a == labels.doc)
-            .groupBy(F.col("doc_b").alias("doc"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        new_labels = labels.join(neighbor_min, "doc", "left").select(
-            "doc", F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl")
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    losers = labels.filter(F.col("doc") != F.col("lbl")).select(F.col("doc").alias("doc_id"))
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    losers = labels.filter(F.col("node") != F.col("lbl")).select(F.col("node").alias("doc_id"))
 
     kept = (
         quality.join(exact_survivors, "doc_id", "left_semi")

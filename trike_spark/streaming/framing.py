@@ -47,17 +47,21 @@ CHUNK_SCHEMA = StructType(
     ]
 )
 
-# output: framed messages + session-control rows
+# output: framed messages + session-control rows. ``seq`` is the per-
+# connection arrival order of the framed message (monotonic across
+# micro-batches, carried in state) — the sink's ordered-delivery contract
+# (K1, proxy.ex:164-204) sorts on it, NOT on message content.
 FRAMED_SCHEMA = StructType(
     [
         StructField("conn_id", StringType(), False),
         StructField("raw", StringType(), True),
         StructField("time", TimestampType(), True),
         StructField("kind", StringType(), False),  # 'message' | 'session_closed'
+        StructField("seq", LongType(), True),  # null on control rows
     ]
 )
 
-_STATE_SCHEMA = "buffer STRING"
+_STATE_SCHEMA = "buffer STRING, nseq BIGINT"
 
 
 def extract(buffer: str) -> tuple[list[str], str]:
@@ -85,12 +89,13 @@ def frame_and_session(
                 "raw": [None],
                 "time": [None],
                 "kind": ["session_closed"],
+                "seq": [None],
             }
         )
         return
 
-    (buffer,) = state.get if state.exists else ("",)
-    rows: dict[str, list[Any]] = {"conn_id": [], "raw": [], "time": [], "kind": []}
+    buffer, nseq = state.get if state.exists else ("", 0)
+    rows: dict[str, list[Any]] = {"conn_id": [], "raw": [], "time": [], "kind": [], "seq": []}
     for pdf in pdfs:
         pdf = pdf.sort_values("arrival_seq")
         for chunk, ts in zip(pdf["chunk"], pdf["arrival_ts"]):
@@ -101,7 +106,9 @@ def frame_and_session(
                 # one shared timestamp per packet (proxy.ex:150)
                 rows["time"].append(ts)
                 rows["kind"].append("message")
-    state.update((buffer,))
+                rows["seq"].append(nseq)
+                nseq += 1
+    state.update((buffer, nseq))
     # ANY traffic re-arms the stale timer, even if it framed no message
     if stale_timeout_ms is not None:
         state.setTimeoutDuration(stale_timeout_ms)

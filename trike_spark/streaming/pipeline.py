@@ -26,11 +26,15 @@ def messages_to_cloud_events(
     heartbeat: str = HEARTBEAT,
     source_ip: Column | None = None,
 ) -> DataFrame:
-    """framed (FRAMED_SCHEMA) → (partitionkey, event struct) rows.
+    """framed (FRAMED_SCHEMA) → (partitionkey, seq, event struct) rows.
 
     Heartbeats are dropped HERE — after the stateful op has already seen
     them and re-armed the session timer (proxy_test.exs:128-145). Control
-    rows (session_closed) are not forwarded to Kinesis either.
+    rows (session_closed) are not forwarded to Kinesis either. ``seq`` (the
+    framing operator's per-connection arrival counter) rides along so the
+    sink can batch-encode in ARRIVAL order — K1's whole contract is
+    in-order delivery, and content-sorting would shuffle events from
+    different packets alphabetically.
     """
     ip = source_ip if source_ip is not None else F.lit("")
     return (
@@ -38,6 +42,7 @@ def messages_to_cloud_events(
         .filter(F.col("raw") != heartbeat)  # F2, proxy.ex:242-244
         .select(
             F.col("conn_id").alias("partitionkey"),
+            F.col("seq"),
             cloud_event_struct(
                 raw=F.col("raw"),
                 partition_key=F.col("conn_id"),

@@ -94,6 +94,18 @@ def boto3_client_factory(region: str | None = None) -> Callable[[], Any]:
     return make
 
 
+def _arrival_ordered_record() -> F.Column:
+    """collect_list(struct(seq, event)) → sort by seq → project event →
+    to_json. The struct sort key puts ``seq`` FIRST so sort_array orders by
+    arrival sequence; the transform strips it back off before encoding."""
+    return F.to_json(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("seq").alias("s"), F.col("event").alias("e")))),
+            lambda se: se["e"],
+        )
+    )
+
+
 @dataclass
 class KinesisSink:
     """foreachBatch sink with per-key sequence-number chaining."""
@@ -109,10 +121,14 @@ class KinesisSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # F4 batch-encode: all events of one key in this micro-batch →
-        # one JSON-array record, ordered by event id for determinism
+        # one JSON-array record in ARRIVAL order (sort key = the framing
+        # operator's per-connection seq counter; sorting the bare event
+        # struct would order by its first FIELD, i.e. content, and shuffle
+        # events from different packets alphabetically — K1's contract is
+        # arrival order, proxy.ex:164-204)
         records = (
             batch_df.groupBy("partitionkey")
-            .agg(F.to_json(F.sort_array(F.collect_list(F.col("event")))).alias("record"))
+            .agg(_arrival_ordered_record().alias("record"))
             .collect()  # one row per live key — bounded, not event-volume
         )
         for row in sorted(records, key=lambda r: r["partitionkey"]):
@@ -156,7 +172,7 @@ class DistributedKinesisSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         records = (
             batch_df.groupBy("partitionkey")
-            .agg(F.to_json(F.sort_array(F.collect_list(F.col("event")))).alias("record"))
+            .agg(_arrival_ordered_record().alias("record"))
             .repartition("partitionkey")
         )
         stream, factory = self.stream, self.client_factory
