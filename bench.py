@@ -32,10 +32,17 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "sim_topk_bruteforce",
     "sim_lsh_bucket_topk",
+    "sim_ivf_search",
     "text_tokens_top20",
     "text_quality_score",
+    "text_tfidf_top3",
     "events_sessionization",
     "trike_cloud_event_project",
+    # the iterative / composed heavyweights — where regressions would hide
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine_pairs",
+    "dedup_embedding_lsh_cosine_pairs",
+    "pipeline_training_data_prep",
 ]
 
 

@@ -4,10 +4,7 @@
 from __future__ import annotations
 
 import json
-import os
 import time
-
-from pyspark.sql import functions as F
 
 from trike_spark.streaming.framing import (
     CHUNK_SCHEMA,
@@ -45,7 +42,7 @@ class TestExtract:
 
 
 def _chunk_rows(*chunks: tuple[str, str]) -> list[tuple]:
-    from datetime import datetime, timezone
+    from datetime import datetime
 
     t = datetime(2021, 8, 13, 12, 0, 0)
     return [(conn, chunk, t, i) for i, (conn, chunk) in enumerate(chunks)]

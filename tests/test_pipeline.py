@@ -5,8 +5,6 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import functions as F
-
 from trike_spark.functions.cloud_event import HEARTBEAT
 from trike_spark.streaming.framing import FRAMED_SCHEMA
 from trike_spark.streaming.pipeline import messages_to_cloud_events

@@ -6,7 +6,6 @@ from __future__ import annotations
 import json
 import time
 
-import pytest
 
 from trike_spark.streaming.framing import CHUNK_SCHEMA, EOT, framed_stream
 

@@ -273,7 +273,8 @@ def agg_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT l_returnflag,
            ROUND(SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-                 - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
                 / (COUNT(*) - 1)), 6) AS stddev_qty,
            {sql_davg('l_quantity')} AS avg_qty
     FROM lineitem GROUP BY l_returnflag

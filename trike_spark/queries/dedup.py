@@ -313,7 +313,11 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed AS (SELECT doc_id, {_sql_h60('t')} AS h FROM tok),
     bits AS (
       SELECT doc_id,
-             {', '.join(f"CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END AS bit_{b}" for b in range(SIMHASH_BITS))}
+             {', '.join(
+                 f"CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+                 f" THEN {1 << b} ELSE 0 END AS bit_{b}"
+                 for b in range(SIMHASH_BITS)
+             )}
       FROM hashed GROUP BY doc_id)
     SELECT doc_id, {' + '.join(f'bit_{b}' for b in range(SIMHASH_BITS))} AS simhash
     FROM bits
@@ -346,22 +350,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select("doc_id", expr.alias("simhash"))
 
 
+def _sql_cos_ab() -> str:
+    """The shared DuckDB cosine(a.embedding, b.embedding) fragment."""
+    from trike_spark.queries.vectors import _SQL_COS
+
+    return _SQL_COS
+
+
 @register(
     "dedup_embedding_cosine_pairs",
-    """
+    f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(
-             list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-             / (SQRT(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-              * SQRT(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cosine
+           ROUND({_sql_cos_ab()}, 6) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-          / (SQRT(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-           * SQRT(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= 0.4
+    WHERE {_sql_cos_ab()} >= 0.4
     """,
-    doc="Embedding near-dup, exact baseline: all pairs with cosine ≥ 0.4 via a grid-partitioned equality join (no nested loop).",
+    doc="Embedding near-dup, exact baseline: all pairs with cosine ≥ 0.4 "
+    "via a grid-partitioned equality join (no nested loop).",
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.4 with a DISTRIBUTED plan.
@@ -470,20 +475,18 @@ def _rotation_bucket_sql(rot: int) -> str:
              {', '.join(f'{_rotation_bucket_sql(r)} AS b_{r}' for r in range(LSH_ROTATIONS))}
       FROM embeddings),
     buckets AS (
-      {' UNION ALL '.join(f'SELECT vec_id, embedding, {r} AS rot, b_{r} AS bucket FROM planes' for r in range(LSH_ROTATIONS))})
+      {' UNION ALL '.join(
+          f'SELECT vec_id, embedding, {r} AS rot, b_{r} AS bucket FROM planes'
+          for r in range(LSH_ROTATIONS)
+      )})
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-           / (SQRT(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-            * SQRT(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cosine
+           ROUND({_sql_cos_ab()}, 6) AS cosine
     FROM buckets a JOIN buckets b
       ON a.rot = b.rot AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-          / (SQRT(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-           * SQRT(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= 0.4
+    WHERE {_sql_cos_ab()} >= 0.4
     """,
-    doc=f"Embedding near-dup, scale path: {LSH_ROTATIONS}×{LSH_ROT_PLANES}-plane LSH bucket candidates, exact cosine ≥ 0.4 verify within bucket.",
+    doc=f"Embedding near-dup, scale path: {LSH_ROTATIONS}×{LSH_ROT_PLANES}-plane "
+    "LSH bucket candidates, exact cosine ≥ 0.4 verify within bucket.",
 )
 def dedup_embedding_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic near-dup candidates: bucket-equality join instead of

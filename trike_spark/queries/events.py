@@ -114,7 +114,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY ts, event_id) AS rn
       FROM events) WHERE rn = 1
     """,
-    doc="Deterministic dedup: first event per (user_id, event_type) — the batch face of streaming dropDuplicates within a watermark.",
+    doc="Deterministic dedup: first event per (user_id, event_type) — the batch "
+    "face of streaming dropDuplicates within a watermark.",
 )
 def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 
 from trike_spark.functions.cloud_event import cloud_event_columns
 from trike_spark.io import load_table
-from trike_spark.queries._util import dsum, sql_dsum
 from trike_spark.registry import register
 
 # events stand-in wiring
