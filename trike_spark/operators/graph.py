@@ -42,11 +42,16 @@ def connected_components(
     appears in at least one edge gets a row. Returns ``(node, lbl)`` where
     ``lbl`` is the component's minimum node id (the canonical member).
     """
-    edges = (
-        pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
-        .unionByName(pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
-        .persist()
+    # Materialize the edge list ONCE before symmetrizing: the union's two
+    # branches are the same (possibly very expensive) upstream plan, and
+    # Spark does not common-subexpression-eliminate across union branches —
+    # without this checkpoint the pair-generation pipeline runs twice.
+    base = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).localCheckpoint(
+        eager=True
     )
+    edges = base.unionByName(
+        base.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst"))
+    ).persist()
     labels = (
         edges.select(F.col("e_src").alias("node"))
         .distinct()

@@ -1,0 +1,110 @@
+"""Grid-partitioned all-pairs cosine — the Arrow/numpy execution of the
+exact O(n²) baseline (driver contract "Similarity search" /
+"Deduplication": embedding-cosine near-dup).
+
+Why this exists: the pure-Catalyst form (grid equality join, then a
+higher-order ``aggregate`` fold per pair) is plan-shape-correct but pays
+~1 µs of interpreted lambda evaluation per pair — at n = 5 000 that is
+12.5 M folds and dominated the whole benchmark. The fix is NOT to ship
+pairs to Python (12.5 M × 2 × 64 floats of Arrow traffic); it is to ship
+each grid CELL's input rows once (2·√tasks·n rows total) and form the
+cell's cross product inside numpy, dimension-sequentially, so the
+arithmetic is bit-for-bit the engines' left fold:
+
+    acc_0 = 0;  acc_k = acc_{k-1} + a_k·b_k   (one vectorized step per k)
+
+matches ``aggregate(zip_with(...), 0.0, +)`` in Spark and DuckDB's
+``list_aggregate(..., 'sum')`` exactly — each partial sum is the same
+IEEE double, so thresholding at ≥ t and ROUND(…, 6) agree with the
+oracle everywhere, not just usually.
+
+Scale posture: identical to the JVM grid join — every (a, b) pair meets
+in exactly one (gr, gc) cell, shuffle volume is C·n + R·n, work is spread
+over R·C tasks, and per-task memory is (n/R)·(n/C) doubles (pick R, C so
+cells fit executor memory at the target n). The Python stage is Arrow-
+batched and CPU-bound on vectorized numpy — the one hot path where the
+escape hatch beats every JVM-expressible form we measured.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _fold_dot(x: Column, y: Column) -> Column:
+    """JVM-side deterministic dot (for the cheap n-row norm precompute)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def block_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    r_blocks: int = 8,
+    c_blocks: int = 8,
+) -> DataFrame:
+    """All unordered pairs with cosine ≥ ``threshold``; exact.
+
+    Returns (vec_a, vec_b, cosine) with cosine UNROUNDED (callers round).
+    """
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("emb"),
+        F.sqrt(_fold_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    )
+    # Each row enters its grid row as side 'a' (replicated over columns) and
+    # its grid column as side 'b' (replicated over rows): every pair meets
+    # in exactly one cell.
+    a = base.select(
+        "vid", "emb", "nrm",
+        F.pmod(F.col("vid"), F.lit(r_blocks)).alias("gr"),
+        F.explode(F.sequence(F.lit(0), F.lit(c_blocks - 1))).alias("gc"),
+        F.lit("a").alias("side"),
+    )
+    b = base.select(
+        "vid", "emb", "nrm",
+        F.explode(F.sequence(F.lit(0), F.lit(r_blocks - 1))).alias("gr"),
+        F.pmod(F.col("vid"), F.lit(c_blocks)).alias("gc"),
+        F.lit("b").alias("side"),
+    )
+    tagged = a.unionByName(b).repartition(r_blocks * c_blocks, "gr", "gc")
+
+    def cell_cross(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:  # empty partition
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        for _, cell in pdf.groupby(["gr", "gc"], sort=False):
+            A = cell[cell["side"] == "a"]
+            B = cell[cell["side"] == "b"]
+            if A.empty or B.empty:
+                continue
+            Am = np.stack(A["emb"].to_numpy()).astype(np.float64)  # (nA, d)
+            Bm = np.stack(B["emb"].to_numpy()).astype(np.float64)  # (nB, d)
+            # dimension-sequential accumulation == the engines' left fold
+            acc = np.zeros((Am.shape[0], Bm.shape[0]))
+            for k in range(Am.shape[1]):
+                acc += Am[:, k, None] * Bm[None, :, k]
+            cos = acc / (A["nrm"].to_numpy()[:, None] * B["nrm"].to_numpy()[None, :])
+            ids_a = A["vid"].to_numpy()
+            ids_b = B["vid"].to_numpy()
+            ia, ib = np.nonzero((cos >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+            if len(ia):
+                yield pd.DataFrame(
+                    {"vec_a": ids_a[ia], "vec_b": ids_b[ib], "cosine": cos[ia, ib]}
+                )
+
+    return tagged.mapInPandas(cell_cross, schema="vec_a bigint, vec_b bigint, cosine double")

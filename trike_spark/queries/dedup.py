@@ -372,60 +372,28 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.4 with a DISTRIBUTED plan.
 
     Round-1 shape was ``a.vec_id < b.vec_id`` — a BroadcastNestedLoopJoin
-    that serializes the O(n²) work through however many partitions the
-    streamed side has, with one whole side broadcast. The fix is the classic
-    grid (1-bucket theta-join) partitioning: pick an R×C grid of tasks,
-    send each left row to every cell of its row (r = vec_id % R, all C
-    columns) and each right row to every cell of its column — every pair
-    meets in EXACTLY one cell, the join is a plain equality join on
-    (r, c) (shuffle-partitioned, AQE-splittable), shuffle volume is
-    C·|A| + R·|B| ≈ 2·√tasks·n instead of a broadcast of n, and the n²
-    compare work is spread evenly over R·C tasks. Exact all-pairs at a
-    loose threshold (0.4 ≈ 63°) is inherently Θ(n²) compare work — no LSH
-    family has usable recall there (measured: the sf0.01 qualifying pairs
-    sit at cosine 0.40–0.51, where 12-plane bucket-collision probability is
-    ~0.6 %) — so the scale answer is to distribute the quadratic work
-    evenly (this query) and to use the sub-quadratic approximate candidate
-    path (dedup_embedding_lsh_cosine_pairs / vectors.py) when the
-    threshold is in the true near-dup regime where recall is real.
+    that serializes the O(n²) work, with one whole side broadcast. The fix
+    is the classic grid (1-bucket theta-join) partitioning, executed by
+    operators/vector_blocks.py: every pair meets in exactly one (gr, gc)
+    cell, shuffle volume is 2·√tasks·n instead of a broadcast of n, the n²
+    compare work is spread evenly over the grid, and each cell's cross
+    product is computed in Arrow-batched numpy with the engines' exact
+    left-fold order (bit-identical to the oracle; see the operator's
+    docstring for why this beats every JVM-expressible form we measured).
 
-    Per-vector norms are computed ONCE before replication (narrow), so each
-    pair costs one dot product, not three.
+    Exact all-pairs at a loose threshold (0.4 ≈ 63°) is inherently Θ(n²)
+    compare work — no LSH family has usable recall there (measured: the
+    sf0.01 qualifying pairs sit at cosine 0.40–0.51, where 12-plane
+    bucket-collision probability is ~0.6 %) — so the scale answer is to
+    distribute the quadratic work evenly (this query) and use the
+    sub-quadratic candidate path (dedup_embedding_lsh_cosine_pairs) when
+    the threshold is in the true near-dup regime where recall is real.
     """
-    r_blocks, c_blocks = 8, 8
+    from trike_spark.operators.vector_blocks import block_cosine_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    base = emb.select("vec_id", "embedding", F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"))
-    a = (
-        base.withColumn("gr", F.pmod(F.col("vec_id"), F.lit(r_blocks)))
-        .withColumn("gc", F.explode(F.sequence(F.lit(0), F.lit(c_blocks - 1))))
-        .select(
-            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-            F.col("nrm").alias("nrm_a"), "gr", "gc",
-        )
-    )
-    b = (
-        base.withColumn("gc", F.pmod(F.col("vec_id"), F.lit(c_blocks)))
-        .withColumn("gr", F.explode(F.sequence(F.lit(0), F.lit(r_blocks - 1))))
-        .select(
-            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-            F.col("nrm").alias("nrm_b"), "gr", "gc",
-        )
-    )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        a.join(b, ["gr", "gc"])  # equality join: every (a,b) meets in one cell
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.4)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
-    )
+    pairs = block_cosine_pairs(emb, threshold=0.4)
+    return pairs.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
 
 
 # LSH-candidate variant: 4 rotations × 6 hyperplanes. Rotation r uses global
@@ -498,18 +466,15 @@ def dedup_embedding_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     regime (cosine ≥ 0.9, angle < 26°) the per-rotation collision
     probability is ~0.38 and 4 rotations give ~85 % recall — the knob is
     rotations × planes, documented here rather than hidden."""
+    from trike_spark.queries.vectors import dot
+
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
+    # norms once per vector (n rows), NOT once per candidate pair — the
+    # bucket join would otherwise evaluate three folds per pair.
     with_buckets = emb.select(
         "vec_id",
         "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         F.explode(
             F.array(
                 *[
@@ -521,16 +486,16 @@ def dedup_embedding_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFr
                 ]
             )
         ).alias("rb"),
-    ).select("vec_id", "embedding", "rb.rot", "rb.bucket")
+    ).select("vec_id", "embedding", "nrm", "rb.rot", "rb.bucket")
     a = with_buckets.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "rot", "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), "rot", "bucket",
     )
     b = with_buckets.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "rot", "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), "rot", "bucket",
     )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.sqrt(dot(F.col("emb_a"), F.col("emb_a"))) * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
-    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(b, ["rot", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
