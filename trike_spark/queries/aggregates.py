@@ -243,6 +243,34 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_string_agg_nations",
+    """
+    SELECT r_name,
+           COUNT(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Ordered string aggregation (string_agg / listagg): sorted collect_list + array_join.",
+)
+def agg_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG-with-ORDER-BY, deterministically: collect_list's arrival
+    order is partition-order-dependent, so the list is sort_array-ed before
+    joining — the only order-stable form of string aggregation Spark has
+    (and the reason the oracle's ORDER BY matters)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        )
+    )
+
+
+@register(
     "agg_correlated_subquery",
     """
     SELECT c_custkey, c_name FROM customer c

@@ -232,16 +232,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=f"Exact n-gram Jaccard ≥ 0.3 via shingle join with DF ≤ {MAX_SHINGLE_DF} hot-key guard.",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard via shingle self-join. The exploded shingle table is
+    referenced FOUR times (DF filter, both self-join sides, sizes) and
+    Spark does not CSE across join/union branches, so the trigram pipeline
+    is checkpointed once and every consumer reads the materialized rows —
+    at corpus scale this persist-the-shingles step is the standard shape
+    (disk-backed persist / reliable checkpoint on a real cluster)."""
     sh = load_table(spark, sf_dir, "documents").select(
         "doc_id", _trigrams().alias("shingles")
     )
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).localCheckpoint(eager=True)
     # hot-shingle guard: a shingle in >DF docs contributes DF² pairs; at
     # corpus scale these are boilerplate n-grams with no dedup signal.
     df_ok = ex.groupBy("s").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") <= MAX_SHINGLE_DF
     )
-    exf = ex.join(df_ok.select("s"), "s")
+    exf = ex.join(df_ok.select("s"), "s").localCheckpoint(eager=True)
     a = exf.alias("a")
     b = exf.alias("b")
     inter = (
@@ -249,7 +255,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    # |shingles| per doc from the cached explode (shingles are distinct, so
+    # the count equals the array size); docs with no shingles cannot appear
+    # in `inter`, so deriving sizes from the explode loses nothing.
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     jac = F.col("n_inter").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("n_inter"))
     return (
         inter.join(sizes.alias("x"), F.col("doc_a") == F.col("x.doc_id"))

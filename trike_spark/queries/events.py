@@ -182,3 +182,77 @@ def events_user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
     )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "events_unpivot_user_activity",
+    f"""
+    WITH wide AS (
+      SELECT user_id,
+             {', '.join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+      FROM events GROUP BY user_id)
+    {' UNION ALL '.join(f"SELECT user_id, '{t}' AS metric, n_{t} AS n FROM wide" for t in _EVENT_TYPES)}
+    """,
+    doc="UNPIVOT / melt: the wide per-user activity matrix back to long (metric, n) rows.",
+)
+def events_unpivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational UNPIVOT via the native ``DataFrame.unpivot`` (Expand node:
+    one pass, no self-union — the n-way UNION ALL the oracle spells out
+    would scan the aggregate n times)."""
+    wide = events_user_activity_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=[f"n_{t}" for t in _EVENT_TYPES],
+        variableColumnName="metric",
+        valueColumnName="n",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))  # n_click → click
+
+
+@register(
+    "events_interval_join_click_purchase",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL '1 hour'
+    """,
+    doc="Interval join: purchases within 1h after a click, per user — the batch "
+    "face of a stream-stream join with a time-range condition.",
+)
+def events_interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream joins in Structured Streaming are exactly this shape
+    (equality key + event-time range bound, the range being what lets the
+    engine expire state). Batch plan: equality join on user_id carries the
+    range as a join residual — one shuffle each side, no nested loop. The
+    gap is emitted in exact integer microseconds (``unix_micros`` /
+    ``epoch_us``) — both engines subtract the same integers, no
+    date-boundary-counting semantics to disagree on."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        )
+    )

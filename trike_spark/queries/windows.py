@@ -187,3 +187,70 @@ def window_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "quartile")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price"))
     )
+
+
+@register(
+    "window_gap_fill_forward",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    bounds AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+             CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+      FROM events),
+    spine AS (
+      SELECT u.user_id, CAST(gs.s AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN bounds
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                 CAST(d1 AS TIMESTAMP), INTERVAL '1 day')) AS s) gs)
+    SELECT s.user_id, s.day,
+           COALESCE(d.n, 0) AS n,
+           last_value(d.n IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS UNBOUNDED PRECEDING) AS n_filled
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    doc="Time-spine gap fill + forward fill: dense daily series per user with "
+    "last-known-value carry-forward (the hypertable rollup shape).",
+)
+def window_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling a sparse per-key time series against a generated date
+    spine, then forward-filling with last_value(IGNORE NULLS). Scale shape:
+    the spine is |keys| x |days| rows built by a narrow sequence-explode
+    (no shuffle); the left join shuffles on (user_id, day) = evenly
+    distributed; the fill window partitions by user_id. Nothing global."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = e.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),
+    )
+    users = e.select("user_id").distinct()
+    spine = (
+        users.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.last("n", ignorenulls=True).over(w).alias("n_filled"),
+        )
+    )
