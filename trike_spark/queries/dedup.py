@@ -188,17 +188,23 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select("doc_id", *_band_exprs_spark())
     # unpivot bands → (doc_id, band_idx, band_hash); the bucket join shuffles
     # on band_hash so identical signatures co-locate — LSH's scalable core.
-    buckets = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band_idx", "bb.band_hash")
+    buckets = (
+        bands.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band_idx", "bb.band_hash")
+        # materialized once: Spark does not CSE across self-join branches,
+        # so without this the whole shingle→minhash pipeline runs twice
+        .localCheckpoint(eager=True)
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -480,22 +486,30 @@ def dedup_embedding_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     emb = load_table(spark, sf_dir, "embeddings")
     # norms once per vector (n rows), NOT once per candidate pair — the
     # bucket join would otherwise evaluate three folds per pair.
-    with_buckets = emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("rot"),
-                        _rotation_bucket_spark(r).alias("bucket"),
-                    )
-                    for r in range(LSH_ROTATIONS)
-                ]
-            )
-        ).alias("rb"),
-    ).select("vec_id", "embedding", "nrm", "rb.rot", "rb.bucket")
+    with_buckets = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("rot"),
+                            _rotation_bucket_spark(r).alias("bucket"),
+                        )
+                        for r in range(LSH_ROTATIONS)
+                    ]
+                )
+            ).alias("rb"),
+        )
+        .select("vec_id", "embedding", "nrm", "rb.rot", "rb.bucket")
+        # deliberately NOT checkpointed: the self-join recomputes these 24
+        # narrow projections per side, but that costs less than
+        # materializing n·rotations embedding rows (measured — contrast
+        # dedup_minhash_lsh_pairs, whose upstream shingle hashing is heavy
+        # enough that caching wins)
+    )
     a = with_buckets.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"), "rot", "bucket",

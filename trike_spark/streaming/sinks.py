@@ -192,6 +192,38 @@ class DistributedKinesisSink:
         records.foreachPartition(put_partition)
 
 
+class IdempotentParquetSink:
+    """Exactly-once parquet archiving via foreachBatch: each micro-batch
+    writes to ``path/batch_id=N`` with overwrite, so a batch REPLAYED after
+    a failure (Spark re-runs the last uncommitted batch on recovery)
+    overwrites its own previous partial output instead of appending
+    duplicates. This is the standard Structured-Streaming exactly-once
+    recipe for non-transactional stores: at-least-once execution + an
+    idempotent, batch-id-keyed write = exactly-once effect.
+
+    Complements the Kinesis leg (at-least-once + deterministic CloudEvent
+    ids for downstream dedup, proxy.ex:203): the archive is where replays
+    (kinesis_source.ex:123-147 / sources.parse_kinesis_records) read from,
+    so IT must not contain duplicates. Downstream scans prune on the
+    ``batch_id`` partition column like any other partition.
+    """
+
+    def __init__(self, path: str, partition_extra: list[str] | None = None) -> None:
+        self.path = path
+        self.partition_extra = list(partition_extra or [])
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id", *self.partition_extra)
+            # dynamic overwrite: only THIS batch's partition is replaced;
+            # static overwrite would wipe the whole archive
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.path)
+        )
+
+
 def write_stream_to_kinesis(
     events: DataFrame,
     sink: KinesisSink,
