@@ -1,0 +1,253 @@
+"""Training-data curation operators over ``documents``: deterministic
+sampling (Bernoulli / stratified / fixed-N), per-source quotas, quantile
+filtering, benchmark-contamination detection, and sequence packing
+(driver contract "large-scale training-data pipeline" extensions;
+SURVEY.md §2.6 rows 10-13 are the sibling dedup/text families).
+
+Every "random" choice is a deterministic md5-hash draw so the DuckDB
+oracle reproduces it bit-for-bit — the same trick production pipelines
+use for *reproducible* sampling (a re-run of the pipeline must sample
+the same documents, or downstream dedup/eval splits churn).
+
+Scale notes (100 TB posture):
+  * Hash sampling is a narrow map+filter — no shuffle, no state; it
+    composes with partition pruning and column pruning at the scan.
+  * The quota / quantile ops shuffle once on their grouping key; the
+    per-group reduction (row_number / percentile) is bounded by group
+    size, not corpus size.
+  * Contamination broadcasts the benchmark side: eval suites are MBs
+    while the corpus is TBs, so the corpus never shuffles — each task
+    checks its rows against the broadcast trigram set.
+  * Packing windows are partitioned by source (never a global window):
+    each shard packs independently, which is exactly how distributed
+    sequence-packing runs in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trike_spark.io import load_table
+from trike_spark.queries.dedup import _sql_h60, _SQL_TRIGRAMS, _h60, _trigrams
+from trike_spark.registry import register
+
+PACK_BUDGET = 512  # tokens per packed sequence bin
+
+
+def _draw(c: Column) -> Column:
+    """Deterministic uniform draw in [0, 100) from a document id."""
+    return _h60(c.cast("string")) % 100
+
+
+def _sql_draw(expr: str) -> str:
+    return f"({_sql_h60(f'CAST({expr} AS VARCHAR)')} % 100)"
+
+
+@register(
+    "curation_hash_sample",
+    f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_sql_draw('doc_id')} < 10
+    """,
+    doc="Deterministic 10% Bernoulli sample via md5 draw — reproducible across runs.",
+)
+def curation_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling: ``md5(doc_id) % 100 < 10`` instead of
+    ``df.sample()`` (whose output depends on partitioning and seed
+    plumbing). Pure narrow filter — scan-adjacent, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(_draw(F.col("doc_id")) < 10).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "curation_stratified_sample",
+    f"""
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE {_sql_draw('doc_id')} <
+          CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 15 END
+    GROUP BY lang
+    """,
+    doc="Stratified sampling: per-language keep-rates from one deterministic draw.",
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates (en 60%, de 30%, rest 15%) applied to the same
+    deterministic draw — the Spark-native ``sampleBy`` shape, made
+    reproducible. Still a narrow filter; the only shuffle is the final
+    tiny per-lang count."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 60).when(F.col("lang") == "de", 30).otherwise(15)
+    return (
+        d.filter(_draw(F.col("doc_id")) < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+@register(
+    "curation_uniform_fixed_n",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 64
+    """,
+    doc="Exactly-N uniform sample: order by hash, take N (TakeOrdered, not full sort).",
+)
+def curation_uniform_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample without a global shuffle: ordering by a
+    hash of the id is a random permutation, and Spark executes
+    orderBy+limit as TakeOrderedAndProject — each partition keeps its
+    local top-64, the driver merges 64·p candidate rows, never the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(64)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "curation_source_quota",
+    """
+    SELECT source, doc_id, n_chars, rk FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 10
+    """,
+    doc="Per-source quota: keep the 10 largest documents per source (domain caps).",
+)
+def curation_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: cap every source at its k best documents so no
+    single crawl domain dominates the mixture. One shuffle on source;
+    row_number is rank-limited per group (Spark pushes a per-partition
+    top-k filter below the final sort when the predicate is rk <= k)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@register(
+    "curation_lang_median_filter",
+    """
+    WITH med AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars
+      FROM documents GROUP BY lang)
+    SELECT d.lang, COUNT(*) AS n_kept,
+           CAST(ROUND(ANY_VALUE(med.median_chars), 1) AS DOUBLE) AS median_chars
+    FROM documents d JOIN med ON d.lang = med.lang
+    WHERE d.n_chars > med.median_chars
+    GROUP BY d.lang
+    """,
+    doc="Quantile filter: keep documents above their language's median length.",
+)
+def curation_lang_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median cutoff. The medians table is |langs| rows —
+    broadcast back onto the corpus, so the only corpus-wide shuffle is
+    the exact-percentile aggregation itself (at 100 TB swap in
+    approx_percentile, which is a fixed-size sketch with map-side
+    combine; exact interpolated percentile is kept here because the
+    oracle must match bit-for-bit)."""
+    d = load_table(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(F.percentile("n_chars", 0.5).alias("median_chars"))
+    return (
+        d.join(F.broadcast(med), "lang")
+        .filter(F.col("n_chars") > F.col("median_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.any_value("median_chars"), 1).alias("median_chars"),
+        )
+    )
+
+
+@register(
+    "curation_contamination_trigram",
+    f"""
+    WITH tg AS (
+      SELECT doc_id, {_sql_draw('doc_id')} < 5 AS is_bench,
+             unnest({_SQL_TRIGRAMS}) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+    bench AS (SELECT DISTINCT shingle FROM tg WHERE is_bench),
+    train AS (SELECT doc_id, shingle FROM tg WHERE NOT is_bench)
+    SELECT train.doc_id, COUNT(DISTINCT train.shingle) AS n_shared_trigrams
+    FROM train JOIN bench ON train.shingle = bench.shingle
+    GROUP BY train.doc_id
+    """,
+    doc="Benchmark contamination: training docs sharing token-trigrams with a held-out set.",
+)
+def curation_contamination_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: flag training documents that share any token
+    trigram with the benchmark set (here: a deterministic 5% hash split
+    standing in for an eval suite). The benchmark trigram set is
+    broadcast — eval suites are MBs against a TB corpus — so the corpus
+    side never shuffles; each task probes the broadcast hash set."""
+    d = load_table(spark, sf_dir, "documents")
+    tg = d.select(
+        "doc_id",
+        (_draw(F.col("doc_id")) < 5).alias("is_bench"),
+        F.explode(_trigrams()).alias("shingle"),
+    )
+    bench = tg.filter("is_bench").select("shingle").distinct()
+    train = tg.filter(~F.col("is_bench"))
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared_trigrams"))
+    )
+
+
+@register(
+    "curation_pack_sequences",
+    f"""
+    SELECT source, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM (
+      SELECT source, (cum_tokens - n_tokens) // {PACK_BUDGET} AS bin_id, n_tokens
+      FROM (
+        SELECT source, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+        FROM (SELECT source, doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents)))
+    GROUP BY source, bin_id
+    """,
+    doc="Sequence packing: contiguous token-budget bins per source shard.",
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~{PACK_BUDGET}-token training sequences: a
+    running token count per source assigns each document to the bin its
+    start offset falls in. The window is partitioned by source — every
+    shard packs independently, so no global ordering/single-reducer
+    window exists and the op scales with the number of shards."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select("source", "doc_id", n_tokens.alias("n_tokens"))
+    binned = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w)).select(
+        "source",
+        F.expr(f"(cum_tokens - n_tokens) div {PACK_BUDGET}").alias("bin_id"),
+        "n_tokens",
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )

@@ -53,6 +53,7 @@ def load_all_query_modules() -> None:
     # Imports are side-effecting registrations.
     from trike_spark.queries import (  # noqa: F401
         aggregates,
+        curation,
         dedup,
         events,
         joins,
