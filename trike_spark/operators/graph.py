@@ -5,8 +5,8 @@ query and the training-data pipeline.
 Scale design (fixes VERDICT r1 "uncheckpointed iterative loop"):
   * ``edges`` is persisted ONCE and reused by every iteration's join.
   * Each generation of labels is ``localCheckpoint(eager=True)``-ed: the
-    checkpoint both materializes the iteration (so the convergence count is
-    one join over cached data, not a replay of all prior rounds) and
+    checkpoint both materializes the iteration (so the convergence probe is
+    a scan of the cached generation, not a replay of all prior rounds) and
     TRUNCATES lineage — plan depth stays constant per iteration instead of
     growing O(iterations), which at corpus scale means no O(d²) recompute
     and no StackOverflow from a kilometer-deep logical plan.
@@ -64,25 +64,24 @@ def connected_components(
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # carry the convergence flag INSIDE the checkpointed projection:
+        # the subsequent "did anything change" probe is then a scan of the
+        # materialized blocks, not another join of two label generations.
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+                (F.col("nlbl") < F.col("lbl")).alias("chg"),
             )
             .localCheckpoint(eager=True)  # materialize + truncate lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()  # one cheap join over two cached tables
-        )
+        changed = new_labels.filter("chg").limit(1).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    labels = labels.select("node", "lbl")
     edges.unpersist()
     # labels stays checkpointed: downstream consumers read the materialized
     # blocks; no lineage back through the loop exists to recompute.

@@ -108,3 +108,91 @@ def block_cosine_pairs(
                 )
 
     return tagged.mapInPandas(cell_cross, schema="vec_a bigint, vec_b bigint, cosine double")
+
+
+def lsh_bucket_cosine_pairs(
+    emb: DataFrame,
+    planes: "np.ndarray",
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs: hyperplane-LSH buckets as candidate
+    cells, exact cosine verify within each cell — both stages Arrow-batched
+    numpy with the engines' dimension-sequential fold (bit-identical to the
+    JVM HOF form and the DuckDB oracle; see module docstring).
+
+    ``planes`` is (rotations, planes_per_rot, dim); a vector's bucket in
+    rotation r is the sign pattern of its r-th plane block. Candidates =
+    same (rot, bucket); callers dedupe pairs colliding in several rotations.
+
+    Scale posture: stage 1 is a narrow map (no shuffle) emitting
+    rotations·n bucket rows; the only shuffle is the repartition on
+    (rot, bucket), so compare work scales with bucket occupancy
+    (≈ rotations·n²/2^planes for uniform data), not n². Per-task memory is
+    the largest bucket's rows — at corpus scale add a bucket-occupancy cap
+    (split hot buckets on extra plane bits) exactly like the DF cap in the
+    Jaccard join.
+    """
+    n_rot, planes_per_rot, _dim = planes.shape
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, d)
+            nrm = np.zeros(E.shape[0])
+            for k in range(E.shape[1]):  # sequential: matches sqrt(fold(x·x))
+                nrm += E[:, k] * E[:, k]
+            nrm = np.sqrt(nrm)
+            out = []
+            for r in range(n_rot):
+                bucket = np.zeros(E.shape[0], dtype=np.int64)
+                for k in range(planes_per_rot):
+                    proj = np.zeros(E.shape[0])
+                    for j in range(E.shape[1]):  # the engines' left fold
+                        proj += E[:, j] * planes[r, k, j]
+                    bucket += (proj > 0).astype(np.int64) << k
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vid": pdf[id_col].to_numpy(),
+                            "emb": pdf[vec_col].to_numpy(),
+                            "nrm": nrm,
+                            "rot": r,
+                            "bucket": bucket,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    bucketed = emb.select(id_col, vec_col).mapInPandas(
+        assign,
+        schema=f"vid bigint, emb array<float>, nrm double, rot int, bucket bigint",
+    )
+
+    def bucket_cross(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        for _, cell in pdf.groupby(["rot", "bucket"], sort=False):
+            if len(cell) < 2:
+                continue
+            M = np.stack(cell["emb"].to_numpy()).astype(np.float64)
+            acc = np.zeros((M.shape[0], M.shape[0]))
+            for k in range(M.shape[1]):
+                acc += M[:, k, None] * M[None, :, k]
+            nrm = cell["nrm"].to_numpy()
+            cos = acc / (nrm[:, None] * nrm[None, :])
+            ids = cell["vid"].to_numpy()
+            ia, ib = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+            if len(ia):
+                yield pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib], "cosine": cos[ia, ib]})
+
+    return (
+        bucketed.repartition("rot", "bucket")
+        .mapInPandas(bucket_cross, schema="vec_a bigint, vec_b bigint, cosine double")
+    )

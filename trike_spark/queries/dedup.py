@@ -223,11 +223,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_pairs",
     _SQL_SHINGLE_CTE
     + f""",
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    df AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
-    exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN df ON ex.s = df.s),
+    ex AS (SELECT doc_id, {_sql_h60('s')} AS k
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+    df AS (SELECT k FROM ex GROUP BY k HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+    exf AS (SELECT ex.doc_id, ex.k FROM ex JOIN df ON ex.k = df.k),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-              FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM exf a JOIN exf b ON a.k = b.k AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
     SELECT doc_a, doc_b,
@@ -247,17 +248,25 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = load_table(spark, sf_dir, "documents").select(
         "doc_id", _trigrams().alias("shingles")
     )
-    ex = sh.select("doc_id", F.explode("shingles").alias("s")).localCheckpoint(eager=True)
+    # join/group on the 60-bit md5 key, not the ~25-byte trigram string:
+    # every downstream shuffle and comparison carries 8 bytes (the oracle
+    # hashes identically, so any collision is mirrored cross-engine; at
+    # 2^60 it is also semantically negligible).
+    ex = (
+        sh.select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", _h60(F.col("s")).alias("k"))
+        .localCheckpoint(eager=True)
+    )
     # hot-shingle guard: a shingle in >DF docs contributes DF² pairs; at
     # corpus scale these are boilerplate n-grams with no dedup signal.
-    df_ok = ex.groupBy("s").agg(F.count(F.lit(1)).alias("c")).filter(
+    df_ok = ex.groupBy("k").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") <= MAX_SHINGLE_DF
     )
-    exf = ex.join(df_ok.select("s"), "s").localCheckpoint(eager=True)
+    exf = ex.join(df_ok.select("k"), "k").localCheckpoint(eager=True)
     a = exf.alias("a")
     b = exf.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -277,11 +286,12 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_JACCARD_PAIRS = (
     _SQL_SHINGLE_CTE
     + f""",
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    dfo AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
-    exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfo ON ex.s = dfo.s),
+    ex AS (SELECT doc_id, {_sql_h60('s')} AS k
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+    dfo AS (SELECT k FROM ex GROUP BY k HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+    exf AS (SELECT ex.doc_id, ex.k FROM ex JOIN dfo ON ex.k = dfo.k),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-              FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM exf a JOIN exf b ON a.k = b.k AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
     pairs AS (
@@ -418,23 +428,6 @@ LSH_ROTATIONS = 4
 LSH_ROT_PLANES = 6
 
 
-def _rotation_bucket_spark(rot: int) -> Column:
-    from trike_spark.queries.vectors import _plane_values
-
-    bucket: Column | None = None
-    for k in range(LSH_ROT_PLANES):
-        plane = F.array(*[F.lit(v) for v in _plane_values(rot * LSH_ROT_PLANES + k)])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(proj > 0, F.lit(1 << k)).otherwise(0)
-        bucket = bit if bucket is None else bucket + bit
-    assert bucket is not None
-    return bucket
-
-
 def _rotation_bucket_sql(rot: int) -> str:
     from trike_spark.queries.vectors import DIM, _sql_plane_component
 
@@ -481,48 +474,23 @@ def dedup_embedding_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     regime (cosine ≥ 0.9, angle < 26°) the per-rotation collision
     probability is ~0.38 and 4 rotations give ~85 % recall — the knob is
     rotations × planes, documented here rather than hidden."""
-    from trike_spark.queries.vectors import dot
+    import numpy as np
+
+    from trike_spark.operators.vector_blocks import lsh_bucket_cosine_pairs
+    from trike_spark.queries.vectors import DIM, _plane_values
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # norms once per vector (n rows), NOT once per candidate pair — the
-    # bucket join would otherwise evaluate three folds per pair.
-    with_buckets = (
-        emb.select(
-            "vec_id",
-            "embedding",
-            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("rot"),
-                            _rotation_bucket_spark(r).alias("bucket"),
-                        )
-                        for r in range(LSH_ROTATIONS)
-                    ]
-                )
-            ).alias("rb"),
-        )
-        .select("vec_id", "embedding", "nrm", "rb.rot", "rb.bucket")
-        # deliberately NOT checkpointed: the self-join recomputes these 24
-        # narrow projections per side, but that costs less than
-        # materializing n·rotations embedding rows (measured — contrast
-        # dedup_minhash_lsh_pairs, whose upstream shingle hashing is heavy
-        # enough that caching wins)
+    # Both stages (bucket assignment: 24 plane folds per vector; in-bucket
+    # verify: one fold per candidate pair) run as Arrow-batched numpy with
+    # the engines' exact fold order — the JVM HOF form of the same plan was
+    # measured ~5× slower (interpreted lambda per element, and the self-join
+    # recomputes the 24 projections per side).
+    planes = np.array(
+        [
+            [_plane_values(r * LSH_ROT_PLANES + k) for k in range(LSH_ROT_PLANES)]
+            for r in range(LSH_ROTATIONS)
+        ]
     )
-    a = with_buckets.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"), "rot", "bucket",
-    )
-    b = with_buckets.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"), "rot", "bucket",
-    )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        a.join(b, ["rot", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.4)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
-        .distinct()
-    )
+    assert planes.shape == (LSH_ROTATIONS, LSH_ROT_PLANES, DIM)
+    pairs = lsh_bucket_cosine_pairs(emb, planes, threshold=0.4)
+    return pairs.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine")).distinct()
