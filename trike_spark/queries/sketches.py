@@ -1,0 +1,177 @@
+"""Sketch operators over ``documents`` tokens: Count-Min frequency
+estimation and Bloom-filter membership (driver contract "a novel sketch"
+custom-operator row; the scale path for frequency/membership questions a
+100 TB corpus cannot answer with exact per-key state).
+
+Both sketches use md5-derived hash families, so the DuckDB oracle builds
+the BIT-IDENTICAL sketch and the driver hash-checks estimation error, not
+just row counts.
+
+Scale notes:
+  * The Count-Min table is D·W cells regardless of corpus size: the token
+    stream aggregates on (row, cell) with map-side combine, so the shuffle
+    carries at most D·W partial counts per task — the whole point of the
+    sketch. Probing joins against the broadcast cell table.
+  * The Bloom filter is a distinct-position set of ≤ M rows, built with one
+    aggregation and broadcast to probes; membership = all K positions
+    present. At corpus scale this is the standard pre-join filter shape
+    (build on the small side, probe the big side map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trike_spark.io import load_table
+from trike_spark.queries.dedup import _h60, _sql_h60
+from trike_spark.registry import register
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # cells per row
+CMS_P = 2_147_483_647  # 2^31 - 1, for the affine maps
+BLOOM_M = 512  # bits — deliberately small so false positives are exercised
+BLOOM_K = 3  # hash functions
+N_PROBES = 10
+
+
+def _cms_a(d: int) -> int:
+    return 2_000_003 + 4 * d  # odd, small
+
+
+def _cms_b(d: int) -> int:
+    return 54_321 + 11 * d
+
+
+def _cms_cell(h: Column, d: int) -> Column:
+    return ((h % (1 << 30)) * F.lit(_cms_a(d)) + F.lit(_cms_b(d))) % CMS_P % CMS_W
+
+
+def _sql_cms_cell(h_expr: str, d: int) -> str:
+    return f"((({h_expr}) % {1 << 30}) * {_cms_a(d)} + {_cms_b(d)}) % {CMS_P} % {CMS_W}"
+
+
+@register(
+    "sketch_countmin_heavyhitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    h AS (SELECT token, {_sql_h60('token')} AS hh FROM tok),
+    cells AS (
+      {' UNION ALL '.join(
+          f"SELECT {d} AS d, {_sql_cms_cell('hh', d)} AS cell, COUNT(*) AS c "
+          "FROM h GROUP BY 1, 2"
+          for d in range(CMS_D)
+      )}),
+    exact AS (
+      SELECT token, COUNT(*) AS exact_count FROM tok
+      GROUP BY token ORDER BY exact_count DESC, token LIMIT {N_PROBES}),
+    probes AS (SELECT token, exact_count, {_sql_h60('token')} AS hh FROM exact)
+    SELECT p.token, p.exact_count, CAST(MIN(cells.c) AS BIGINT) AS cms_estimate
+    FROM probes p
+    JOIN cells ON {' OR '.join(f'(cells.d = {d} AND cells.cell = {_sql_cms_cell("p.hh", d)})' for d in range(CMS_D))}
+    GROUP BY p.token, p.exact_count
+    """,
+    doc=f"Count-Min sketch ({CMS_D}×{CMS_W}): estimate top-{N_PROBES} token counts; "
+    "estimate ≥ exact always (one-sided error).",
+)
+def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS estimate vs exact count for the top tokens. The estimate is
+    min over D cells, each cell a collision-inflated count — so
+    ``cms_estimate >= exact_count`` by construction, and the driver's
+    value-hash verifies the exact collision pattern of the md5-affine
+    family in both engines."""
+    d_tbl = load_table(spark, sf_dir, "documents")
+    tok = d_tbl.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    h = tok.select("token", _h60(F.col("token")).alias("hh"))
+    # D fixed-size cell tables; union keeps one shuffle per hash row, each
+    # with map-side combine down to ≤ W partials per task.
+    cells = None
+    for d in range(CMS_D):
+        cd = (
+            h.groupBy(_cms_cell(F.col("hh"), d).alias("cell"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(d).alias("d"), "cell", "c")
+        )
+        cells = cd if cells is None else cells.unionByName(cd)
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "token")
+        .limit(N_PROBES)
+    )
+    probes = exact.select("token", "exact_count", _h60(F.col("token")).alias("hh"))
+    # probe each of the D rows; broadcast the tiny cell table
+    est = None
+    for d in range(CMS_D):
+        pd_ = (
+            probes.withColumn("cell", _cms_cell(F.col("hh"), d))
+            .join(F.broadcast(cells.filter(F.col("d") == d)), "cell")
+            .select("token", "exact_count", "c")
+        )
+        est = pd_ if est is None else est.unionByName(pd_)
+    return est.groupBy("token", "exact_count").agg(F.min("c").alias("cms_estimate"))
+
+
+def _bloom_pos(h: Column, k: int) -> Column:
+    return ((h % (1 << 30)) * F.lit(_cms_a(k)) + F.lit(_cms_b(k))) % CMS_P % BLOOM_M
+
+
+def _sql_bloom_pos(h_expr: str, k: int) -> str:
+    return f"((({h_expr}) % {1 << 30}) * {_cms_a(k)} + {_cms_b(k)}) % {CMS_P} % {BLOOM_M}"
+
+
+@register(
+    "sketch_bloom_membership",
+    f"""
+    WITH members AS (
+      SELECT md5(text) AS fp FROM documents WHERE lang = 'en'),
+    mh AS (SELECT {_sql_h60('fp')} AS hh FROM members),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {' UNION ALL '.join(f'SELECT {_sql_bloom_pos("hh", k)} AS pos FROM mh' for k in range(BLOOM_K))})),
+    probes AS (
+      SELECT doc_id, lang, {_sql_h60('md5(text)')} AS hh FROM documents),
+    hit_rows AS (
+      {' UNION ALL '.join(
+          f'SELECT p.doc_id, p.lang FROM probes p JOIN bits ON bits.pos = {_sql_bloom_pos("p.hh", k)}'
+          for k in range(BLOOM_K)
+      )}),
+    hits AS (
+      SELECT doc_id, lang, COUNT(*) AS k_hits FROM hit_rows GROUP BY doc_id, lang)
+    SELECT lang, COUNT(*) AS n_maybe_member
+    FROM hits WHERE k_hits = {BLOOM_K}
+    GROUP BY lang
+    """,
+    doc=f"Bloom filter ({BLOOM_M} bits, k={BLOOM_K}) of English doc fingerprints; "
+    "probe all docs, count maybe-members per language.",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Bloom filter over English documents' content fingerprints,
+    probe EVERY document: all English docs hit (no false negatives);
+    other languages hit only on false positives — the per-language counts
+    expose the sketch's exact collision behavior to the driver hash. The
+    bit set is ≤ M distinct positions, broadcast to the probe side."""
+    d_tbl = load_table(spark, sf_dir, "documents")
+    mh = d_tbl.filter(F.col("lang") == "en").select(_h60(F.md5("text")).alias("hh"))
+    bits = None
+    for k in range(BLOOM_K):
+        bk = mh.select(_bloom_pos(F.col("hh"), k).alias("pos"))
+        bits = bk if bits is None else bits.unionByName(bk)
+    bits = bits.distinct()
+    probes = d_tbl.select("doc_id", "lang", _h60(F.md5("text")).alias("hh"))
+    hits = None
+    for k in range(BLOOM_K):
+        hk = (
+            probes.withColumn("pos", _bloom_pos(F.col("hh"), k))
+            .join(F.broadcast(bits), "pos")
+            .select("doc_id", "lang")
+        )
+        hits = hk if hits is None else hits.unionByName(hk)
+    return (
+        hits.groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == BLOOM_K)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_maybe_member"))
+    )

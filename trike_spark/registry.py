@@ -61,6 +61,7 @@ def load_all_query_modules() -> None:
         relational,
         scalars,
         setops,
+        sketches,
         text,
         training_pipeline,
         trike_pipeline,
