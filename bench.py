@@ -38,6 +38,9 @@ HEADLINE = [
     "text_tfidf_top3",
     "events_sessionization",
     "trike_cloud_event_project",
+    "curation_contamination_trigram",
+    "curation_pack_sequences",
+    "sketch_countmin_heavyhitters",
     # the iterative / composed heavyweights — where regressions would hide
     "dedup_cluster_canonical",
     "dedup_embedding_cosine_pairs",

@@ -113,3 +113,55 @@ def test_asof_join_no_event_shuffle(spark):
     # the events scan feeds a BroadcastHashJoin / BroadcastNestedLoopJoin,
     # never a SortMergeJoin
     assert plans.sort_merge_join_count(df) == 0, plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The corpus side must probe a broadcast trigram set, never shuffle
+    for a SortMergeJoin against the benchmark."""
+    from trike_spark.queries.curation import curation_contamination_trigram
+
+    df = curation_contamination_trigram(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+    assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)
+
+
+def test_uniform_sample_is_take_ordered(spark):
+    """Fixed-N sampling must run as TakeOrderedAndProject (per-partition
+    top-N + driver merge), never a global Sort of the corpus."""
+    from trike_spark.queries.curation import curation_uniform_fixed_n
+
+    plan = plans.plan_tree(curation_uniform_fixed_n(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """The packing cumsum must never be a single-partition global window:
+    every Window's partition spec carries the shard key."""
+    from trike_spark.queries.curation import curation_pack_sequences
+
+    plan = plans.formatted_plan(curation_pack_sequences(spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_bloom_bits_broadcast_to_probe_side(spark):
+    from trike_spark.queries.sketches import sketch_bloom_membership
+
+    df = sketch_bloom_membership(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 3, plans.formatted_plan(df)
+    assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)
+
+
+def test_countmin_partial_agg_before_exchange(spark):
+    """The CMS cell build must map-side combine: the shuffle carries
+    (cell, partial_count), never raw token rows."""
+    import io
+    from contextlib import redirect_stdout
+
+    from trike_spark.queries.sketches import sketch_countmin_heavyhitters
+
+    df = sketch_countmin_heavyhitters(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "partial_count" in plan, plan
