@@ -20,7 +20,7 @@ Scale notes (the whole point of these designs):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trike_spark.io import load_table
@@ -259,10 +259,14 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # hot-shingle guard: a shingle in >DF docs contributes DF² pairs; at
     # corpus scale these are boilerplate n-grams with no dedup signal.
-    df_ok = ex.groupBy("k").agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") <= MAX_SHINGLE_DF
+    # A count-over-window needs ONE shuffle of ex (no sort: whole-partition
+    # frame); the groupBy+semi-join form shuffles twice.
+    exf = (
+        ex.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("k")))
+        .filter(F.col("c") <= MAX_SHINGLE_DF)
+        .drop("c")
+        .localCheckpoint(eager=True)
     )
-    exf = ex.join(df_ok.select("k"), "k").localCheckpoint(eager=True)
     a = exf.alias("a")
     b = exf.alias("b")
     inter = (

@@ -250,3 +250,35 @@ def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mm.asof_orderkey").alias("asof_orderkey"),
         )
     )
+
+
+@register(
+    "join_salted_segment_revenue",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           {{dsum}} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """.format(dsum="CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,4))), 2) AS DOUBLE)"),
+    doc="Skew-salted equi-join face: hot customer keys spread over 8 salts; "
+    "result identical to the plain join (salting is physical, not logical).",
+)
+def join_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable face of ``operators/skew.py::salted_join``: orders
+    (the large, potentially key-skewed side) joins customer through a
+    salted (key, salt) equi-join — each hot o_custkey spreads over 8
+    tasks; customer is replicated x8 via a narrow literal explode. The
+    oracle is the PLAIN join: salting must never change the result set,
+    which is exactly what the driver hash proves."""
+    from trike_spark.operators.skew import salted_join
+    from trike_spark.queries._util import dsum
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, key="o_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

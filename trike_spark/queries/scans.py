@@ -1,0 +1,80 @@
+"""Scan-format faces: CSV and JSON-lines round-trips surfaced as
+driver-checkable queries (SURVEY.md §2.1 "+ CSV / JSON sources & sinks";
+previously only pytest-covered via tests/test_io_formats.py).
+
+Each query WRITES the table through the format under test, reads it back
+with an explicit schema, and aggregates — so the driver's value-hash
+proves the codec round-trips values bit-for-bit, not merely that a file
+appeared. The oracle aggregates the original parquet: any encode/decode
+drift (quoting, number formatting, type coercion) breaks the hash.
+
+Scale notes: both formats are line-splittable, so reads parallelize per
+HDFS block like parquet (minus pushdown/pruning — the docstrings are the
+place users learn CSV scans re-read everything). Schemas are explicit:
+inference would cost a full extra pass over 100 TB.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trike_spark.io import load_table
+from trike_spark.queries._util import dsum, sql_dsum
+from trike_spark.registry import register
+
+
+@register(
+    "scan_csv_roundtrip_documents",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+    doc="CSV scan face: documents → CSV → read with explicit schema → per-lang stats.",
+)
+def scan_csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="trike_csv_")
+    d.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("doc_id bigint, text string, lang string, n_chars bigint")
+        .option("header", True)
+        .csv(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+    )
+
+
+@register(
+    "scan_json_roundtrip_events",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_dsum('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON-lines scan face: events → JSON → read with explicit schema → per-type stats.",
+)
+def scan_json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubles survive the JSON round-trip because Spark writes them with
+    round-trip precision (shortest string that parses back to the same
+    IEEE value); the decimal-exact sum then matches the oracle run on the
+    original parquet bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="trike_json_")
+    e.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+    )

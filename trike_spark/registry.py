@@ -60,6 +60,7 @@ def load_all_query_modules() -> None:
         multimodal,
         relational,
         scalars,
+        scans,
         setops,
         sketches,
         text,
