@@ -251,3 +251,41 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+@register(
+    "curation_mixture_reweight",
+    """
+    WITH tok AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM tok)
+    SELECT lang, lang_tokens,
+           ROUND(CAST(lang_tokens AS DOUBLE) / tot.total_tokens, 6) AS actual_frac,
+           CAST(CASE lang WHEN 'en' THEN 0.5 ELSE 0.125 END AS DOUBLE) AS target_frac,
+           ROUND(CAST(CASE lang WHEN 'en' THEN 0.5 ELSE 0.125 END AS DOUBLE)
+                 / (CAST(lang_tokens AS DOUBLE) / tot.total_tokens), 6) AS repeat_factor
+    FROM tok CROSS JOIN tot
+    """,
+    doc="Data-mixture reweighting: per-language repeat factors toward a target token mix.",
+)
+def curation_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: compare each language's actual token share with
+    a target mixture (en 50%, others 12.5%) and emit the repeat/downsample
+    factor a sampler would apply. One corpus aggregation; the 1-row total
+    joins back via broadcast — the per-lang table is |langs| rows, so the
+    op's cost is the token count scan regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("lang_tokens")
+    )
+    tot = tok.agg(F.sum("lang_tokens").alias("total_tokens"))
+    actual = F.col("lang_tokens").cast("double") / F.col("total_tokens")
+    target = F.when(F.col("lang") == "en", 0.5).otherwise(0.125)
+    return tok.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "lang_tokens",
+        F.round(actual, 6).alias("actual_frac"),
+        target.alias("target_frac"),
+        F.round(target / actual, 6).alias("repeat_factor"),
+    )
