@@ -69,20 +69,29 @@ def main() -> None:
     for name in names:
         REGISTRY[name].fn(spark, sf_dir).collect()
 
-    # best-of-2: single-run timings in this container are noisy (±30%);
-    # min-of-two reflects the query's actual cost. Each run rebuilds the
-    # DataFrame so no shuffle stages are reused across runs.
+    # n timed runs per query (default 5): single-run timings in this
+    # container are noisy (±30%), and best-of-2 could not distinguish noise
+    # from regression (round-2 verdict). min = the query's actual cost;
+    # median = what a user typically sees — both are persisted so
+    # round-over-round deltas are adjudicable with data. Each run rebuilds
+    # the DataFrame so no shuffle stages are reused across runs.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(n_runs):
             # fn() is INSIDE the timer: iterative queries (connected
             # components) materialize eager checkpoints during plan build,
             # so construction is real work, not just lazy plan assembly.
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        mid = len(runs) // 2
+        med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
+        medians[name] = round(med, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -92,6 +101,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "runs_per_query": n_runs,
                 "sf": sf,
             }
         )

@@ -110,6 +110,48 @@ def block_cosine_pairs(
     return tagged.mapInPandas(cell_cross, schema="vec_a bigint, vec_b bigint, cosine double")
 
 
+def hyperplane_buckets(
+    emb: DataFrame,
+    planes: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-rotation hyperplane bucket assignment, Arrow-batched.
+
+    Returns (vid, emb, bucket) where bucket = Σ_p (proj_p > 0) << p and each
+    proj_p accumulates dimension-sequentially — bit-identical to the JVM
+    ``aggregate(zip_with(...))`` fold and DuckDB's ``list_aggregate`` — so
+    an oracle computing the same md5-derived planes lands every vector in
+    the same bucket. One narrow map, no shuffle; replaces P interpreted HOF
+    folds per row (the measured hot spot in sim_lsh_bucket_topk) with P
+    vectorized numpy passes per Arrow batch.
+    """
+    n_planes, _dim = planes.shape
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, d)
+            bucket = np.zeros(E.shape[0], dtype=np.int64)
+            for p in range(n_planes):
+                proj = np.zeros(E.shape[0])
+                for j in range(E.shape[1]):  # the engines' left fold
+                    proj += E[:, j] * planes[p, j]
+                bucket += (proj > 0).astype(np.int64) << p
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].to_numpy(),
+                    "emb": pdf[vec_col].to_numpy(),
+                    "bucket": bucket,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema="vid bigint, emb array<float>, bucket bigint"
+    )
+
+
 def lsh_bucket_cosine_pairs(
     emb: DataFrame,
     planes: "np.ndarray",

@@ -167,26 +167,30 @@ def _sql_plane_component(p: int, j_expr: str) -> str:
     doc=f"ANN scale path: {LSH_PLANES}-plane random-hyperplane LSH buckets, rerank within bucket.",
 )
 def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket assignment runs through the Arrow kernel
+    (operators/vector_blocks.py::hyperplane_buckets): one narrow
+    ``mapInPandas`` pass replaces 12 interpreted HOF folds per row — the
+    round-2 bench hot spot — while keeping the dimension-sequential fold
+    order, so buckets stay bit-identical to the DuckDB oracle's."""
+    import numpy as np
+
+    from trike_spark.operators.vector_blocks import hyperplane_buckets
+
     emb = load_table(spark, sf_dir, "embeddings")
-    bucket = None
-    for p in range(LSH_PLANES):
-        plane = F.array(*[F.lit(v) for v in _plane_values(p)])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(0)
-        bucket = bit if bucket is None else bucket + bit
-    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    a = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"),
-        F.col("embedding").alias("q_emb"),
+    planes = np.array([_plane_values(p) for p in range(LSH_PLANES)])
+    # Both sides go through the Arrow kernel (interleaved A/B in one
+    # session: kernel-both 0.64 s vs the JVM 12-fold shape's 1.32 s at
+    # sf0.1). The query-side filter sits BELOW the kernel — predicates
+    # don't push through mapInPandas, so filtering first keeps that pass
+    # at |Q| rows instead of re-bucketing the full table.
+    a = hyperplane_buckets(emb.filter(F.col("vec_id") < N_QUERIES), planes).select(
+        F.col("vid").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
-    b = bucketed.select(
-        F.col("vec_id").alias("n_vec_id"),
-        F.col("embedding").alias("n_emb"),
+    b = hyperplane_buckets(emb, planes).select(
+        F.col("vid").alias("n_vec_id"),
+        F.col("emb").alias("n_emb"),
         F.col("bucket").alias("n_bucket"),
     )
     cos = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)

@@ -71,6 +71,18 @@ def load_all_query_modules() -> None:
     )
 
 
+def _interleave(families: dict[str, list[str]]) -> list[str]:
+    """Round-robin across family buckets (each bucket already ordered)."""
+    ordered: list[str] = []
+    buckets = [families[k] for k in sorted(families)]
+    depth = max((len(b) for b in buckets), default=0)
+    for i in range(depth):
+        for b in buckets:
+            if i < len(b):
+                ordered.append(b[i])
+    return ordered
+
+
 def interleaved_export_names() -> dict[str, str]:
     """Map registry name → driver-facing export name.
 
@@ -79,25 +91,28 @@ def interleaved_export_names() -> dict[str, str]:
     reached whole operator families (windows, set ops, text, vectors, …).
     To make ANY first-N window cover every family, exports are renamed to
     ``{rank:02d}_{name}`` where rank round-robins across families (module of
-    registration): rank 0..k-1 are the alphabetically-first query of each of
-    the k families, the next k ranks are each family's second query, and so
-    on. Sorted order == interleaved order, so a driver that sorts or one that
-    takes dict order sees the same family-balanced sequence. The mapping is
-    documented in docs/QUERY_ORDER.md and deterministic given the registry.
+    registration). Sorted order == interleaved order, so a driver that sorts
+    or one that takes dict order sees the same family-balanced sequence.
+
+    Round 3 adds *rotation*: names already hard-verified by a past driver
+    round (:data:`trike_spark.driver_history.DRIVER_VERIFIED`) sort behind
+    never-verified ones — two interleave passes, unverified families first —
+    so each round's capped window verifies fresh queries and driver coverage
+    accumulates across rounds. Rotation only permutes export rank; every
+    query keeps its name, semantics, and oracle. Documented in
+    docs/QUERY_ORDER.md.
     """
     load_all_query_modules()
-    families: dict[str, list[str]] = {}
+    from trike_spark.driver_history import DRIVER_VERIFIED
+
+    fresh: dict[str, list[str]] = {}
+    seen: dict[str, list[str]] = {}
     # Within a family, oracle-backed queries sort before rows-only ones so a
     # capped driver window verifies hashes, not just row counts.
     for name in sorted(REGISTRY, key=lambda n: (REGISTRY[n].oracle is None, n)):
-        families.setdefault(REGISTRY[name].fn.__module__, []).append(name)
-    ordered: list[str] = []
-    buckets = [families[k] for k in sorted(families)]
-    depth = max(len(b) for b in buckets)
-    for i in range(depth):
-        for b in buckets:
-            if i < len(b):
-                ordered.append(b[i])
+        bucket = seen if name in DRIVER_VERIFIED else fresh
+        bucket.setdefault(REGISTRY[name].fn.__module__, []).append(name)
+    ordered = _interleave(fresh) + _interleave(seen)
     width = max(2, len(str(len(ordered) - 1)))
     return {name: f"{rank:0{width}d}_{name}" for rank, name in enumerate(ordered)}
 
