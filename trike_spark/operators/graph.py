@@ -18,10 +18,13 @@ Scale design (fixes VERDICT r1 "uncheckpointed iterative loop"):
     executor loss cannot drop a truncated-lineage block; local checkpoints
     are the right tradeoff for local[] and keep the API dependency-free.
 
-Iteration count = graph diameter. Near-dup graphs are shallow (clusters of
-a handful of copies), so convergence is a few rounds even at corpus scale;
-the production-hardened variant for adversarial diameters is the
-alternating-star / large-star-small-star algorithm (same join primitives).
+Iteration count = graph diameter for min-label propagation. Near-dup
+graphs are shallow (clusters of a handful of copies), so convergence is a
+few rounds even at corpus scale; for adversarial diameters (long chains)
+:func:`connected_components_star` implements the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) — O(log² n) rounds worst-case, observed
+O(log n), with the same join+agg primitives and checkpoint discipline.
 """
 
 from __future__ import annotations
@@ -30,11 +33,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """An iterative operator hit max_iter with changes still flowing —
+    results would be silently wrong, so fail loudly instead."""
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list.
 
@@ -58,6 +67,8 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
+    iterations = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.e_src == labels.node)
@@ -79,10 +90,141 @@ def connected_components(
         changed = new_labels.filter("chg").limit(1).count()
         labels.unpersist()
         labels = new_labels
+        iterations += 1
         if changed == 0:
             break
+    if changed != 0:
+        edges.unpersist()
+        raise ConvergenceError(
+            f"connected_components: labels still changing after max_iter={max_iter} "
+            f"rounds (min-label propagation needs diameter rounds; use "
+            f"connected_components_star for deep graphs)"
+        )
+    if _stats is not None:
+        _stats["iterations"] = iterations
     labels = labels.select("node", "lbl")
     edges.unpersist()
     # labels stays checkpointed: downstream consumers read the materialized
     # blocks; no lineage back through the loop exists to recompute.
+    return labels
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (connect strictly-larger neighbors to the
+    neighborhood min) or small-star (connect ≤-neighbors and self to the
+    min) round. ``edges`` is directed (u, v); both ops are a groupBy-min
+    plus a broadcastable-by-Catalyst equi-join — no ``collect_list``, so a
+    high-degree node costs a wide group, never a wide row."""
+    if large:
+        # Γ(u) over the symmetric view; m = min(Γ(u) ∪ {u}).
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+    # small-star: neighbors v ≤ u (directed edges already point small←large
+    # after a large-star round), emit (w, m) for w ∈ Γ_small(u) ∪ {u}.
+    small = edges.filter(F.col("v") <= F.col("u"))
+    mins = (
+        small.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    return (
+        small.join(mins, "u")
+        .select(F.col("v").alias("w"), F.col("m"))
+        .unionByName(mins.select(F.col("u").alias("w"), F.col("m")))
+        .select(F.col("w").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., SoCC'14): O(log² n) rounds worst case vs min-label
+    propagation's O(diameter) — the production-hardened choice for graphs
+    with long chains. Same contract as :func:`connected_components`:
+    returns ``(node, lbl)``, lbl = component min.
+
+    Convergence probe: per-round (count, xxhash64-sum) fingerprint of the
+    edge set — O(|E|) scan, no self-join; on fixpoint the edge set is
+    verified to be a star forest (every parent is a root), so a fingerprint
+    collision cannot smuggle a wrong answer through.
+    """
+    base = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        base.select("u")
+        .unionByName(base.select(F.col("v").alias("u")))
+        .distinct()
+        .withColumnRenamed("u", "node")
+        .localCheckpoint(eager=True)
+    )
+    edges = base.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+
+    def fingerprint(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a long sum of xxhash64 values
+            # overflows under ANSI mode; 38 digits absorbs ~1e19 edges.
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = fingerprint(edges)
+    iterations = 0
+    converged = False
+    for _ in range(max_iter):
+        new_edges = _star_round(_star_round(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        edges.unpersist()
+        edges = new_edges
+        iterations += 1
+        cur = fingerprint(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise ConvergenceError(
+            f"connected_components_star: edge set not stable after max_iter={max_iter} rounds"
+        )
+    # Star-forest verification: every parent must itself be a root (never
+    # appear as a child with a different parent). Cheap at star size and
+    # makes the fingerprint probe collision-proof.
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    bad = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .filter(F.col("e2.v") != F.col("e1.v"))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ConvergenceError("connected_components_star: fixpoint is not a star forest")
+    if _stats is not None:
+        _stats["iterations"] = iterations
+    labels = (
+        nodes.join(edges, nodes.node == edges.u, "left")
+        .select("node", F.coalesce(F.col("v"), F.col("node")).alias("lbl"))
+    )
     return labels

@@ -306,8 +306,7 @@ _SQL_JACCARD_PAIRS = (
 )
 
 
-@register(
-    "dedup_cluster_canonical",
+_SQL_CLUSTER_CANONICAL = (
     _SQL_JACCARD_PAIRS
     + """,
     nodes AS (SELECT DISTINCT doc FROM
@@ -321,7 +320,13 @@ _SQL_JACCARD_PAIRS = (
         SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.doc)
       SELECT doc, MIN(lbl) AS canonical_id FROM r GROUP BY doc)
     SELECT doc AS doc_id, canonical_id FROM reach
-    """,
+    """
+)
+
+
+@register(
+    "dedup_cluster_canonical",
+    _SQL_CLUSTER_CANONICAL,
     doc="Near-dup clustering: connected components over the Jaccard≥0.3 graph; canonical = min doc_id.",
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,6 +335,26 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     one distributed join+agg over cached inputs; plan depth is constant."""
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_id"))
+
+
+@register(
+    "dedup_cluster_canonical_star",
+    _SQL_CLUSTER_CANONICAL,
+    doc=(
+        "Near-dup clustering via alternating large-star/small-star CC — "
+        "O(log² n) rounds vs diameter; same output, same oracle."
+    ),
+)
+def dedup_cluster_canonical_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as ``dedup_cluster_canonical`` computed with the
+    adversarial-diameter-safe star algorithm (operators/graph.py:
+    ``connected_components_star``); registered behind the identical oracle
+    so the driver hash-verifies both algorithms agree."""
+    from trike_spark.operators.graph import connected_components_star
+
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_id"))
 
 
