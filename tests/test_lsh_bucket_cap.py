@@ -1,0 +1,128 @@
+"""Hot-bucket occupancy cap for the LSH cosine-pairs kernel
+(operators/vector_blocks.py::lsh_bucket_cosine_pairs).
+
+A skewed corpus can land thousands of near-identical vectors in one
+hyperplane bucket; the cap decomposes such buckets into a pair-preserving
+g×g grid so per-task memory is bounded. These tests pin the contract:
+the OUTPUT is identical with and without the cap (the grid may only change
+task granularity, never the pair set), and a synthetic hot bucket really
+does split.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from trike_spark.operators.vector_blocks import _grid_tag, lsh_bucket_cosine_pairs
+
+DIM = 8
+CAP = 32
+
+
+def _make_emb(spark, n_hot=150, n_cold=40, seed=7):
+    """n_hot vectors clustered around one direction (one bucket), n_cold
+    spread around (mostly distinct buckets)."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=DIM)
+    rows = []
+    for i in range(n_hot):
+        v = base + rng.normal(scale=0.01, size=DIM)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(n_cold):
+        v = rng.normal(size=DIM)
+        rows.append((n_hot + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _planes(n_rot=2, per_rot=4, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_rot, per_rot, DIM))
+
+
+def _pairs(df):
+    return {
+        (r["vec_a"], r["vec_b"], round(r["cosine"], 9)) for r in df.collect()
+    }
+
+
+def test_cap_preserves_pairs_exactly(spark):
+    emb = _make_emb(spark)
+    planes = _planes()
+    uncapped = _pairs(lsh_bucket_cosine_pairs(emb, planes, threshold=0.5, bucket_cap=None))
+    capped = _pairs(lsh_bucket_cosine_pairs(emb, planes, threshold=0.5, bucket_cap=CAP))
+    assert len(uncapped) > 0
+    assert capped == uncapped
+
+
+def test_hot_bucket_actually_splits(spark):
+    emb = _make_emb(spark)
+    planes = _planes()
+    from trike_spark.operators.vector_blocks import hyperplane_buckets  # noqa: F401
+
+    # Reach into the tagging stage: bucket rows the same way the operator
+    # does, then assert the grid decomposition kicked in for the hot bucket
+    # and left cold buckets untouched.
+    n_rot, per_rot, _ = planes.shape
+
+    def norm_and_bucket(pdf_emb):  # JVM-free reference bucketing
+        import pandas as pd
+
+        E = np.stack(pdf_emb["embedding"]).astype(np.float64)
+        out = []
+        for r in range(n_rot):
+            bucket = np.zeros(E.shape[0], dtype=np.int64)
+            for k in range(per_rot):
+                proj = np.zeros(E.shape[0])
+                for j in range(E.shape[1]):
+                    proj += E[:, j] * planes[r, k, j]
+                bucket += (proj > 0).astype(np.int64) << k
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vid": pdf_emb["vec_id"],
+                        "emb": pdf_emb["embedding"],
+                        "nrm": 1.0,
+                        "rot": r,
+                        "bucket": bucket,
+                    }
+                )
+            )
+        return pd.concat(out)
+
+    pdf = norm_and_bucket(emb.toPandas())
+    bucketed = spark.createDataFrame(
+        pdf, "vid bigint, emb array<float>, nrm double, rot int, bucket bigint"
+    )
+    tagged = _grid_tag(bucketed, CAP).cache()
+    sides = {r["side"] for r in tagged.select("side").distinct().collect()}
+    assert sides == {"ab", "a", "b"}  # hot bucket split, cold passed through
+    # every grid cell of a hot bucket holds at most ~2·cap rows (a+b sides)
+    cell_max = (
+        tagged.filter(F.col("side") != "ab")
+        .groupBy("rot", "bucket", "gr", "gc")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert cell_max <= 2 * (CAP + 1)
+    # cold buckets: exactly one cell, no replication
+    cold_cells = (
+        tagged.filter(F.col("side") == "ab")
+        .select("gr", "gc")
+        .distinct()
+        .collect()
+    )
+    assert [(r["gr"], r["gc"]) for r in cold_cells] == [(0, 0)]
+    tagged.unpersist()
+
+
+def test_cap_one_equals_full_grid(spark):
+    """Degenerate cap: every bucket splits maximally; output still equal."""
+    emb = _make_emb(spark, n_hot=40, n_cold=10)
+    planes = _planes(n_rot=1)
+    uncapped = _pairs(lsh_bucket_cosine_pairs(emb, planes, threshold=0.5, bucket_cap=None))
+    fully_split = _pairs(lsh_bucket_cosine_pairs(emb, planes, threshold=0.5, bucket_cap=1))
+    assert fully_split == uncapped

@@ -158,6 +158,7 @@ def lsh_bucket_cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """Sub-quadratic near-dup pairs: hyperplane-LSH buckets as candidate
     cells, exact cosine verify within each cell — both stages Arrow-batched
@@ -169,12 +170,19 @@ def lsh_bucket_cosine_pairs(
     same (rot, bucket); callers dedupe pairs colliding in several rotations.
 
     Scale posture: stage 1 is a narrow map (no shuffle) emitting
-    rotations·n bucket rows; the only shuffle is the repartition on
-    (rot, bucket), so compare work scales with bucket occupancy
-    (≈ rotations·n²/2^planes for uniform data), not n². Per-task memory is
-    the largest bucket's rows — at corpus scale add a bucket-occupancy cap
-    (split hot buckets on extra plane bits) exactly like the DF cap in the
-    Jaccard join.
+    rotations·n bucket rows; the shuffle keys are (rot, bucket, grid cell),
+    so compare work scales with bucket occupancy
+    (≈ rotations·n²/2^planes for uniform data), not n².
+
+    ``bucket_cap`` bounds per-task memory on skewed data: a bucket holding
+    occ > cap rows is decomposed into a g×g grid (g = ⌈occ/cap⌉) exactly
+    like :func:`block_cosine_pairs` — every pair still meets in exactly one
+    cell, so the OUTPUT IS UNCHANGED; only task granularity changes. (The
+    tempting alternative — splitting hot buckets on extra plane bits —
+    silently drops pairs whose members land in different sub-buckets, i.e.
+    trades an executor OOM for a recall loss the oracle would flag; the
+    grid split costs g-fold replication of hot-bucket rows instead.)
+    ``None`` disables the cap (test/DEBUG only).
     """
     n_rot, planes_per_rot, _dim = planes.shape
 
@@ -210,8 +218,9 @@ def lsh_bucket_cosine_pairs(
 
     bucketed = emb.select(id_col, vec_col).mapInPandas(
         assign,
-        schema=f"vid bigint, emb array<float>, nrm double, rot int, bucket bigint",
+        schema="vid bigint, emb array<float>, nrm double, rot int, bucket bigint",
     )
+    tagged = _grid_tag(bucketed, bucket_cap)
 
     def bucket_cross(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = list(batches)
@@ -220,21 +229,70 @@ def lsh_bucket_cosine_pairs(
         pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
-        for _, cell in pdf.groupby(["rot", "bucket"], sort=False):
-            if len(cell) < 2:
+        for _, cell in pdf.groupby(["rot", "bucket", "gr", "gc"], sort=False):
+            if cell["side"].iat[0] == "ab":  # uncapped bucket: self-cross
+                A = B = cell
+            else:  # grid cell of a hot bucket: A×B cross
+                A = cell[cell["side"] == "a"]
+                B = cell[cell["side"] == "b"]
+            if A.empty or B.empty or len(A) + len(B) < 2:
                 continue
-            M = np.stack(cell["emb"].to_numpy()).astype(np.float64)
-            acc = np.zeros((M.shape[0], M.shape[0]))
-            for k in range(M.shape[1]):
-                acc += M[:, k, None] * M[None, :, k]
-            nrm = cell["nrm"].to_numpy()
-            cos = acc / (nrm[:, None] * nrm[None, :])
-            ids = cell["vid"].to_numpy()
-            ia, ib = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+            Am = np.stack(A["emb"].to_numpy()).astype(np.float64)
+            Bm = np.stack(B["emb"].to_numpy()).astype(np.float64)
+            acc = np.zeros((Am.shape[0], Bm.shape[0]))
+            for k in range(Am.shape[1]):
+                acc += Am[:, k, None] * Bm[None, :, k]
+            cos = acc / (A["nrm"].to_numpy()[:, None] * B["nrm"].to_numpy()[None, :])
+            ids_a = A["vid"].to_numpy()
+            ids_b = B["vid"].to_numpy()
+            ia, ib = np.nonzero((cos >= threshold) & (ids_a[:, None] < ids_b[None, :]))
             if len(ia):
-                yield pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib], "cosine": cos[ia, ib]})
+                yield pd.DataFrame(
+                    {"vec_a": ids_a[ia], "vec_b": ids_b[ib], "cosine": cos[ia, ib]}
+                )
 
     return (
-        bucketed.repartition("rot", "bucket")
+        tagged.repartition("rot", "bucket", "gr", "gc")
         .mapInPandas(bucket_cross, schema="vec_a bigint, vec_b bigint, cosine double")
     )
+
+
+def _grid_tag(bucketed: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Decompose over-cap (rot, bucket) cells into a g×g pair-preserving
+    grid (g = ⌈occupancy/cap⌉): a hot bucket's rows are replicated as an
+    'a' side keyed by vid mod g over all grid columns and a 'b' side keyed
+    over all grid rows, so every unordered pair meets in exactly one
+    (gr, gc) cell — the :func:`block_cosine_pairs` scheme applied inside a
+    bucket. Cold buckets pass through untouched as one self-cross cell
+    ('ab'), costing no replication. The occupancy count reuses the
+    (rot, bucket) hash partitioning the downstream repartition needs
+    anyway, so the cap adds one window pass, not an extra shuffle of the
+    corpus."""
+    if bucket_cap is None:
+        return bucketed.select(
+            "*", F.lit(0).alias("gr"), F.lit(0).alias("gc"), F.lit("ab").alias("side")
+        )
+    from pyspark.sql import Window
+
+    occ = F.count(F.lit(1)).over(Window.partitionBy("rot", "bucket"))
+    with_g = bucketed.withColumn(
+        "g", F.greatest(F.ceil(occ / F.lit(bucket_cap)), F.lit(1)).cast("int")
+    )
+    cold = with_g.filter(F.col("g") == 1).select(
+        "vid", "emb", "nrm", "rot", "bucket",
+        F.lit(0).alias("gr"), F.lit(0).alias("gc"), F.lit("ab").alias("side"),
+    )
+    hot = with_g.filter(F.col("g") > 1)
+    hot_a = hot.select(
+        "vid", "emb", "nrm", "rot", "bucket",
+        F.pmod(F.col("vid"), F.col("g")).cast("int").alias("gr"),
+        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("gc"),
+        F.lit("a").alias("side"),
+    )
+    hot_b = hot.select(
+        "vid", "emb", "nrm", "rot", "bucket",
+        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("gr"),
+        F.pmod(F.col("vid"), F.col("g")).cast("int").alias("gc"),
+        F.lit("b").alias("side"),
+    )
+    return cold.unionByName(hot_a).unionByName(hot_b)
