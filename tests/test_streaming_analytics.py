@@ -1,0 +1,134 @@
+"""Streaming twins of the sketch/curation families
+(trike_spark/streaming/analytics.py): a windowed Count-Min sketch and
+deterministic hash sampling over a file-backed stream, each verified
+against the identical batch computation on the same rows — the
+batch/stream parity the md5-derived determinism exists to provide.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+from trike_spark.streaming.analytics import (
+    streaming_countmin_cells,
+    streaming_hash_sample,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("token", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+
+def _write(src, name, rows):
+    with open(src / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _poll(spark, q, table, pred, timeout=90):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if q.exception():
+            raise AssertionError(str(q.exception()))
+        rows = spark.table(table).collect()
+        if pred(rows):
+            return rows
+        time.sleep(1)
+    raise AssertionError(f"timeout; rows={spark.table(table).collect()}")
+
+
+TOKENS_B1 = [
+    {"token": t, "ts": f"2024-01-01T10:00:{i % 50:02d}.000Z"}
+    for i, t in enumerate(["the", "cat", "the", "dog", "the", "cat", "a", "b"])
+]
+TOKENS_B2 = [
+    {"token": t, "ts": f"2024-01-01T10:01:{i % 50:02d}.000Z"}
+    for i, t in enumerate(["the", "zebra", "cat", "the"])
+]
+
+
+def test_streaming_countmin_matches_batch_cells(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(src, "b1.json", TOKENS_B1)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("timestampFormat", TS_FMT).json(str(src))
+    )
+    cells = streaming_countmin_cells(stream)
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _poll(spark, q, "cms_out", lambda rows: len(rows) > 0)
+        _write(src, "b2.json", TOKENS_B2)
+        # batch reference over the SAME rows — identical operator code path
+        batch = spark.createDataFrame(
+            [(r["token"], r["ts"].replace("Z", "")) for r in TOKENS_B1 + TOKENS_B2],
+            "token string, ts_s string",
+        ).select("token", F.to_timestamp("ts_s").alias("ts"))
+        expected = {
+            (r["window_start"], r["d"], r["cell"], r["c"])
+            for r in streaming_countmin_cells(batch).collect()
+        }
+        got = _poll(
+            spark,
+            q,
+            "cms_out",
+            lambda rows: {(r["window_start"], r["d"], r["cell"], r["c"]) for r in rows}
+            == expected,
+        )
+        # both event-time windows present, state is cells — not per-token
+        assert len({r["window_start"] for r in got}) == 2
+    finally:
+        q.stop()
+
+
+def test_streaming_hash_sample_matches_batch_filter(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"token": f"doc-{i}", "ts": "2024-01-01T10:00:00.000Z"} for i in range(200)
+    ]
+    _write(src, "b1.json", rows)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("timestampFormat", TS_FMT).json(str(src))
+    )
+    sampled = streaming_hash_sample(stream, key_col="token", rate_pct=10)
+    q = (
+        sampled.writeStream.format("memory")
+        .queryName("sample_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        batch = spark.createDataFrame([(r["token"],) for r in rows], "token string")
+        expected = {
+            r["token"]
+            for r in streaming_hash_sample(batch, "token", 10).collect()
+        }
+        assert 0 < len(expected) < 200  # the draw really samples
+        got = _poll(
+            spark,
+            q,
+            "sample_out",
+            lambda rs: {r["token"] for r in rs} == expected,
+        )
+        assert {r["token"] for r in got} == expected
+    finally:
+        q.stop()

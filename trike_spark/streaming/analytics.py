@@ -1,0 +1,93 @@
+"""Streaming twins of the batch sketch/curation families: a windowed
+Count-Min sketch and deterministic hash sampling over an event stream.
+
+Batch answers "what happened in the corpus"; these answer the same
+questions over an unbounded stream with bounded state:
+
+  * :func:`streaming_countmin_cells` — per-event-time-window CMS cell
+    counts. State is W·D cells per open window regardless of stream rate
+    (the sketch's whole point); the watermark bounds how many windows are
+    open. The hash family is the SAME md5-affine one the batch
+    ``sketch_countmin_heavyhitters`` and its DuckDB oracle use, so a
+    windowed streaming sketch can be unioned with / compared against a
+    batch-built one cell-by-cell.
+  * :func:`streaming_hash_sample` — the ``curation_hash_sample`` predicate
+    (md5 draw) applied to a stream: a stateless narrow filter, so it works
+    in append mode with no watermark and keeps exactly the rows the batch
+    query would keep on the same data (reproducible sampling across
+    batch/stream replays).
+
+Both take and return DataFrames, so they compose with any source
+(socket/file/Kinesis-replay from streaming/sources.py) and sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from trike_spark.queries.curation import _draw
+from trike_spark.queries.sketches import CMS_D, CMS_P, CMS_W, _cms_a, _cms_b
+from trike_spark.queries.dedup import _h60
+
+
+def _cms_cell_dyn(h: Column, d: Column) -> Column:
+    """The batch ``_cms_cell`` with the hash-row index as a COLUMN: the
+    stream explodes each token into its D sketch rows, so (a, b) come from
+    literal arrays indexed by d instead of Python constants."""
+    a = F.element_at(F.array(*[F.lit(_cms_a(i)) for i in range(CMS_D)]), d + 1)
+    b = F.element_at(F.array(*[F.lit(_cms_b(i)) for i in range(CMS_D)]), d + 1)
+    return ((h % (1 << 30)) * a + b) % CMS_P % CMS_W
+
+
+def streaming_countmin_cells(
+    events: DataFrame,
+    token_col: str = "token",
+    ts_col: str = "ts",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed Count-Min cells over a token stream.
+
+    Returns (window_start, window_end, d, cell, c) — one row per non-empty
+    sketch cell per event-time window. ONE stateful aggregation: each token
+    explodes into its D (d, cell) coordinates first, so the D hash rows
+    ride a single groupBy instead of a union of D streaming aggs (which
+    Structured Streaming would reject as multiple stateful operators).
+    Works on a static DataFrame too (same plan, no watermark semantics) —
+    the tests exploit that for an exact batch-vs-stream comparison.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    exploded = src.select(
+        F.col(ts_col),
+        _h60(F.col(token_col)).alias("hh"),
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d"),
+    )
+    return (
+        exploded.select(
+            F.col(ts_col), "d", _cms_cell_dyn(F.col("hh"), F.col("d")).alias("cell")
+        )
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), "d", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "d",
+            "cell",
+            "c",
+        )
+    )
+
+
+def streaming_hash_sample(
+    events: DataFrame, key_col: str, rate_pct: int
+) -> DataFrame:
+    """Deterministic Bernoulli sample of a stream: keep rows whose md5
+    draw on ``key_col`` falls under ``rate_pct`` — the exact
+    ``curation_hash_sample`` predicate, so the streamed sample equals the
+    batch sample of the same rows (replay-stable, partitioning-independent,
+    unlike ``df.sample``). Stateless narrow filter: append-mode safe, no
+    watermark, no state store."""
+    return events.filter(_draw(F.col(key_col)) < rate_pct)
