@@ -165,3 +165,37 @@ def test_countmin_partial_agg_before_exchange(spark):
         df.explain("simple")
     plan = buf.getvalue()
     assert "partial_count" in plan, plan
+
+
+def test_q2_dims_broadcast_correlation_decorrelated(spark):
+    """The correlated min must decorrelate into aggregations + joins with
+    every dimension broadcast — never a per-part re-execution or a
+    cartesian. The only shuffles are the two (partkey, suppkey) aggs."""
+    from trike_spark.queries.relational import q2_min_cost_supplier
+
+    df = q2_min_cost_supplier(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert "CartesianProduct" not in tree
+    assert plans.broadcast_join_count(df) >= 3, tree
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    from trike_spark.queries.relational import q16_supplier_part_counts
+
+    df = q16_supplier_part_counts(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert "LeftAnti" in tree, tree
+    assert plans.broadcast_join_count(df) >= 2, tree
+
+
+def test_q21_semi_anti_are_equi_joins_not_cartesian(spark):
+    """EXISTS/NOT EXISTS ride the l_orderkey equi-key with the supplier
+    inequality as a residual: both must plan as hash/sort-merge semi and
+    anti joins, never BroadcastNestedLoop/Cartesian over lineitem."""
+    from trike_spark.queries.relational import q21_sole_blame_supplier
+
+    df = q21_sole_blame_supplier(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert "CartesianProduct" not in tree
+    assert "LeftSemi" in tree, tree
+    assert "LeftAnti" in tree, tree

@@ -279,3 +279,167 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+_SQL_PS = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_SQL_PS})
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM part
+    JOIN ps       ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    """,
+    doc="TPC-H Q2 shape: per-part min-cost supplier in a region — correlated "
+    "min over a 4-way dimension join (partsupp emulated from lineitem).",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated subquery decorrelates into one extra aggregation:
+    ``eligible`` (region-scoped part/supplier costs) is computed ONCE,
+    reused for both the per-part min and the final equality — at scale
+    that's two shuffles over the slim (partkey, suppkey, cost) projection,
+    with every dimension (supplier, nation, region, filtered part)
+    broadcast so the fact-derived table never shuffles for a dim join.
+    Reference parity: TPC-H Q2's min-cost-supplier semantics re-expressed
+    on the driver's 10-table schema (no partsupp: supplier-part links and
+    costs derive from lineitem)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sdim = (
+        supplier.join(broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = ps.join(broadcast(sdim), ps.ps_suppkey == sdim.s_suppkey)
+    min_cost = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    return (
+        eligible.join(F.broadcast(min_cost), "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+                FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 15, 25, 35)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: supplier counts per part group, excluding a "
+    "NOT-IN supplier subquery; count-distinct after an anti join.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN compiles to a broadcast LEFT ANTI join against the (tiny,
+    non-null-key) excluded-supplier set; the count-distinct aggregates the
+    deduplicated (partkey, suppkey) projection — Catalyst plans it as a
+    two-phase distinct-then-count, partial before each exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 15, 25, 35)
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_sole_blame_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey AND l1.l_returnflag = 'R'
+    JOIN orders      ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN nation      ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_9'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape: suppliers solely responsible for a returned line "
+    "in multi-supplier finalized orders — EXISTS + NOT EXISTS composition.",
+)
+def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hardest semi/anti composition in the classic suite: one LEFT
+    SEMI join (another supplier touched the order) and one LEFT ANTI join
+    (no other supplier's line was returned) against the same fact table,
+    both equi-keyed on l_orderkey with the inequality riding as a join
+    residual — so each is a shuffle-hash/sort-merge join at scale, never a
+    cartesian. Dimensions (supplier⋈nation, order status) broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    sdim = supplier.join(
+        broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "s_name")
+    cand = (
+        l1.join(broadcast(sdim), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey"), F.col("l1.l_orderkey") == F.col("o_orderkey"))
+    )
+    with_other = cand.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return sole.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
