@@ -63,11 +63,14 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in REGISTRY]
 
+    from trike_spark.cache import release_checkpoints
+
     # Warm-up pass: JVM JIT, whole-stage codegen compile, parquet footer
     # cache. We benchmark steady-state execution, which is what a long-lived
     # cluster sees; cold-start is a one-time cost amortized over a session.
     for name in names:
         REGISTRY[name].fn(spark, sf_dir).collect()
+        release_checkpoints()
 
     # n timed runs per query (default 5): single-run timings in this
     # container are noisy (±30%), and best-of-2 could not distinguish noise
@@ -87,6 +90,9 @@ def main() -> None:
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
+            # untimed cleanup: each run rebuilds its checkpoints, so release
+            # the previous run's blocks or n runs accumulate n copies
+            release_checkpoints()
         runs.sort()
         timings[name] = round(runs[0], 3)
         mid = len(runs) // 2

@@ -43,3 +43,27 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     total = spark.read.parquet(path).count()
     f_only = back.count()
     assert 0 < f_only < total
+
+
+def test_csv_codec_contract_lossless_for_hostile_strings(spark, tmp_path):
+    """The scan-face CSV options (queries/scans.py) must round-trip ANY
+    string content — leading/trailing whitespace, embedded newlines and
+    quotes, empty-vs-null — bit-for-bit (round-2 advice: writer defaults
+    trim whitespace and the reader nulls empty strings)."""
+    from trike_spark.queries.scans import _CSV_READ_OPTS, _CSV_WRITE_OPTS
+
+    rows = [
+        (1, "  leading spaces"),
+        (2, "trailing spaces  "),
+        (3, "embedded\nnewline"),
+        (4, 'quote " and, comma'),
+        (5, ""),
+        (6, None),
+        (7, "\\N literal backslash-N"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    path = str(tmp_path / "csv_hostile")
+    df.write.mode("overwrite").options(**_CSV_WRITE_OPTS).csv(path)
+    back = spark.read.schema("id bigint, text string").options(**_CSV_READ_OPTS).csv(path)
+    got = {(r["id"], r["text"]) for r in back.collect()}
+    assert got == set(rows)

@@ -12,7 +12,6 @@ does split.
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 from pyspark.sql import functions as F
 

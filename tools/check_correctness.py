@@ -67,6 +67,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
             continue
+        finally:
+            # free tracked localCheckpoint blocks (dedup/graph intermediates)
+            from trike_spark.cache import release_checkpoints
+
+            release_checkpoints()
         if spec.oracle is None:
             print(f"rows-only  {name}: {len(srows)} rows")
             if len(srows) == 0:

@@ -22,20 +22,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. No .cache(), no .collect() — the plan stays
-    lazy so downstream filters push into the parquet reader."""
+    lazy so downstream filters push into the parquet reader. Side-effect
+    free apart from the once-per-session conf adaptation (see
+    :func:`trike_spark.session.ensure_session_confs`)."""
+    from trike_spark.session import ensure_session_confs
+
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
-    # timestamps compare against a naive-UTC oracle; pin the session tz even
-    # when running under a caller-provided SparkSession (runtime-settable)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_session_confs(spark)
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
         # timestamp type, so read nanos as long and truncate to micros
         # (the synthetic data is micro-precision, so this is lossless).
-        # Runtime conf so it also works under the driver's own session.
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(table_path(sf_dir, name))

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from trike_spark import cache
+
 
 class ConvergenceError(RuntimeError):
     """An iterative operator hit max_iter with changes still flowing —
@@ -55,17 +57,16 @@ def connected_components(
     # branches are the same (possibly very expensive) upstream plan, and
     # Spark does not common-subexpression-eliminate across union branches —
     # without this checkpoint the pair-generation pipeline runs twice.
-    base = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).localCheckpoint(
-        eager=True
+    base = cache.checkpoint(
+        pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     )
     edges = base.unionByName(
         base.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst"))
     ).persist()
-    labels = (
+    labels = cache.checkpoint(
         edges.select(F.col("e_src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     changed = 1
     iterations = 0
@@ -85,10 +86,10 @@ def connected_components(
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
                 (F.col("nlbl") < F.col("lbl")).alias("chg"),
             )
-            .localCheckpoint(eager=True)  # materialize + truncate lineage
         )
+        new_labels = cache.checkpoint(new_labels)  # materialize + truncate lineage
         changed = new_labels.filter("chg").limit(1).count()
-        labels.unpersist()
+        cache.release(labels)  # DataFrame.unpersist is a no-op for checkpoints
         labels = new_labels
         iterations += 1
         if changed == 0:
@@ -167,17 +168,15 @@ def connected_components_star(
     verified to be a star forest (every parent is a root), so a fingerprint
     collision cannot smuggle a wrong answer through.
     """
-    base = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
-    )
+    base = cache.checkpoint(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     nodes = (
         base.select("u")
         .unionByName(base.select(F.col("v").alias("u")))
         .distinct()
         .withColumnRenamed("u", "node")
-        .localCheckpoint(eager=True)
     )
-    edges = base.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    nodes = cache.checkpoint(nodes)
+    edges = cache.checkpoint(base.filter(F.col("u") != F.col("v")).distinct())
 
     def fingerprint(e: DataFrame) -> tuple[int, int]:
         row = e.agg(
@@ -194,10 +193,10 @@ def connected_components_star(
     iterations = 0
     converged = False
     for _ in range(max_iter):
-        new_edges = _star_round(_star_round(edges, large=True), large=False).localCheckpoint(
-            eager=True
+        new_edges = cache.checkpoint(
+            _star_round(_star_round(edges, large=True), large=False)
         )
-        edges.unpersist()
+        cache.release(edges)
         edges = new_edges
         iterations += 1
         cur = fingerprint(edges)

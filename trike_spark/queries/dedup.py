@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trike_spark.io import load_table
+from trike_spark import cache
 from trike_spark.operators.graph import connected_components
 from trike_spark.registry import register
 
@@ -201,10 +202,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bb"),
         )
         .select("doc_id", "bb.band_idx", "bb.band_hash")
-        # materialized once: Spark does not CSE across self-join branches,
-        # so without this the whole shingle→minhash pipeline runs twice
-        .localCheckpoint(eager=True)
     )
+    # materialized once: Spark does not CSE across self-join branches, so
+    # without this the whole shingle→minhash pipeline runs twice. Tracked
+    # (trike_spark.cache) so sessions can release the blocks between queries.
+    buckets = cache.checkpoint(buckets)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -252,20 +254,18 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every downstream shuffle and comparison carries 8 bytes (the oracle
     # hashes identically, so any collision is mirrored cross-engine; at
     # 2^60 it is also semantically negligible).
-    ex = (
+    ex = cache.checkpoint(
         sh.select("doc_id", F.explode("shingles").alias("s"))
         .select("doc_id", _h60(F.col("s")).alias("k"))
-        .localCheckpoint(eager=True)
     )
     # hot-shingle guard: a shingle in >DF docs contributes DF² pairs; at
     # corpus scale these are boilerplate n-grams with no dedup signal.
     # A count-over-window needs ONE shuffle of ex (no sort: whole-partition
     # frame); the groupBy+semi-join form shuffles twice.
-    exf = (
+    exf = cache.checkpoint(
         ex.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("k")))
         .filter(F.col("c") <= MAX_SHINGLE_DF)
         .drop("c")
-        .localCheckpoint(eager=True)
     )
     a = exf.alias("a")
     b = exf.alias("b")

@@ -16,6 +16,7 @@ inference would cost a full extra pass over 100 TB.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +25,45 @@ from pyspark.sql import functions as F
 from trike_spark.io import load_table
 from trike_spark.queries._util import dsum, sql_dsum
 from trike_spark.registry import register
+
+# Lossless CSV codec contract, applied to BOTH write and read: Spark's
+# writer defaults trim whitespace and its reader maps bare empty fields to
+# null — any document text with leading/trailing spaces, embedded newlines
+# (multiLine), or empty-vs-null distinction (nullValue sentinel vs quoted
+# empty) would silently diverge from the oracle reading the original
+# parquet. FAILFAST so a codec gap surfaces as an error, not a hash drift.
+_CSV_WRITE_OPTS = {
+    "header": "true",
+    "quote": '"',
+    "escape": '"',
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+    "nullValue": "\\N",
+    "emptyValue": '""',
+}
+_CSV_READ_OPTS = {
+    "header": "true",
+    "quote": '"',
+    "escape": '"',
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+    "nullValue": "\\N",
+    "emptyValue": "",
+    "multiLine": "true",
+    "mode": "FAILFAST",
+}
+
+
+def _scan_tmp(spark: SparkSession, face: str) -> str:
+    """Deterministic per-session scratch dir (overwritten on every call):
+    round 2 used a fresh mkdtemp per invocation, which leaked a full table
+    copy per bench/correctness run. One path per (session, face), written
+    with mode=overwrite, bounds disk at one copy."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"trike_scan_{spark.sparkContext.applicationId}",
+        face,
+    )
 
 
 @register(
@@ -38,11 +78,11 @@ from trike_spark.registry import register
 )
 def scan_csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    path = tempfile.mkdtemp(prefix="trike_csv_")
-    d.write.mode("overwrite").option("header", True).csv(path)
+    path = _scan_tmp(spark, "csv_documents")
+    d.write.mode("overwrite").options(**_CSV_WRITE_OPTS).csv(path)
     back = (
         spark.read.schema("doc_id bigint, text string, lang string, n_chars bigint")
-        .option("header", True)
+        .options(**_CSV_READ_OPTS)
         .csv(path)
     )
     return back.groupBy("lang").agg(
@@ -68,7 +108,7 @@ def scan_json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE value); the decimal-exact sum then matches the oracle run on the
     original parquet bit-for-bit."""
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="trike_json_")
+    path = _scan_tmp(spark, "json_events")
     e.write.mode("overwrite").json(path)
     back = spark.read.schema(
         "event_id bigint, user_id bigint, event_type string, value double"

@@ -87,7 +87,36 @@ def get_spark(app_name: str = "trike_spark", config: EngineConfig | None = None)
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+    # nanos-as-long for the events table's TIMESTAMP(NANOS) column — set at
+    # build time here; ensure_session_confs covers foreign sessions.
+    builder = builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Only set master when not already inside a cluster-provided session.
     if "SPARK_CONNECT_MODE_ENABLED" not in os.environ:
         builder = builder.master(cfg.master)
     return builder.getOrCreate()
+
+
+_ADAPTED_SESSIONS: set[int] = set()
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Adapter for CALLER-PROVIDED sessions (the correctness driver builds
+    its own plain SparkSession): idempotently pin the two runtime-settable
+    confs query results depend on — UTC session timezone (timestamps
+    compare against a naive-UTC oracle) and nanos-as-long parquet reads
+    (the events table stores TIMESTAMP(NANOS), which Spark can't represent
+    natively). Sessions built by :func:`get_spark` already have both.
+
+    Runs once per session object: repeated ``load_table`` calls must not
+    keep mutating shared session state as a read side effect (a conf flip
+    mid-flight by a concurrent caller would otherwise be silently undone).
+    Contract for callers who manage their own session: either route reads
+    through ``trike_spark.io`` (which calls this) or set these two confs
+    themselves.
+    """
+    key = id(spark)
+    if key in _ADAPTED_SESSIONS:
+        return
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ADAPTED_SESSIONS.add(key)

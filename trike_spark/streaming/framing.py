@@ -15,6 +15,16 @@ Spark mapping: ``applyInPandasWithState`` keyed by ``conn_id``:
 Scale: state partitions by conn_id across the cluster; each connection's
 buffer is a few KiB (socket-buffer bounded upstream), so state size is
 O(live connections), exactly like the reference's per-process heap usage.
+
+CHECKPOINT MIGRATION NOTE (round 1 → round 2): ``_STATE_SCHEMA`` gained an
+``nseq BIGINT`` field (per-connection monotonic frame counter) and
+``FRAMED_SCHEMA`` gained the corresponding ``seq`` output column. A
+streaming checkpoint written by the round-1 schema (``buffer STRING``
+only) is NOT compatible: Spark's state store will fail or misdecode the
+widened row on restart. Deploying this version over an existing pipeline
+requires a fresh ``checkpointLocation`` (losing at-least-once dedup
+history for in-flight keys) or an offline state rewrite. State-schema
+changes are breaking by default — this note is the contract reminder.
 """
 
 from __future__ import annotations
