@@ -25,6 +25,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_revenue_by_nation",
     "q10_returned_items",
+    "q7_volume_shipping",
+    "q18_large_volume_customers",
     "agg_cube_flags",
     "window_running_total",
     "join_asof_event_order",

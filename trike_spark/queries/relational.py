@@ -443,3 +443,257 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return sole.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM({_SQL_DISC}), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: cross-nation shipping volume by year — two nation "
+    "role-joins with a disjunctive pair filter.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nation dimension joins TWICE in different roles (supplier's vs
+    customer's); both legs broadcast, and the pair filter applies after the
+    second dim join so Catalyst can still push each leg's n_name IN (…)
+    residual into the broadcast hash join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    sdim = supp.join(broadcast(n1), supp.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cdim = cust.join(broadcast(n2), cust.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        li.join(broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            _disc_price().alias("dp"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("dp"), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution — outer join "
+    "with an ON-clause residual, double aggregation.",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual predicate must live in the JOIN condition, not a WHERE
+    (a WHERE would turn the left join inner and drop zero-order
+    customers). COUNT(o_orderkey) counts matches only — null-safe by SQL
+    semantics in both engines. Two shuffles: by custkey, then by c_count
+    (the second over ≤ |distinct counts| rows)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "5-LOW"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE)
+           AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_size < 10
+      AND 5.0 * l_quantity * (SELECT COUNT(*) FROM lineitem l2
+                              WHERE l2.l_partkey = p_partkey)
+          < (SELECT SUM(l_quantity) FROM lineitem l3
+             WHERE l3.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17 shape: revenue from small-quantity orders (below 20% of "
+    "the part's average) — correlated aggregate, division-free.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated ``l_quantity < 0.2 * avg(per-part)`` is algebraically
+    rewritten division-free: ``5·q·count < sum`` — quantities are small
+    integers stored as doubles, so both sides are EXACT in IEEE double
+    regardless of aggregation order, and the comparison can't flip between
+    engines the way a rounded average could. Decorrelated into one per-part
+    aggregate joined back to the (brand, size)-filtered probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10)
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("qty_sum")
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pp_key"))
+        .filter(F.lit(5.0) * F.col("l_quantity") * F.col("cnt") < F.col("qty_sum"))
+        .agg(
+            (F.round(F.sum(mdec("l_extendedprice")) / 7.0, 2))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H Q18 shape: large-volume orders — IN over a grouped HAVING, "
+    "i.e. a semi join against an aggregate.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IN-subquery compiles to a LEFT SEMI join of orders against the
+    per-order quantity aggregate; quantity sums are integer-valued doubles
+    (exact at any fold order), so no decimal cast is needed for the HAVING
+    threshold or the output sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == F.col("big_key"), "left_semi")
+        .join(broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(ROUND(SUM({_SQL_DISC}), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive (brand, size, quantity) "
+    "clauses — OR-predicate pushdown across a join.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst factors the cross-table OR: the l_quantity bounds (1..30)
+    and the part brand/size union push to their respective scans as
+    coarse filters, with the exact disjunction evaluated after the
+    broadcast join — at 100 TB the coarse pushdown is what keeps the scan
+    from reading every row group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(clause).agg(
+        F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,4))
+            * (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer c3
+             WHERE c3.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no recent "
+    "orders — global-aggregate subquery + NOT EXISTS anti join, division-free.",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``c_acctbal > avg(positive balances)`` is compared division-free
+    (``bal·count > sum`` in exact decimal) so no engine-specific decimal
+    division scale can flip a boundary row. The 1-row global aggregate
+    broadcasts via crossJoin; NOT EXISTS is a LEFT ANTI against the
+    distinct custkeys with RECENT orders (every customer in the testdata
+    has some historical order, so the classic no-orders-ever predicate
+    would be vacuously empty)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(mdec("c_acctbal")).alias("bal_sum")
+    )
+    has_orders = orders.select(F.col("o_custkey")).distinct()
+    return (
+        cust.crossJoin(broadcast(stats))
+        .filter(mdec("c_acctbal") * F.col("cnt") > F.col("bal_sum"))
+        .join(has_orders, cust.c_custkey == has_orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(mdec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+    )
