@@ -523,3 +523,62 @@ def dedup_embedding_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     assert planes.shape == (LSH_ROTATIONS, LSH_ROT_PLANES, DIM)
     pairs = lsh_bucket_cosine_pairs(emb, planes, threshold=0.4)
     return pairs.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine")).distinct()
+
+
+@register(
+    "dedup_semantic_keep_min",
+    f"""
+    WITH dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_sql_cos_ab()} >= 0.4)
+    SELECT label, COUNT(*) AS n_kept
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT dup_id FROM dups)
+    GROUP BY label
+    """,
+    doc="SemDeDup-style semantic dedup: within each cluster (label = the "
+    "IVF cell), drop vectors with a more-canonical (lower-id) neighbor at "
+    "cosine ≥ 0.4; per-cluster survivor counts.",
+)
+def dedup_semantic_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) re-expressed relationally: clustering
+    is the existing label partition (the IVF cell assignment), and the
+    "keep one representative per semantic duplicate set" rule is keep-min:
+    a vector is dropped iff a lower-id vector in the SAME cluster sits at
+    cosine ≥ 0.4. That is one within-label equi-join (pairs meet only
+    inside their cluster — the whole point of clustering first: candidate
+    count scales with cell occupancy, not n²) feeding a LEFT ANTI join.
+
+    Scale posture: the pair join and the anti join both key on (label,
+    vec_id) — two label-partitioned shuffles, no broadcast of the corpus.
+    Cells too hot for an in-cell pair join at 100 TB get the same grid
+    decomposition as operators/vector_blocks.py (documented, not needed at
+    test scale where the HOF fold is already cell-bounded). The cosine is
+    the engines' shared left fold, so the driver hash-verifies the exact
+    drop set, not just counts. ``n_unique_seed`` = survivors by
+    construction (kept rows are never dups) — it pins the EXISTS/anti-join
+    equivalence in both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    from trike_spark.queries.vectors import cosine
+
+    a = emb.select(
+        F.col("label").alias("a_label"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = emb.select(
+        F.col("label").alias("b_label"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    dup_ids = (
+        b.join(a, (F.col("b_label") == F.col("a_label")) & (F.col("a_id") < F.col("b_id")))
+        .filter(cosine(F.col("a_emb"), F.col("b_emb")) >= 0.4)
+        .select(F.col("b_id"))
+        .distinct()
+    )
+    kept = emb.join(dup_ids, emb.vec_id == dup_ids.b_id, "left_anti")
+    return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
