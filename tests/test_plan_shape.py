@@ -199,3 +199,33 @@ def test_q21_semi_anti_are_equi_joins_not_cartesian(spark):
     assert "CartesianProduct" not in tree
     assert "LeftSemi" in tree, tree
     assert "LeftAnti" in tree, tree
+
+
+def test_q7_dual_role_nation_broadcasts(spark):
+    from trike_spark.queries.relational import q7_volume_shipping
+
+    df = q7_volume_shipping(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert "CartesianProduct" not in tree
+    assert plans.broadcast_join_count(df) >= 2, tree
+
+
+def test_q18_in_over_having_is_semi_join(spark):
+    from trike_spark.queries.relational import q18_large_volume_customers
+
+    df = q18_large_volume_customers(spark, SF_DIR)
+    assert "LeftSemi" in plans.plan_tree(df)
+
+
+def test_q17_brand_filter_pushed_to_part_scan(spark):
+    from trike_spark.queries.relational import q17_small_quantity_revenue
+
+    df = q17_small_quantity_revenue(spark, SF_DIR)
+    assert plans.has_pushed_filter(df, "p_brand")
+
+
+def test_q22_not_exists_is_anti_join(spark):
+    from trike_spark.queries.relational import q22_idle_rich_customers
+
+    df = q22_idle_rich_customers(spark, SF_DIR)
+    assert "LeftAnti" in plans.plan_tree(df)

@@ -461,3 +461,37 @@ def scalar_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32("text").alias("text_crc32"),
         F.hash("text").alias("text_murmur3"),
     )
+
+
+@register(
+    "scalar_udtf_tokenize",
+    """
+    SELECT lang, CAST(i - 1 AS INT) AS pos, t AS token, COUNT(*) AS n
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS t,
+                 generate_subscripts(string_split(text, ' '), 1) AS i
+          FROM documents)
+    WHERE i <= 3
+    GROUP BY lang, i, t
+    """,
+    doc="Python UDTF face: lateral row expansion via tokenize_spans, "
+    "hash-verified against plain unnest-with-ordinality SQL.",
+)
+def scalar_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the registered UDTF through SQL LATERAL — the full Spark 4
+    UDTF execution path (Python worker row expansion), constrained to the
+    first 3 token positions so output stays small. Semantically identical
+    to posexplode(split(...)); the UDTF exists to prove the API surface
+    with a hard oracle signal (see functions/table_udfs.py)."""
+    from trike_spark.functions.table_udfs import register_udtfs
+    from trike_spark.io import register_views
+
+    register_udtfs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.lang, s.pos, s.token, COUNT(*) AS n
+        FROM documents d, LATERAL tokenize_spans(d.text) s
+        WHERE s.pos < 3
+        GROUP BY d.lang, s.pos, s.token
+        """
+    )

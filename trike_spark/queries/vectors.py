@@ -336,3 +336,87 @@ def sim_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+@register(
+    "sim_lsh_recall_at_k",
+    f"""
+    WITH planes AS (
+      SELECT vec_id, embedding,
+             {', '.join(
+                 "CASE WHEN list_aggregate(list_transform(list_zip(embedding, "
+                 f"list_transform(generate_series(0, {DIM - 1}), j -> {_sql_plane_component(p, 'j')})), "
+                 "p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') > 0 "
+                 f"THEN {1 << p} ELSE 0 END AS b_{p}"
+                 for p in range(LSH_PLANES)
+             )}
+      FROM embeddings),
+    bucketed AS (SELECT vec_id, embedding,
+                        {' + '.join(f'b_{p}' for p in range(LSH_PLANES))} AS bucket
+                 FROM planes),
+    truth AS (
+      SELECT q_vec_id, n_vec_id FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_SQL_COS}, 6) DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES})
+      WHERE rk <= {TOP_K}),
+    cand AS (
+      SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES})
+    SELECT t.q_vec_id,
+           CAST(COUNT(c.n_vec_id) AS BIGINT) AS n_found,
+           CAST(COUNT(c.n_vec_id) AS DOUBLE) / {TOP_K} AS recall
+    FROM truth t LEFT JOIN cand c
+      ON t.q_vec_id = c.q_vec_id AND t.n_vec_id = c.n_vec_id
+    GROUP BY t.q_vec_id
+    """,
+    doc=f"ANN quality metric: recall@{TOP_K} of the {LSH_PLANES}-plane LSH "
+    "candidate set against brute-force ground truth, per query vector.",
+)
+def sim_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The self-evaluation face every ANN deployment needs: join the LSH
+    candidate set against the exact top-k and measure recall per query —
+    the number a user consults before trading the brute-force scan for the
+    bucketed path. Both legs reuse the registered operators' exact plans
+    (broadcast query side; Arrow bucket kernel); recall = found/k is exact
+    in double (small integers). At 100 TB this runs on a sampled query set
+    — the truth leg is the expensive O(|Q|·n) scan, which is the point of
+    measuring before switching."""
+    import numpy as np
+
+    from trike_spark.operators.vector_blocks import hyperplane_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = sim_topk_bruteforce(spark, sf_dir).select("q_vec_id", "n_vec_id")
+    planes = np.array([_plane_values(p) for p in range(LSH_PLANES)])
+    a = hyperplane_buckets(emb.filter(F.col("vec_id") < N_QUERIES), planes).select(
+        F.col("vid").alias("q_vec_id"), F.col("bucket").alias("q_bucket")
+    )
+    b = hyperplane_buckets(emb, planes).select(
+        F.col("vid").alias("c_vec_id"), F.col("bucket").alias("n_bucket")
+    )
+    cand = (
+        b.join(
+            broadcast(a),
+            (F.col("n_bucket") == F.col("q_bucket"))
+            & (F.col("c_vec_id") != F.col("q_vec_id")),
+        )
+        .select("q_vec_id", F.col("c_vec_id"))
+    )
+    return (
+        truth.join(
+            cand,
+            (truth.q_vec_id == cand.q_vec_id) & (truth.n_vec_id == cand.c_vec_id),
+            "left",
+        )
+        .select(truth.q_vec_id.alias("q"), cand.c_vec_id)
+        .groupBy(F.col("q").alias("q_vec_id"))
+        .agg(
+            F.count("c_vec_id").cast("bigint").alias("n_found"),
+            (F.count("c_vec_id").cast("double") / TOP_K).alias("recall"),
+        )
+    )
