@@ -175,3 +175,28 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_maybe_member"))
     )
+
+
+@register(
+    "sketch_quantiles_approx",
+    None,  # rows-only: DuckDB's approx_quantile is a different sketch —
+    # cross-engine value equality is undefined by design; the pytest
+    # bounded-error check against exact percentiles is the real gate.
+    doc="Approximate per-group quantiles (Spark percentile_approx, "
+    "GK-sketch): the bounded-memory scale path exact percentile is the "
+    "baseline for; error-bound-tested against agg_percentiles.",
+)
+def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx runs the Greenwald-Khanna sketch with map-side
+    partial merge — fixed memory per group regardless of row count, the
+    100 TB replacement for the exact sort-based percentile. ``accuracy``
+    10000 → rank error ≤ n/10000. Deterministic given the data (the
+    sketch is order-insensitive on merge), but not bit-comparable to
+    DuckDB's different approx sketch, so the oracle is omitted and
+    tests/test_sketch_quantiles.py pins |approx − exact| instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
