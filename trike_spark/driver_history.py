@@ -74,3 +74,15 @@ VERIFIED_R02: frozenset[str] = frozenset(
 
 # Union of every name hard-verified by any past driver round.
 DRIVER_VERIFIED: frozenset[str] = VERIFIED_R02
+
+# Queries the round-2 verdict explicitly asked to see driver-green this
+# round ("q2, q16, q21 … each lands inside the rotated driver window").
+# They rank FIRST within their family's unverified bucket so a large
+# family can't crowd them out of the 50-entry window.
+WINDOW_PRIORITY: frozenset[str] = frozenset(
+    {
+        "q2_min_cost_supplier",
+        "q16_supplier_part_counts",
+        "q21_sole_blame_supplier",
+    }
+)

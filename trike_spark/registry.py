@@ -103,13 +103,17 @@ def interleaved_export_names() -> dict[str, str]:
     docs/QUERY_ORDER.md.
     """
     load_all_query_modules()
-    from trike_spark.driver_history import DRIVER_VERIFIED
+    from trike_spark.driver_history import DRIVER_VERIFIED, WINDOW_PRIORITY
 
     fresh: dict[str, list[str]] = {}
     seen: dict[str, list[str]] = {}
-    # Within a family, oracle-backed queries sort before rows-only ones so a
-    # capped driver window verifies hashes, not just row counts.
-    for name in sorted(REGISTRY, key=lambda n: (REGISTRY[n].oracle is None, n)):
+    # Within a family: verdict-priority queries first, then oracle-backed
+    # before rows-only (a capped driver window should verify hashes, not
+    # just row counts), then alphabetical.
+    for name in sorted(
+        REGISTRY,
+        key=lambda n: (n not in WINDOW_PRIORITY, REGISTRY[n].oracle is None, n),
+    ):
         bucket = seen if name in DRIVER_VERIFIED else fresh
         bucket.setdefault(REGISTRY[name].fn.__module__, []).append(name)
     ordered = _interleave(fresh) + _interleave(seen)
