@@ -79,3 +79,26 @@ def test_min_label_converges_on_shallow_graph_with_stats(spark):
     }
     # shallow graph: diameter+1 rounds at most (final no-change round).
     assert stats["iterations"] <= 4
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path, monkeypatch):
+    """SPARK_CHECKPOINT_DIR flips every cache.checkpoint site to reliable
+    checkpoints (setCheckpointDir + Dataset.checkpoint) — the cluster
+    deployment mode where executor loss must be survivable. Both CC
+    algorithms must produce identical labels in both modes, and the
+    checkpoint dir must actually receive checkpoint files (proof the
+    reliable path ran, not the local one)."""
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    monkeypatch.setenv("SPARK_CHECKPOINT_DIR", ckpt_dir)
+    edges = _edges(spark, GRAPHS["two_triangles"])
+    expected = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+    assert _labels(connected_components(edges)) == expected
+    assert _labels(connected_components_star(edges)) == expected
+    import os
+
+    written = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckpt_dir)
+        for f in files
+    ]
+    assert written, "reliable mode must write checkpoint files to SPARK_CHECKPOINT_DIR"

@@ -25,11 +25,28 @@ def test_entry_smoke(spark):
     assert df.columns == ["n_name", "revenue"]
 
 
+def test_readme_census_matches_registry():
+    """The README's 'N registered operators' claim must track the registry —
+    the inventory is what the driver contract audits (r3 verdict item 5)."""
+    import re
+
+    readme = open("/root/repo/README.md").read()
+    m = re.search(r"(\d+) registered operators", readme)
+    assert m, "README must state the registered-operator count"
+    assert int(m.group(1)) == len(REGISTRY)
+    m2 = re.search(r"(\d+)-query DuckDB oracle gate", readme)
+    assert m2 and int(m2.group(1)) == len(REGISTRY)
+
+
 def test_oracle_coverage():
     """Every query either has an oracle or documents why not."""
     no_oracle = [n for n, s in REGISTRY.items() if s.oracle is None]
     # keep the rows-only set small and intentional
-    assert set(no_oracle) <= {"agg_approx_distinct", "scalar_hash_spark_native"}
+    assert set(no_oracle) <= {
+        "agg_approx_distinct",
+        "scalar_hash_spark_native",
+        "sketch_quantiles_approx",  # GK sketch differs from DuckDB's; bounded-error pytest instead
+    }
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

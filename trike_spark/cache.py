@@ -13,18 +13,32 @@ those via the SparkContext's persistent-RDD registry.
 
 Contract: call :func:`release_checkpoints` only after downstream results
 are materialized (collected / written) — a localCheckpoint's lineage is
-truncated, so a released DataFrame cannot recompute. On a multi-executor
-cluster, prefer reliable checkpoints (``sparkContext.setCheckpointDir`` +
-``.checkpoint()``) for fault tolerance — localCheckpoint blocks die with
-their executor (documented in operators/graph.py).
+truncated, so a released DataFrame cannot recompute.
+
+Reliable-checkpoint mode (cluster deployments): localCheckpoint blocks die
+with their executor, so on a real multi-executor cluster an executor loss
+mid-CC-loop would kill the job (lineage is truncated — nothing to recompute
+from). Setting ``SPARK_CHECKPOINT_DIR`` flips every :func:`checkpoint` site
+to ``sparkContext.setCheckpointDir`` + ``Dataset.checkpoint(eager=True)``:
+generations are written to fault-tolerant storage (HDFS/S3) and survive any
+executor loss. Same call sites, config-only switch — the deploy-time knob
+docs/SCALE.md prescribes. In this mode :func:`release`/:func:`release_checkpoints`
+are no-ops (reliable checkpoints don't occupy the block-manager registry;
+files are reclaimed by ``spark.cleaner.referenceTracking.cleanCheckpoints``
+or checkpoint-dir lifecycle policy).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 # (session, rdd_id) pairs created by checkpoint() and not yet released.
 _TRACKED: list[tuple[SparkSession, int]] = []
+
+# Sessions whose checkpoint dir has been pointed at SPARK_CHECKPOINT_DIR.
+_CKPT_DIR_SET: set[int] = set()
 
 
 def _persistent_ids(spark: SparkSession) -> set[int]:
@@ -33,9 +47,20 @@ def _persistent_ids(spark: SparkSession) -> set[int]:
 
 
 def checkpoint(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint, with the created RDD cache tracked for later
-    release."""
+    """Eager checkpoint: reliable (``SPARK_CHECKPOINT_DIR`` set) or local.
+    Local checkpoints track the created RDD cache for later release."""
     spark = df.sparkSession
+    ckpt_dir = os.environ.get("SPARK_CHECKPOINT_DIR")
+    if ckpt_dir:
+        key = id(spark)
+        if key not in _CKPT_DIR_SET:
+            spark.sparkContext.setCheckpointDir(ckpt_dir)
+            _CKPT_DIR_SET.add(key)
+        out = df.checkpoint(eager=True)
+        # Reliable checkpoints live as files, not block-manager entries —
+        # nothing to track; release(out) is a clean no-op.
+        out._trike_ckpt_rids = set()
+        return out
     before = _persistent_ids(spark)
     out = df.localCheckpoint(eager=True)
     new_ids = _persistent_ids(spark) - before

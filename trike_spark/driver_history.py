@@ -11,6 +11,10 @@ The sets below are transcribed from the committed correctness reports
 (strip the ``{rank:02d}_`` prefix). They are data, not behavior: rotating
 the export order cannot change any query's semantics, and every rotated
 query still carries the same oracle SQL. See docs/QUERY_ORDER.md.
+
+Round-4 state: registry = 127 names; DRIVER_VERIFIED = 83 (r2's 50 minus 11
+stale entries, union r3's 44). The 44 still-fresh names all fit inside one
+50-entry window, so round 4 can complete cumulative hard verification.
 """
 
 from __future__ import annotations
@@ -72,17 +76,101 @@ VERIFIED_R02: frozenset[str] = frozenset(
     }
 )
 
-# Union of every name hard-verified by any past driver round.
-DRIVER_VERIFIED: frozenset[str] = VERIFIED_R02
-
-# Queries the round-2 verdict explicitly asked to see driver-green this
-# round ("q2, q16, q21 … each lands inside the rotated driver window").
-# They rank FIRST within their family's unverified bucket so a large
-# family can't crowd them out of the 50-entry window.
-WINDOW_PRIORITY: frozenset[str] = frozenset(
+# CORRECTNESS_r03.json — 43 green + 1 no_oracle-by-design
+# (sketch_quantiles_approx); zero overlap with the r2 window.
+VERIFIED_R03: frozenset[str] = frozenset(
     {
-        "q2_min_cost_supplier",
+        "agg_grouping_sets",
+        "agg_having_frequent_customers",
+        "agg_percentiles",
+        "agg_rollup_grouping_id",
+        "agg_rollup_region_nation",
+        "curation_pack_sequences",
+        "curation_source_quota",
+        "curation_stratified_sample",
+        "curation_uniform_fixed_n",
+        "dedup_cluster_canonical_star",
+        "dedup_minhash_lsh_pairs",
+        "dedup_minhash_signatures",
+        "dedup_ngram_jaccard_pairs",
+        "dedup_semantic_keep_min",
+        "join_inner_big_orders",
+        "join_left_order_counts",
+        "join_range_acctbal_band",
+        "join_right_orders_customer",
+        "join_salted_segment_revenue",
+        "q13_customer_order_distribution",
         "q16_supplier_part_counts",
+        "q17_small_quantity_revenue",
         "q21_sole_blame_supplier",
+        "q2_min_cost_supplier",
+        "scalar_conditional_funcs",
+        "scalar_date_funcs",
+        "scalar_hash_funcs",
+        "scalar_map_funcs",
+        "setop_union_distinct",
+        "sim_lsh_recall_at_k",
+        "sim_norms_pandas_udf",
+        "sim_range_search",
+        "sim_topk_bruteforce",
+        "sketch_quantiles_approx",
+        "sort_top15_orders",
+        "sort_topk_parts_per_brand",
+        "text_langid_heuristic",
+        "text_quality_score",
+        "text_rolling_hash",
+        "text_stats_by_lang_source",
+        "window_ntile_spend_quartiles",
+        "window_range_30d_activity",
+        "window_rank_price_in_priority",
+        "window_rownum_first_orders",
+    }
+)
+
+# r2-green names whose verification went STALE in round 3: the driver's
+# regenerated events.parquet (nanos → micros ts) broke their plan build
+# until the io.py dtype dispatch landed in round 4. Their r2 green rows no
+# longer reflect reality, so they rotate back into the fresh window for
+# re-verification (r3 verdict, "What's wrong" §2).
+STALE_R02: frozenset[str] = frozenset(
+    {
+        "agg_correlated_subquery",
+        "events_dedup_first_per_key",
+        "events_enrich_stream_static",
+        "events_interval_join_click_purchase",
+        "events_sessionization",
+        "join_asof_event_order",
+        "scan_json_roundtrip_events",
+        "trike_batch_encode",
+        "trike_cloud_event_project",
+        "trike_heartbeat_filter",
+        "window_gap_fill_forward",
+    }
+)
+
+# Union of every name hard-verified by a past driver round and still valid.
+DRIVER_VERIFIED: frozenset[str] = (VERIFIED_R02 - STALE_R02) | VERIFIED_R03
+
+# Names the round-3 verdict asked to see driver-green in round 4: the
+# formerly-green-now-stale set above, the rest of the io-broken events
+# family, and the never-checked TPC-H classics. They rank FIRST within
+# their family's unverified bucket so a large family can't crowd them out
+# of the 50-entry window.
+WINDOW_PRIORITY: frozenset[str] = STALE_R02 | frozenset(
+    {
+        "events_sliding_1h_30m",
+        "events_tumbling_hourly",
+        "events_unpivot_user_activity",
+        "events_user_activity_pivot",
+        "trike_stale_sessions",
+        "scalar_json_funcs",
+        "scalar_udtf_tokenize",
+        "q4_order_priority_check",
+        "q5_revenue_by_nation",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q18_large_volume_customers",
+        "q19_disjunctive_revenue",
+        "q22_idle_rich_customers",
     }
 )

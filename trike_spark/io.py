@@ -31,13 +31,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     ensure_session_confs(spark)
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
-        # timestamp type, so read nanos as long and truncate to micros
-        # (the synthetic data is micro-precision, so this is lossless).
+        # events.parquet has shipped in two layouts: TIMESTAMP(NANOS)
+        # (arrives as bigint under nanosAsLong) and TIMESTAMP(MICROS)
+        # (arrives as timestamp/timestamp_ntz). Dispatch on the dtype we
+        # actually read so either layout yields a micros TIMESTAMP column
+        # with identical values; nanosAsLong stays set for back-compat and
+        # is a no-op for micros files.
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_dtype = dict(df.dtypes)["ts"]
+        if ts_dtype == "bigint":
+            # nanos-as-long: truncate to micros (data is micro-precision,
+            # so lossless).
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if ts_dtype == "timestamp_ntz":
+            # Session-local wall-clock semantics match the oracle (session
+            # tz is UTC, see ensure_session_confs); cast so downstream
+            # window/interval ops see one consistent TIMESTAMP type.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

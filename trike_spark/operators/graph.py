@@ -13,10 +13,12 @@ Scale design (fixes VERDICT r1 "uncheckpointed iterative loop"):
   * The previous generation is unpersisted as soon as its successor is
     materialized, so peak storage is two label tables (2 rows per edge
     endpoint — tiny next to the corpus).
-  * On a real multi-executor cluster you would pass a reliable checkpoint
-    dir (``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``) so an
-    executor loss cannot drop a truncated-lineage block; local checkpoints
-    are the right tradeoff for local[] and keep the API dependency-free.
+  * On a real multi-executor cluster set ``SPARK_CHECKPOINT_DIR`` (an
+    HDFS/S3 path): every ``cache.checkpoint`` site then uses reliable
+    checkpoints (``setCheckpointDir`` + ``.checkpoint(eager=True)``) so an
+    executor loss cannot drop a truncated-lineage block. Unset (local[]),
+    localCheckpoint is the right tradeoff — no distributed FS required.
+    Both modes run the same tests (tests/test_graph_cc.py::test_reliable_checkpoint_mode).
 
 Iteration count = graph diameter for min-label propagation. Near-dup
 graphs are shallow (clusters of a handful of copies), so convergence is a
