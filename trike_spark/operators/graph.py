@@ -65,10 +65,15 @@ def connected_components(
     edges = base.unionByName(
         base.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst"))
     ).persist()
+    # Seeded initialization = round 0 fused into label creation: instead of
+    # distinct()+identity labels (one shuffle, zero progress), group the
+    # symmetric edge list by endpoint and seed lbl = min(node, neighbors) —
+    # the same single shuffle performs the first propagation round, so a
+    # diameter-d graph converges in d rounds + probe instead of d+1.
     labels = cache.checkpoint(
-        edges.select(F.col("e_src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        edges.groupBy(F.col("e_src").alias("node"))
+        .agg(F.min("e_dst").alias("nmin"))
+        .select("node", F.least(F.col("node"), F.col("nmin")).alias("lbl"))
     )
     changed = 1
     iterations = 0

@@ -195,13 +195,20 @@ def curation_contamination_trigram(spark: SparkSession, sf_dir: str) -> DataFram
     broadcast — eval suites are MBs against a TB corpus — so the corpus
     side never shuffles; each task probes the broadcast hash set."""
     d = load_table(spark, sf_dir, "documents")
-    tg = d.select(
-        "doc_id",
-        (_draw(F.col("doc_id")) < 5).alias("is_bench"),
-        F.explode(_trigrams()).alias("shingle"),
+    # Split BEFORE exploding: the two join branches share no plan (Spark
+    # does not CSE across branches), so deriving them from the exploded
+    # trigram stream would run the full-corpus explode twice. Filtering
+    # first means the bench branch explodes only the 5 % split and the
+    # train branch the 95 % — 1× corpus total instead of 2×.
+    is_bench = _draw(F.col("doc_id")) < 5
+    bench = (
+        d.filter(is_bench)
+        .select(F.explode(_trigrams()).alias("shingle"))
+        .distinct()
     )
-    bench = tg.filter("is_bench").select("shingle").distinct()
-    train = tg.filter(~F.col("is_bench"))
+    train = d.filter(~is_bench).select(
+        "doc_id", F.explode(_trigrams()).alias("shingle")
+    )
     return (
         train.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
