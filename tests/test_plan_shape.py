@@ -229,3 +229,33 @@ def test_q22_not_exists_is_anti_join(spark):
 
     df = q22_idle_rich_customers(spark, SF_DIR)
     assert "LeftAnti" in plans.plan_tree(df)
+
+
+def test_countmin_single_pass_sketch_build(spark):
+    """r4 rewrite: all D CMS hash rows build in ONE token-stream pass
+    (posexplode over the cell-id array), so the whole query is exactly two
+    scans (sketch build + exact ground truth), at most three exchanges,
+    and one broadcast probe join — not one groupBy+join per hash row."""
+    from trike_spark.queries.sketches import sketch_countmin_heavyhitters
+
+    df = sketch_countmin_heavyhitters(spark, SF_DIR)
+    assert plans.scan_count(df) == 2, plans.formatted_plan(df)
+    assert plans.shuffle_count(df) <= 3, plans.formatted_plan(df)
+    assert plans.broadcast_join_count(df) == 1, plans.formatted_plan(df)
+
+
+def test_contamination_filters_before_explode(spark):
+    """The bench/train split must happen BELOW each Generate: exploding
+    first would blow the full corpus up once per join branch (2x trigram
+    volume). Every Generate in the plan sits directly above its branch's
+    split filter."""
+    from trike_spark.queries.curation import curation_contamination_trigram
+
+    df = curation_contamination_trigram(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    lines = tree.splitlines()
+    gen_lines = [i for i, l in enumerate(lines) if "Generate" in l]
+    assert gen_lines, tree
+    for i in gen_lines:
+        below = "\n".join(lines[i + 1 : i + 3])
+        assert "Filter" in below, f"Generate without pre-filter:\n{tree}"

@@ -256,3 +256,46 @@ def events_interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> Dat
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
         )
     )
+
+
+@register(
+    "events_time_rollup",
+    f"""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+           CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day,
+           CAST(GROUPING(CAST(EXTRACT(hour FROM ts) AS INT)) AS INT) AS g_hr,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY ROLLUP (CAST(ts AS DATE), CAST(EXTRACT(hour FROM ts) AS INT))
+    """,
+    doc="Hypertable rollup: day → hour time-hierarchy aggregation in one pass "
+    "(ROLLUP emits hour, day, and grand-total rows; GROUPING() flags "
+    "disambiguate the subtotal levels).",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timeseries-DB 'hypertable rollup' (continuous-aggregate) shape,
+    relationally: one ROLLUP over the (day, hour) hierarchy produces every
+    granularity level in a single Expand+aggregate pass — one shuffle total,
+    vs one scan+shuffle per level if each rollup were its own query. At
+    100 TB with time-partitioned parquet (io.write_time_partitioned), the
+    time predicate a refresh carries prunes to the touched partitions and
+    the per-level state is bounded by distinct (day, hour) buckets, not by
+    event count — partial aggregation collapses rows map-side."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.to_date("ts").alias("day"),
+            F.hour("ts").cast("int").alias("hr"),
+            "value",
+        )
+        .rollup("day", "hr")
+        .agg(
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("hr").cast("int").alias("g_hr"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select("day", "hr", "g_day", "g_hr", "n_events", "sum_value")
+    )
