@@ -95,6 +95,13 @@ def main() -> None:
             # untimed cleanup: each run rebuilds its checkpoints, so release
             # the previous run's blocks or n runs accumulate n copies
             release_checkpoints()
+        # Untimed inter-query isolation: drop any cached plans and nudge the
+        # JVM to collect. Without this, queries late in the suite time GC
+        # debt accumulated by 100+ prior jobs instead of their own plan
+        # (observed: the last query's median 3x its min at sf0.1; standalone
+        # the same query is flat).
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         runs.sort()
         timings[name] = round(runs[0], 3)
         mid = len(runs) // 2

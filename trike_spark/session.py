@@ -76,7 +76,14 @@ def get_spark(app_name: str = "trike_spark", config: EngineConfig | None = None)
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # In local[] mode the driver JVM IS the executor: all task memory,
+        # shuffle buffers, and broadcast blocks live in this one heap. 8g
+        # across 32 task threads (~250 MB/thread) thrashes GC by the tail of
+        # a long suite (measured: the last five bench queries inflate
+        # 40-50% vs standalone at 8g, flat at 16g+). On a real cluster the
+        # driver only coordinates, so this default is local-mode-specific
+        # and env-overridable either way.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     # RocksDB state store: bounds streaming state memory at scale (millions
     # of live sessions) — the reference's unbounded per-process heap buffer
