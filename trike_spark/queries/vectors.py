@@ -286,6 +286,84 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 3  # cells probed by the multiprobe IVF variant
+
+
+@register(
+    "sim_ivf_multiprobe",
+    f"""
+    WITH ex AS (SELECT label, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    cent AS (SELECT label, i,
+                    CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS v
+             FROM ex GROUP BY label, i),
+    cvecs AS (SELECT label, list(v ORDER BY i) AS cvec FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    qc AS (SELECT q_vec_id, q_emb, label,
+                  ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                     ORDER BY {_SQL_COS_QC} DESC, label) AS rn
+           FROM q CROSS JOIN cvecs),
+    probes AS (SELECT q_vec_id, q_emb, label AS probe_label FROM qc WHERE rn <= {NPROBE})
+    SELECT q_vec_id, n_vec_id, cosine, rk FROM (
+      SELECT probes.q_vec_id, m.vec_id AS n_vec_id,
+             ROUND({_SQL_COS_QM}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY probes.q_vec_id
+                                ORDER BY ROUND({_SQL_COS_QM}, 6) DESC, m.vec_id) AS rk
+      FROM probes JOIN embeddings m
+        ON m.label = probes.probe_label AND m.vec_id <> probes.q_vec_id)
+    WHERE rk <= {TOP_K}
+    """,
+    doc=f"IVF multiprobe ANN: probe the {NPROBE} nearest centroids and rerank "
+    "their union — the standard recall lever when the true neighbor sits "
+    "just across a cell boundary.",
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe IVF: identical coarse quantizer to :func:`sim_ivf_search`
+    but the probe set is the NPROBE nearest centroids per query, and the
+    rerank runs over the union of those cells. Scale shape is unchanged —
+    the centroid table stays broadcast, compared pairs scale with
+    NPROBE·(|C|/n_cells) per query — while recall strictly dominates
+    single-probe (measure with sim_lsh_recall_at_k's methodology before
+    tuning NPROBE down). Cells are label-disjoint, so the union needs no
+    dedup and each neighbor row joins at most one probe row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "x"))
+    cent = ex.groupBy("label", "i").agg(
+        (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    cvecs = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
+        .select("label", F.transform("iv", lambda e: e["v"]).alias("cvec"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    w_c = Window.partitionBy("q_vec_id").orderBy(
+        cosine(F.col("q_emb"), F.col("cvec")).desc(), F.col("label")
+    )
+    probes = (
+        q.crossJoin(broadcast(cvecs))
+        .withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") <= NPROBE)
+        .select("q_vec_id", "q_emb", F.col("label").alias("probe_label"))
+    )
+    m = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("label"), F.col("embedding").alias("n_emb"))
+    cos = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+    w_m = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("n_vec_id"))
+    return (
+        m.join(
+            broadcast(probes),
+            (m.label == F.col("probe_label")) & (F.col("n_vec_id") != F.col("q_vec_id")),
+        )
+        .select("q_vec_id", "n_vec_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w_m))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
 @register(
     "sim_norms_pandas_udf",
     """
