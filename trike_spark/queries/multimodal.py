@@ -138,3 +138,73 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_hash"
         ),
     )
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("pseudo_width", IntegerType()),
+        StructField("pseudo_height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("out_bytes", LongType()),
+    ]
+)
+
+_RESIZE_TARGET = 224  # longest-edge target, the common vision-model input
+
+
+def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize: a real implementation would decode ``payload`` and call
+    PIL's ``Image.resize`` per row inside this same Arrow batch loop. The
+    fake derives source dims from the payload md5 (as the decode stage
+    does) and computes the aspect-preserving fit to a 224 longest edge in
+    pure integer math, so the oracle reproduces it bit-for-bit."""
+    import hashlib
+
+    for pdf in batches:
+        md5s = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+        w = [int(m[:4], 16) % 1920 for m in md5s]
+        h = [int(m[4:8], 16) % 1080 for m in md5s]
+        longest = [max(a, b, 1) for a, b in zip(w, h)]
+        ow = [(a * _RESIZE_TARGET) // m for a, m in zip(w, longest)]
+        oh = [(b * _RESIZE_TARGET) // m for b, m in zip(h, longest)]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "pseudo_width": w,
+                "pseudo_height": h,
+                "out_width": ow,
+                "out_height": oh,
+                "out_bytes": [a * b * 3 for a, b in zip(ow, oh)],
+            }
+        )
+
+
+@register(
+    "multimodal_resize",
+    f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1920 AS INT) AS pseudo_width,
+             CAST(CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1080 AS INT) AS pseudo_height
+      FROM documents)
+    SELECT doc_id, pseudo_width, pseudo_height,
+           CAST((pseudo_width * {_RESIZE_TARGET}) // greatest(pseudo_width, pseudo_height, 1) AS INT) AS out_width,
+           CAST((pseudo_height * {_RESIZE_TARGET}) // greatest(pseudo_width, pseudo_height, 1) AS INT) AS out_height,
+           CAST(((pseudo_width * {_RESIZE_TARGET}) // greatest(pseudo_width, pseudo_height, 1))
+              * ((pseudo_height * {_RESIZE_TARGET}) // greatest(pseudo_width, pseudo_height, 1)) * 3 AS BIGINT) AS out_bytes
+    FROM dims
+    """,
+    doc=f"Image resize stage (stubbed codec): aspect-preserving fit to a "
+    f"{_RESIZE_TARGET} longest edge over binary payloads, Arrow-batched mapInPandas.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize is a narrow per-row map like decode: payloads stream through
+    Arrow batches, no shuffle, output is (dims, resized dims, byte budget).
+    At 100 TB the byte-budget column is what a downstream packing/batching
+    stage aggregates, so it's computed here once rather than re-derived."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(_fake_resize_batch, schema=_RESIZE_SCHEMA)
