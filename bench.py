@@ -43,6 +43,10 @@ HEADLINE = [
     "curation_contamination_trigram",
     "curation_pack_sequences",
     "sketch_countmin_heavyhitters",
+    # round-4 additions
+    "events_time_rollup",
+    "sim_ivf_multiprobe",
+    "multimodal_resize",
     # the iterative / composed heavyweights — where regressions would hide
     "dedup_cluster_canonical",
     "dedup_embedding_cosine_pairs",

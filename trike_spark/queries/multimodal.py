@@ -193,7 +193,8 @@ def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
            CAST((pseudo_width * {_RESIZE_TARGET}) // greatest(pseudo_width, pseudo_height, 1) AS INT) AS out_width,
            CAST((pseudo_height * {_RESIZE_TARGET}) // greatest(pseudo_width, pseudo_height, 1) AS INT) AS out_height,
            CAST(((pseudo_width * {_RESIZE_TARGET}) // greatest(pseudo_width, pseudo_height, 1))
-              * ((pseudo_height * {_RESIZE_TARGET}) // greatest(pseudo_width, pseudo_height, 1)) * 3 AS BIGINT) AS out_bytes
+              * ((pseudo_height * {_RESIZE_TARGET}) // greatest(pseudo_width, pseudo_height, 1))
+              * 3 AS BIGINT) AS out_bytes
     FROM dims
     """,
     doc=f"Image resize stage (stubbed codec): aspect-preserving fit to a "
