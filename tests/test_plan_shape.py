@@ -259,3 +259,21 @@ def test_contamination_filters_before_explode(spark):
     for i in gen_lines:
         below = "\n".join(lines[i + 1 : i + 3])
         assert "Filter" in below, f"Generate without pre-filter:\n{tree}"
+
+
+def test_q8_q9_dims_broadcast_no_smj(spark):
+    """The round-4 TPC-H additions keep the fact-side contract: every
+    dimension join broadcasts (no sort-merge joins anywhere), and the only
+    exchanges are the aggregations + (q9) the ps emulation shuffle."""
+    from trike_spark.queries.relational import (
+        q8_national_market_share,
+        q9_product_type_profit,
+    )
+
+    q8 = q8_national_market_share(spark, SF_DIR)
+    assert plans.sort_merge_join_count(q8) == 0, plans.formatted_plan(q8)
+    assert plans.broadcast_join_count(q8) >= 3, plans.formatted_plan(q8)
+    q9 = q9_product_type_profit(spark, SF_DIR)
+    assert plans.sort_merge_join_count(q9) == 0, plans.formatted_plan(q9)
+    assert plans.broadcast_join_count(q9) >= 3, plans.formatted_plan(q9)
+    assert plans.shuffle_count(q9) <= 3, plans.formatted_plan(q9)

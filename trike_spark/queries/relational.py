@@ -697,3 +697,207 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(mdec("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q8_national_market_share",
+    f"""
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST({_SQL_DISC} AS DECIMAL(38,4)) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8: national market share — one nation's fraction of regional "
+    "revenue per year; exact-decimal sums, double division.",
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: lineitem joins orders on the shuffle key ONCE; every
+    dimension (filtered part, supplier⋈nation, customer⋈nation⋈region)
+    broadcasts, so the fact table sees exactly one exchange. The share is
+    a conditional sum over the same exact-decimal volume column — one
+    aggregation pass, no second scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_am = (
+        customer.join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_n = supplier.join(
+        broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))),
+        supplier.s_nationkey == F.col("s_nk"),
+    ).select("s_suppkey", "nation")
+    vol = F.col("volume")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(cust_am), orders.o_custkey == F.col("c_custkey"))
+        .join(broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _disc_price().cast("decimal(38,4)").alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(F.lit(0).cast("decimal(38,4)"))).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    f"""
+    WITH ps AS ({_SQL_PS})
+    SELECT nation, o_year,
+           CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST({_SQL_DISC}
+                  - CAST(ps_supplycost AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))
+                  AS DECIMAL(38,4)) AS amount
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN ps       ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%')
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9: product-type profit by supplier nation and year "
+    "(partsupp emulated from lineitem, as q2).",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ps emulation is a slim (partkey, suppkey, cost) aggregate of
+    lineitem — the one fact-sized shuffle besides the orders join; part
+    (name-filtered), supplier⋈nation broadcast. Profit arithmetic is
+    exact decimal end-to-end, rounded once at the final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_n = supplier.join(
+        broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))),
+        supplier.s_nationkey == F.col("s_nk"),
+    ).select("s_suppkey", "nation")
+    amount = (
+        _disc_price() - mdec("ps_supplycost") * mdec("l_quantity")
+    ).cast("decimal(38,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(ps, (li.l_suppkey == F.col("ps_suppkey")) & (li.l_partkey == F.col("ps_partkey")))
+        .select("nation", F.year("o_orderdate").cast("int").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT ROUND(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                        THEN CAST({_SQL_DISC} AS DECIMAL(38,4))
+                                        ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST({_SQL_DISC} AS DECIMAL(38,4))) AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    doc="TPC-H Q14: promo parts' share of one month's revenue — conditional "
+    "aggregate over a broadcast part join.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-date month predicate pushes to the lineitem scan; part
+    broadcasts; one conditional aggregation, one output row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    vol = _disc_price().cast("decimal(38,4)")
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("p_type"), vol.alias("volume"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", F.col("volume")).otherwise(F.lit(0).cast("decimal(38,4)"))).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST({_SQL_DISC} AS DECIMAL(38,4))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+    doc="TPC-H Q15: top supplier by quarterly revenue — max over a revenue "
+    "view, exact-decimal equality (no float ties).",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue view is one partial-agg shuffle over the date-pruned
+    scan; the max is a 1-row broadcast joined back by EXACT decimal
+    equality (float equality would be engine-dependent); supplier
+    broadcasts onto the winners."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price().cast("decimal(38,4)")).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("max_rev"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round("total_rev", 2).cast("double").alias("total_revenue")
+        )
+    )
