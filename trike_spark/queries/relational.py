@@ -901,3 +901,125 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", F.round("total_rev", 2).cast("double").alias("total_revenue")
         )
     )
+
+
+_SQL_PS_QTY = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice) AS ps_supplycost,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2"""
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH ps AS ({_SQL_PS_QTY}),
+    scoped AS (
+      SELECT ps_partkey,
+             CAST(CAST(ps_supplycost AS DECIMAL(18,4)) * ps_availqty AS DECIMAL(38,4)) AS v
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_2'),
+    byp AS (SELECT ps_partkey, SUM(v) AS pval FROM scoped GROUP BY ps_partkey),
+    tot AS (SELECT SUM(v) AS total FROM scoped)
+    SELECT ps_partkey, CAST(ROUND(pval, 2) AS DOUBLE) AS part_value
+    FROM byp, tot
+    WHERE pval > total * CAST(0.001 AS DECIMAL(9,4))
+    """,
+    doc="TPC-H Q11: per-part stock value inside one nation vs a fraction of "
+    "the nation total (partsupp availqty emulated as total shipped qty).",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HAVING-against-a-global-aggregate decorrelates to a 1-row
+    broadcast: `scoped` (nation-filtered ps) is computed once, aggregated
+    twice (per-part and total), and the threshold compare is exact decimal
+    on both sides — no float fraction ambiguity. Supplier⋈nation
+    broadcasts onto the slim ps aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min("l_extendedprice").alias("ps_supplycost"),
+        F.sum(mdec("l_quantity")).alias("ps_availqty"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    supp_n = supplier.join(
+        broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    scoped = ps.join(broadcast(supp_n), ps.ps_suppkey == F.col("s_suppkey")).select(
+        "ps_partkey",
+        (mdec("ps_supplycost") * F.col("ps_availqty")).cast("decimal(38,4)").alias("v"),
+    )
+    byp = scoped.groupBy("ps_partkey").agg(F.sum("v").alias("pval"))
+    tot = scoped.agg(F.sum("v").alias("total"))
+    return (
+        byp.crossJoin(broadcast(tot))
+        .filter(F.col("pval") > F.col("total") * F.lit(0.001).cast("decimal(9,4)"))
+        .select("ps_partkey", F.round("pval", 2).cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    f"""
+    WITH ps AS ({_SQL_PS_QTY}),
+    yearly AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_1996
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    excess AS (
+      SELECT DISTINCT ps_suppkey
+      FROM ps
+      JOIN part   ON p_partkey = ps_partkey
+      JOIN yearly ON yearly.l_partkey = ps_partkey AND yearly.l_suppkey = ps_suppkey
+      WHERE p_name LIKE 'red%'
+        AND ps_availqty > CAST(0.5 AS DECIMAL(9,4)) * qty_1996)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN excess ON s_suppkey = ps_suppkey
+    WHERE n_name = 'NATION_3'
+    """,
+    doc="TPC-H Q20: suppliers in one nation holding excess stock of promo-"
+    "candidate parts (availqty emulated; exact-decimal 0.5x compare).",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both quantity sums are exact decimal so the > 0.5x compare cannot
+    flip on accumulation order; the nested IN-chain decorrelates to two
+    slim fact aggregates joined on (part, supp), with part (name-filtered)
+    and supplier⋈nation broadcast; the final step is a semi-join shape
+    (DISTINCT supplier keys) so no supplier row duplicates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.sum(mdec("l_quantity")).alias("ps_availqty"))
+    yearly = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(mdec("l_quantity")).alias("qty_1996"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    excess = (
+        ps.join(broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            yearly,
+            (ps.ps_partkey == yearly.l_partkey) & (ps.ps_suppkey == yearly.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > F.lit(0.5).cast("decimal(9,4)") * F.col("qty_1996"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        supplier.join(broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(excess, supplier.s_suppkey == F.col("ps_suppkey"))
+        .select("s_suppkey", "s_name")
+    )
