@@ -12,9 +12,11 @@ The sets below are transcribed from the committed correctness reports
 the export order cannot change any query's semantics, and every rotated
 query still carries the same oracle SQL. See docs/QUERY_ORDER.md.
 
-Round-4 state: registry = 127 names; DRIVER_VERIFIED = 83 (r2's 50 minus 11
-stale entries, union r3's 44). The 44 still-fresh names all fit inside one
-50-entry window, so round 4 can complete cumulative hard verification.
+Round-4 state: registry = 138 names (11 round-4 additions); DRIVER_VERIFIED
+= 83 (r2's 50 minus 11 stale entries, union r3's 44). 55 names are fresh —
+5 more than the 50-entry window, so 5 round-4 additions
+(pytest/oracle-green locally, never driver-red) overflow to round 5; every
+WINDOW_PRIORITY name fits (tests/test_queries_smoke.py asserts this).
 """
 
 from __future__ import annotations

@@ -299,3 +299,78 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "hr", "g_day", "g_hr", "n_events", "sum_value")
     )
+
+
+@register(
+    "events_scd2_intervals",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ), collapsed AS (
+      SELECT user_id, run_id, MIN(event_type) AS event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events
+    FROM collapsed
+    """,
+    doc="SCD2 interval build: collapse each user's consecutive same-type "
+    "runs into [valid_from, valid_to) rows; valid_to NULL = current.",
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build — the lakehouse pattern that
+    turns an append-only event stream into an as-of-queryable dimension
+    (each attribute run becomes one row with a half-open validity
+    interval). Gaps-and-islands: flag type changes with lag(), prefix-sum
+    the flags into run ids, collapse runs, then lead() stitches each run's
+    end to the next run's start.
+
+    Scale: everything is keyed by user_id — one sort-shuffle for the
+    analytic window, and because rows of a run are adjacent within the
+    sorted partition, the (user_id, run_id) groupBy collapses map-side
+    before its exchange. State per user is bounded by the number of
+    attribute CHANGES, not events — exactly why SCD2 beats snapshotting at
+    100 TB. Ties broken by event_id in both engines so the hash matches.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "chg",
+            F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    collapsed = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return collapsed.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )

@@ -763,7 +763,9 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(F.lit(0).cast("decimal(38,4)"))).cast("double")
+                F.sum(
+                    F.when(F.col("nation") == "NATION_1", vol).otherwise(F.lit(0).cast("decimal(38,4)"))
+                ).cast("double")
                 / F.sum(vol).cast("double"),
                 6,
             ).alias("mkt_share")
@@ -854,7 +856,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", F.col("volume")).otherwise(F.lit(0).cast("decimal(38,4)"))).cast("double")
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("volume")).otherwise(F.lit(0).cast("decimal(38,4)"))
+                ).cast("double")
                 / F.sum("volume").cast("double"),
                 6,
             ).alias("promo_revenue")

@@ -498,3 +498,94 @@ def sim_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("c_vec_id").cast("double") / TOP_K).alias("recall"),
         )
     )
+
+
+_SQL_QDOT_AB = (
+    "list_aggregate(list_transform(list_zip(a.qe, b.qe), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+
+
+def _sql_qnorm(alias: str) -> str:
+    return (
+        f"SQRT(list_aggregate(list_transform({alias}.qe, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+
+
+_SQL_QCOS = f"{_SQL_QDOT_AB} / ({_sql_qnorm('a')} * {_sql_qnorm('b')})"
+
+
+@register(
+    "sim_sq_int8_topk",
+    f"""
+    WITH m AS (
+      SELECT MAX(list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max')) AS maxabs
+      FROM embeddings),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs, 0)
+                         AS INTEGER)) AS qe
+      FROM embeddings, m)
+    SELECT q_vec_id, n_vec_id, qcos, rk FROM (
+      SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+             ROUND({_SQL_QCOS}, 6) AS qcos,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY ROUND({_SQL_QCOS}, 6) DESC, b.vec_id)
+               AS rk
+      FROM q8 a JOIN q8 b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES})
+    WHERE rk <= {TOP_K}
+    """,
+    doc=f"Int8 scalar-quantized ANN: top-{TOP_K} by cosine over "
+    "symmetric-int8-quantized vectors (4x memory/IO vs float32).",
+)
+def sim_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization — the workhorse compression every production
+    vector store applies before IVF/HNSW: one global symmetric scale
+    s = 127 / max|x| maps float32 dims to int8, cutting the candidate
+    scan's memory traffic 4x. Cosine is scale-invariant, so the quantized
+    distance needs NO dequantization — integer products straight into the
+    fold. Recall loss is bounded by the quantization step (measured the
+    same way as sim_lsh_recall_at_k measures the LSH path).
+
+    Scale: the global max-abs is one scalar aggregate (map-side combine →
+    1 row, broadcast back via crossJoin exactly like the corpus-stats
+    idiom in curation.py); quantization is a narrow per-row transform. At
+    100 TB the quantized corpus would be materialized once (write_parquet)
+    and every subsequent scan reads a quarter of the bytes; here the
+    pipeline is fused into one plan to stay oracle-comparable. The top-k
+    itself is the audited brute-force shape: broadcast query set, narrow
+    scan, per-query window over the k survivors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = emb.agg(
+        F.max(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        ).alias("maxabs")
+    )
+    q8 = (
+        emb.crossJoin(broadcast(maxabs))
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 127.0 / F.col("maxabs")).cast("int"),
+            ).alias("qe"),
+        )
+    )
+    q = q8.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("qe").alias("q_qe")
+    )
+    c = q8.select(F.col("vec_id").alias("n_vec_id"), F.col("qe").alias("n_qe"))
+    qcos = F.round(cosine(F.col("q_qe"), F.col("n_qe")), 6)
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("qcos").desc(), F.col("n_vec_id"))
+    return (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "n_vec_id", qcos.alias("qcos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
