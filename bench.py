@@ -47,6 +47,8 @@ HEADLINE = [
     "events_time_rollup",
     "sim_ivf_multiprobe",
     "multimodal_resize",
+    "events_scd2_intervals",
+    "sim_sq_int8_topk",
     # the iterative / composed heavyweights — where regressions would hide
     "dedup_cluster_canonical",
     "dedup_embedding_cosine_pairs",

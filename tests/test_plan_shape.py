@@ -277,3 +277,25 @@ def test_q8_q9_dims_broadcast_no_smj(spark):
     assert plans.sort_merge_join_count(q9) == 0, plans.formatted_plan(q9)
     assert plans.broadcast_join_count(q9) >= 3, plans.formatted_plan(q9)
     assert plans.shuffle_count(q9) <= 3, plans.formatted_plan(q9)
+
+
+def test_scd2_intervals_single_shuffle(spark):
+    """The SCD2 build must plan exactly ONE Exchange: run collapse and
+    interval stitching are window passes over the same user_id
+    partitioning, never a re-shuffling groupBy on (user, run)."""
+    from trike_spark.queries.events import events_scd2_intervals
+
+    df = events_scd2_intervals(spark, SF_DIR)
+    assert plans.shuffle_count(df) == 1, plans.plan_tree(df)
+
+
+def test_sq_int8_broadcasts_scalar_and_query_set(spark):
+    """Int8 ANN: the global max-abs scalar and the query set both arrive
+    via broadcast (BroadcastNestedLoopJoin) — the corpus scan is never a
+    shuffle-join side."""
+    from trike_spark.queries.vectors import sim_sq_int8_topk
+
+    df = sim_sq_int8_topk(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert tree.count("BroadcastNestedLoopJoin") >= 2, tree
+    assert plans.sort_merge_join_count(df) == 0, tree

@@ -338,10 +338,16 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the flags into run ids, collapse runs, then lead() stitches each run's
     end to the next run's start.
 
-    Scale: everything is keyed by user_id — one sort-shuffle for the
-    analytic window, and because rows of a run are adjacent within the
-    sorted partition, the (user_id, run_id) groupBy collapses map-side
-    before its exchange. State per user is bounded by the number of
+    Scale: ONE shuffle total (asserted in tests/test_plan_shape.py). The
+    naive shape is window-on-user → groupBy(user, run) → window-on-user —
+    three exchanges, two of them on a key (user, run) the data is already
+    clustered by. Instead every run-level value is derived from analytic
+    functions over the SAME user_id partitioning: a run start is a row
+    whose type differs from its lag; its run's size is the row-number gap
+    to the next run start (per-user total count for the last run); its
+    validity end is the next run start's ts. Filter + three window passes
+    all preserve the user_id exchange and (ts, event_id) sort, so Catalyst
+    plans exactly one Exchange. State per user is bounded by the number of
     attribute CHANGES, not events — exactly why SCD2 beats snapshotting at
     100 TB. Ties broken by event_id in both engines so the hash matches.
     """
@@ -349,28 +355,23 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
     prev = F.lag("event_type").over(w)
-    runs = (
-        e.select("user_id", "ts", "event_id", "event_type")
-        .withColumn(
-            "chg",
-            F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
-        )
-        .withColumn(
-            "run_id",
-            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
+    marked = e.select("user_id", "ts", "event_id", "event_type").select(
+        "*",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0).alias("chg"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("user_n"),
     )
-    collapsed = runs.groupBy("user_id", "run_id").agg(
-        F.min("event_type").alias("event_type"),
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
-    return collapsed.select(
+    starts = marked.filter(F.col("chg") == 1)
+    nxt_rn = F.lead("rn").over(w)
+    nxt_ts = F.lead("ts").over(w)
+    return starts.select(
         "user_id",
         "event_type",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        "n_events",
+        F.col("ts").alias("valid_from"),
+        nxt_ts.alias("valid_to"),
+        (F.coalesce(nxt_rn, F.col("user_n") + 1) - F.col("rn"))
+        .cast("bigint")
+        .alias("n_events"),
     )

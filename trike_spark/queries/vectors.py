@@ -589,3 +589,69 @@ def sim_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+@register(
+    "sim_sq_recall_at_k",
+    f"""
+    WITH m AS (
+      SELECT MAX(list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max')) AS maxabs
+      FROM embeddings),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs, 0)
+                         AS INTEGER)) AS qe
+      FROM embeddings, m),
+    truth AS (
+      SELECT q_vec_id, n_vec_id FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_SQL_COS}, 6) DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES})
+      WHERE rk <= {TOP_K}),
+    sq AS (
+      SELECT q_vec_id, n_vec_id FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_SQL_QCOS}, 6) DESC, b.vec_id)
+                 AS rk
+        FROM q8 a JOIN q8 b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES})
+      WHERE rk <= {TOP_K})
+    SELECT t.q_vec_id,
+           CAST(COUNT(s.n_vec_id) AS BIGINT) AS n_found,
+           CAST(COUNT(s.n_vec_id) AS DOUBLE) / {TOP_K} AS recall
+    FROM truth t LEFT JOIN sq s
+      ON t.q_vec_id = s.q_vec_id AND t.n_vec_id = s.n_vec_id
+    GROUP BY t.q_vec_id
+    """,
+    doc=f"Quantization quality metric: recall@{TOP_K} of the int8 "
+    "scalar-quantized top-k against float32 brute-force ground truth.",
+)
+def sim_sq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measure-before-you-switch gate for the quantized path, exactly
+    parallel to sim_lsh_recall_at_k: run the float32 exact top-k and the
+    int8 top-k, join, and report per-query overlap/k. At 100 TB the truth
+    leg runs on a sampled query set; the quantized leg is the 4x-cheaper
+    scan being qualified. Counts are small integers so recall is exact in
+    double and cross-engine hash-stable."""
+    truth = sim_topk_bruteforce(spark, sf_dir).select("q_vec_id", "n_vec_id")
+    sq = sim_sq_int8_topk(spark, sf_dir).select(
+        F.col("q_vec_id").alias("s_q"), F.col("n_vec_id").alias("c_vec_id")
+    )
+    return (
+        truth.join(
+            sq,
+            (truth.q_vec_id == F.col("s_q")) & (truth.n_vec_id == F.col("c_vec_id")),
+            "left",
+        )
+        .select(truth.q_vec_id.alias("q"), F.col("c_vec_id"))
+        .groupBy(F.col("q").alias("q_vec_id"))
+        .agg(
+            F.count("c_vec_id").cast("bigint").alias("n_found"),
+            (F.count("c_vec_id").cast("double") / TOP_K).alias("recall"),
+        )
+    )
