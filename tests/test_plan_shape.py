@@ -299,3 +299,34 @@ def test_sq_int8_broadcasts_scalar_and_query_set(spark):
     tree = plans.plan_tree(df)
     assert tree.count("BroadcastNestedLoopJoin") >= 2, tree
     assert plans.sort_merge_join_count(df) == 0, tree
+
+
+def test_funnel_single_shuffle(spark):
+    """Three chained funnel stages + the per-user collapse must share ONE
+    user_id exchange — stages add window passes, never shuffles."""
+    from trike_spark.queries.events import events_funnel_conversion
+
+    df = events_funnel_conversion(spark, SF_DIR)
+    assert plans.shuffle_count(df) == 1, plans.plan_tree(df)
+
+
+def test_cdc_upsert_no_fact_broadcast(spark):
+    """CDC merge: both dedup legs are row_number windows on user_id and the
+    full-outer merge joins on that key — no nested-loop join anywhere."""
+    from trike_spark.queries.events import events_cdc_upsert
+
+    df = events_cdc_upsert(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_repetition_signals_no_shuffle_no_python(spark):
+    """Repetition signals are pure per-row array expressions: zero
+    exchanges, zero Python/Arrow stages — the whole pass is codegen."""
+    from trike_spark.queries.text import text_repetition_signals
+
+    df = text_repetition_signals(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert plans.shuffle_count(df) == 0, tree
+    assert "ArrowEvalPython" not in tree and "MapInPandas" not in tree, tree

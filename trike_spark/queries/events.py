@@ -375,3 +375,144 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_events"),
     )
+
+
+@register(
+    "events_cdc_upsert",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events)
+    SELECT user_id, event_type AS state, value AS state_value, ts AS state_ts
+    FROM latest WHERE rk = 1 AND event_type <> 'error'
+    """,
+    doc="CDC MERGE/upsert: apply the post-cutoff change batch onto the "
+    "pre-cutoff snapshot ('error' = tombstone delete); oracle computes the "
+    "same end state directly from the full log.",
+)
+def events_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse MERGE INTO shape on plain DataFrames: the target
+    snapshot (latest pre-cutoff state per user, tombstones already
+    applied) full-outer-joins the deduped change batch (latest post-cutoff
+    event per user); matched rows take the update, 'error' updates DELETE
+    the row, unmatched source rows INSERT. The oracle derives the same end
+    state straight from the log (latest event per user, drop tombstones) —
+    the driver hash proves the merge recomposes it exactly.
+
+    Scale: each dedup leg is one row_number window over user_id
+    partitioning and the merge joins on that same key, so AQE plans
+    co-partitioned exchanges — nothing fact-sized moves twice. In a real
+    deployment the target is a bucketed table (io.write_bucketed) and only
+    the (small) change batch shuffles; the cutoff literal stands in for
+    the batch boundary a streaming foreachBatch upsert would carry.
+    """
+    from pyspark.sql import Window
+
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "event_type", "value", "ts")
+        )
+
+    target = latest(e.filter(F.col("ts") < cutoff)).filter(F.col("event_type") != "error")
+    source = latest(e.filter(F.col("ts") >= cutoff)).select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("event_type").alias("s_type"),
+        F.col("value").alias("s_value"),
+        F.col("ts").alias("s_ts"),
+    )
+    merged = target.join(
+        source, target.user_id == source.s_user_id, "full_outer"
+    )
+    in_source = F.col("s_user_id").isNotNull()
+    return (
+        merged.filter(~in_source | (F.col("s_type") != "error"))
+        .select(
+            F.coalesce(F.col("user_id"), F.col("s_user_id")).alias("user_id"),
+            F.when(in_source, F.col("s_type")).otherwise(F.col("event_type")).alias("state"),
+            F.when(in_source, F.col("s_value")).otherwise(F.col("value")).alias("state_value"),
+            F.when(in_source, F.col("s_ts")).otherwise(F.col("ts")).alias("state_ts"),
+        )
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s1),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM s2)
+    SELECT user_id,
+           MIN(t1) AS signup_ts, MIN(t2) AS click_ts, MIN(t3) AS purchase_ts,
+           CAST(CASE WHEN MIN(t3) IS NOT NULL THEN 3
+                     WHEN MIN(t2) IS NOT NULL THEN 2
+                     WHEN MIN(t1) IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS level
+    FROM s3 GROUP BY user_id
+    """,
+    doc="Conversion funnel: earliest signup -> later click -> later purchase "
+    "per user, with the deepest level reached (0-3).",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (the product-analytics windowFunnel shape):
+    stage N's timestamp is the earliest qualifying event strictly AFTER
+    stage N-1's — so the funnel respects event order, not mere presence.
+
+    Scale: each stage is a conditional MIN over the SAME unordered user_id
+    window, and the final per-user collapse groups by that same key, so
+    Catalyst plans ONE exchange for the whole three-stage funnel (asserted
+    in test_plan_shape.py) — the chained dependency (t2 needs t1) costs
+    extra window passes, never extra shuffles. Funnel state per user is
+    three timestamps regardless of event volume; adding stages adds
+    passes, not exchanges — the property that keeps an N-stage funnel
+    viable over 100 TB of clickstream.
+    """
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id")
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(wu)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+            )
+        ).over(wu),
+    )
+    return s3.groupBy("user_id").agg(
+        F.min("t1").alias("signup_ts"),
+        F.min("t2").alias("click_ts"),
+        F.min("t3").alias("purchase_ts"),
+        F.when(F.min("t3").isNotNull(), 3)
+        .when(F.min("t2").isNotNull(), 2)
+        .when(F.min("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("level"),
+    )

@@ -399,3 +399,82 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_entropy"
         ),
     )
+
+
+@register(
+    "text_repetition_signals",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, t, length(t) AS n,
+             list_transform(list_zip(t[1:length(t)-1], t[2:length(t)]),
+                            p -> p[1] || ' ' || p[2]) AS big,
+             list_transform(list_zip(t[1:length(t)-2], t[2:length(t)-1],
+                                     t[3:length(t)]),
+                            p -> p[1] || ' ' || p[2] || ' ' || p[3]) AS tri
+      FROM toks)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           ROUND(CAST(list_max(list_transform(list_distinct(t),
+                   x -> length(list_filter(t, y -> y = x)))) AS DOUBLE)
+                 / n, 6) AS top_token_frac,
+           CASE WHEN n < 2 THEN 0.0 ELSE
+             ROUND(CAST(length(big) - length(list_distinct(big)) AS DOUBLE)
+                   / length(big), 6) END AS dup_2gram_frac,
+           CASE WHEN n < 3 THEN 0.0 ELSE
+             ROUND(CAST(length(tri) - length(list_distinct(tri)) AS DOUBLE)
+                   / length(tri), 6) END AS dup_3gram_frac
+    FROM grams
+    """,
+    doc="Gopher-style repetition quality signals: top-token fraction and "
+    "duplicate 2-/3-gram fractions per document.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters from the Gopher/MassiveText curation recipe
+    (Rae et al. 2021, §A1.1 — public): documents dominated by one token or
+    by duplicated n-grams are boilerplate/spam and get dropped before
+    training. Signals per doc: fraction of tokens equal to the modal
+    token, and the fraction of word 2-/3-grams that are repeats.
+
+    Scale: zero shuffles and zero explodes — every signal is a per-row
+    array expression (zip_with n-gram assembly, array_distinct counting),
+    so the pass is embarrassingly parallel, stays in whole-stage codegen,
+    and reads only (doc_id, text). The modal-token count is
+    O(distinct x tokens) per row — bounded by document length, not corpus
+    size. A 100 TB curation sweep runs this in the same scan as the other
+    quality signals (see pipeline_training_data_prep for the fused shape).
+    """
+    t = F.col("t")
+    n = F.size(t)
+    big = F.expr(
+        "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    tri = F.expr(
+        "zip_with(slice(t, 1, size(t)-2), "
+        "zip_with(slice(t, 2, size(t)-2), slice(t, 3, size(t)-2), "
+        "(b, c) -> concat(b, ' ', c)), "
+        "(a, bc) -> concat(a, ' ', bc))"
+    )
+    top_cnt = F.array_max(
+        F.transform(F.array_distinct(t), lambda x: F.size(F.filter(t, lambda y: y == x)))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    grams = docs.select("doc_id", t.alias("t"), n.alias("n"), big.alias("big"), tri.alias("tri"))
+
+    def dup_frac(col: str) -> Column:
+        g = F.col(col)
+        return F.round(
+            (F.size(g) - F.size(F.array_distinct(g))).cast("double") / F.size(g), 6
+        )
+
+    return grams.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(top_cnt.cast("double") / F.col("n"), 6).alias("top_token_frac"),
+        F.when(F.col("n") < 2, F.lit(0.0)).otherwise(dup_frac("big")).alias("dup_2gram_frac"),
+        F.when(F.col("n") < 3, F.lit(0.0)).otherwise(dup_frac("tri")).alias("dup_3gram_frac"),
+    )
