@@ -516,3 +516,50 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("level"),
     )
+
+
+@register(
+    "events_incremental_rollup_merge",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="Incremental view maintenance: hourly rollup recomposed by merging "
+    "partial aggregates of two log segments; oracle computes the rollup "
+    "directly — merge(partials) must equal aggregate(whole).",
+)
+def events_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate refresh property, proven by the driver
+    hash: aggregate each log segment to PARTIAL state (count + UNROUNDED
+    exact-decimal sum), union the partials, and fold them into the final
+    rollup. Because count and decimal-sum are commutative monoids, the
+    merged result is bit-identical to aggregating the whole log — which is
+    exactly what lets a 100 TB materialized view refresh by folding ONLY
+    the newly-arrived partition's partials into stored state instead of
+    rescanning history. Rounding happens once, after the merge, mirroring
+    a refresh that keeps exact accumulator state between folds.
+
+    Scale: each partial is a map-side-combined groupBy over its segment;
+    the merge shuffles one row per (segment, hour) — state-sized, not
+    event-sized. The cutoff literal stands in for the stored-state /
+    new-partition boundary.
+    """
+    from trike_spark.queries._util import dec
+
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    e = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
+            F.count(F.lit(1)).alias("pn"), F.sum(dec("value")).alias("psv")
+        )
+
+    merged = partial(e.filter(F.col("ts") < cutoff)).unionByName(
+        partial(e.filter(F.col("ts") >= cutoff))
+    )
+    return merged.groupBy("window_start").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("psv"), 2).cast("double").alias("sum_value"),
+    )
