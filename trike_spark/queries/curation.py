@@ -296,3 +296,59 @@ def curation_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.alias("target_frac"),
         F.round(target / actual, 6).alias("repeat_factor"),
     )
+
+
+CHUNK_TOKENS = 32  # chunk size for the RAG-style splitter
+CHUNK_STRIDE = 24  # stride (=> 8-token overlap between neighbours)
+
+
+@register(
+    "curation_chunk_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    idx AS (
+      SELECT doc_id, t, n,
+             unnest(generate_series(0,
+               CAST(CEIL(CAST(GREATEST(n - {CHUNK_TOKENS}, 0) AS DOUBLE)
+                         / {CHUNK_STRIDE}) AS BIGINT))) AS chunk_idx
+      FROM toks)
+    SELECT doc_id, chunk_idx,
+           len(t[chunk_idx * {CHUNK_STRIDE} + 1 :
+                 chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS n_chunk_tokens,
+           md5(array_to_string(
+               t[chunk_idx * {CHUNK_STRIDE} + 1 :
+                 chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_md5
+    FROM idx
+    """,
+    doc=(
+        f"RAG-style chunking: {CHUNK_TOKENS}-token windows with stride "
+        f"{CHUNK_STRIDE} (8-token overlap); emits per-chunk token count + md5."
+    ),
+)
+def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunker — the retrieval/packing preprocessor.
+    Entirely row-local: tokenize once, derive the chunk index range from
+    the token count, posexplode, slice. No shuffle at all (the chunk fan-
+    out is a generator inside the scan stage), so at 100 TB this runs at
+    scan speed and the downstream chunk-level dedup/embedding stages key
+    off the emitted md5 fingerprint instead of re-shipping chunk text."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    n_chunks_minus1 = F.ceil(
+        F.greatest(n - CHUNK_TOKENS, F.lit(0)).cast("double") / CHUNK_STRIDE
+    ).cast("int")
+    toks = d.select("doc_id", t.alias("t"), n_chunks_minus1.alias("m"))
+    idx = toks.select(
+        "doc_id", "t", F.explode(F.sequence(F.lit(0), F.col("m"))).alias("chunk_idx")
+    )
+    chunk = F.slice(F.col("t"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+    return idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

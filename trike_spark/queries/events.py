@@ -563,3 +563,45 @@ def events_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("pn").alias("n_events"),
         F.round(F.sum("psv"), 2).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(FLOOR(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) / 7.0)
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM active GROUP BY cohort_week, week_offset
+    """,
+    doc="Retention cohorts: users grouped by first-activity week, counted per week offset.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic product-analytics retention matrix. Two shuffles, both on
+    user_id: (1) min-ts per user (map-side combined), (2) the
+    events⋈firsts join — co-partitioned on the same key, so AQE can reuse
+    the exchange. The final (cohort, offset) aggregation is over a
+    DISTINCT user set whose cardinality is users × active-weeks, far
+    below event count; at 100 TB the event log is reduced to per-user
+    partials before anything wide happens."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = (
+        e.join(firsts, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7.0)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_offset").agg(F.count(F.lit(1)).alias("n_users"))

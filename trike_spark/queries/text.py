@@ -478,3 +478,99 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") < 2, F.lit(0.0)).otherwise(dup_frac("big")).alias("dup_2gram_frac"),
         F.when(F.col("n") < 3, F.lit(0.0)).otherwise(dup_frac("tri")).alias("dup_3gram_frac"),
     )
+
+
+VOCAB_K = 100  # vocabulary size for the coverage metric
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY freq DESC, token LIMIT {VOCAB_K})),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(COUNT(*) - COUNT(v.token) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+    doc=f"Vocabulary build (top-{VOCAB_K} by frequency) + per-doc OOV rate against it.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass tokenizer-vocabulary shape: pass 1 builds the top-V
+    vocabulary (explode → map-side partial count → tiny top-V), pass 2
+    re-scans the corpus and LEFT-joins each token against the BROADCAST
+    vocabulary. At 100 TB the corpus never shuffles on token — the only
+    wide exchange is the per-doc count, keyed on doc_id (the natural
+    partitioning of the scan), and the vocabulary is a ~KB broadcast.
+    The OOV rate is the standard "does my tokenizer cover this corpus
+    slice" curation signal."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(VOCAB_K)
+        .select("token")
+    )
+    from pyspark.sql.functions import broadcast
+
+    joined = tok.join(
+        broadcast(vocab.withColumn("in_vocab", F.lit(1))), on="token", how="left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            (F.count(F.lit(1)) - F.count("in_vocab")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH cnt AS (
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token),
+    tot AS (SELECT SUM(freq) AS n FROM cnt),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(-LOG2(CAST(c.freq AS DOUBLE) / tot.n)) / COUNT(*), 6)
+             AS mean_neg_log2p
+    FROM tok t JOIN cnt c ON t.token = c.token CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram-LM quality score: per-doc mean -log2 p(token) under the corpus unigram model.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic LM-based quality filter (perplexity proxy): train a
+    unigram model on the corpus itself, score each document by mean
+    surprisal. Same broadcast discipline as text_vocab_coverage — the
+    unigram table is vocabulary-sized (KBs–MBs) and broadcast; the corpus
+    makes one extra narrow pass. Every token is in the model by
+    construction (trained on the same corpus), so the join is inner with
+    no smoothing term needed."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    tot = cnt.agg(F.sum("freq").alias("n"))
+    model = cnt.crossJoin(broadcast(tot)).select(
+        "token", (F.col("freq").cast("double") / F.col("n")).alias("p")
+    )
+    return (
+        tok.join(broadcast(model), on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(-F.log2("p")) / F.count(F.lit(1)), 6).alias("mean_neg_log2p"),
+        )
+    )

@@ -655,3 +655,104 @@ def sim_sq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("c_vec_id").cast("double") / TOP_K).alias("recall"),
         )
     )
+
+
+_SQL_COS_EC = (
+    "(list_aggregate(list_transform(list_zip(e.embedding, c.cvec), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / "
+    "(SQRT(list_aggregate(list_transform(e.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) "
+    "* SQRT(list_aggregate(list_transform(c.cvec, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))"
+)
+
+
+@register(
+    "sim_kmeans_refine",
+    f"""
+    WITH ex AS (SELECT label, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    cent AS (SELECT label, i,
+                    CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS v
+             FROM ex GROUP BY label, i),
+    cvecs AS (SELECT label, list(v ORDER BY i) AS cvec FROM cent GROUP BY label),
+    assign AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.label AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SQL_COS_EC} DESC, c.label) AS rn
+        FROM embeddings e CROSS JOIN cvecs c) WHERE rn = 1),
+    rex AS (SELECT cluster, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM assign),
+    refined AS (SELECT cluster, i,
+                       CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS rv
+                FROM rex GROUP BY cluster, i),
+    dims AS (SELECT r.cluster, r.rv, c.v
+             FROM refined r JOIN cent c ON c.label = r.cluster AND c.i = r.i),
+    stats AS (SELECT cluster,
+                     ROUND(SQRT(SUM((rv - v) * (rv - v))), 6) AS drift,
+                     ROUND(SQRT(SUM(rv * rv)), 6) AS refined_norm
+              FROM dims GROUP BY cluster),
+    members AS (SELECT cluster, COUNT(*) AS n_members FROM assign GROUP BY cluster)
+    SELECT s.cluster, m.n_members, s.drift, s.refined_norm
+    FROM stats s JOIN members m ON m.cluster = s.cluster
+    """,
+    doc=(
+        "One Lloyd (k-means) iteration: seed centroids = per-label means, "
+        "reassign every vector to its nearest seed by cosine, recompute "
+        "centroids; reports per-cluster size, drift and refined norm."
+    ),
+)
+def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative-clustering building block (IVF training, semantic-
+    dedup cell assignment): one full Lloyd step, deterministic end to end.
+
+    Determinism across engines: centroid means use exact DECIMAL(20,10)
+    sums (order-independent) before one double division, cosine uses the
+    same left-to-right fold as the other sim_* ops, and ties break on
+    cluster id — so assignment is bit-identical in Spark and DuckDB.
+
+    Scale shape: the K centroid vectors are a broadcast (K·dim doubles);
+    assignment is a narrow map over the embedding scan (no shuffle of the
+    big side); the recompute shuffles (cluster, dim) partial decimal sums
+    — K·dim rows of state, not n·dim. Iterating = repeating this stage;
+    each round is one broadcast + one state-sized shuffle, the same plan
+    a 100 TB IVF-training job wants."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "x"))
+    cent = ex.groupBy("label", "i").agg(
+        (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    cvecs = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
+        .select(F.col("label").alias("cluster"), F.transform("iv", lambda e: e["v"]).alias("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        cosine(F.col("embedding"), F.col("cvec")).desc(), F.col("cluster")
+    )
+    assign = (
+        emb.crossJoin(broadcast(cvecs))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster")
+    )
+    rex = assign.select("cluster", F.posexplode("embedding").alias("i", "x"))
+    refined = rex.groupBy("cluster", "i").agg(
+        (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias("rv")
+    )
+    dims = refined.join(
+        cent.select(F.col("label").alias("cluster"), "i", "v"), on=["cluster", "i"]
+    )
+    stats = dims.groupBy("cluster").agg(
+        F.round(F.sqrt(F.sum((F.col("rv") - F.col("v")) * (F.col("rv") - F.col("v")))), 6).alias(
+            "drift"
+        ),
+        F.round(F.sqrt(F.sum(F.col("rv") * F.col("rv"))), 6).alias("refined_norm"),
+    )
+    members = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return stats.join(members, on="cluster").select(
+        "cluster", "n_members", "drift", "refined_norm"
+    )
