@@ -330,3 +330,56 @@ def test_repetition_signals_no_shuffle_no_python(spark):
     tree = plans.plan_tree(df)
     assert plans.shuffle_count(df) == 0, tree
     assert "ArrowEvalPython" not in tree and "MapInPandas" not in tree, tree
+
+
+def test_vocab_coverage_broadcasts_vocabulary(spark):
+    """The top-V vocabulary must broadcast to the token stream: the corpus
+    never shuffles on token for the membership probe (the only wide
+    exchanges are the tiny vocab top-V and the per-doc count)."""
+    from trike_spark.queries.text import text_vocab_coverage
+
+    df = text_vocab_coverage(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+
+
+def test_unigram_model_broadcasts(spark):
+    """The unigram model (vocab-sized) broadcasts to the scoring pass."""
+    from trike_spark.queries.text import text_unigram_logprob
+
+    df = text_unigram_logprob(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+
+
+def test_chunk_overlap_shuffle_free_codegen(spark):
+    """The chunker is a generator inside the scan stage: zero exchanges,
+    zero Python stages — chunk fan-out must not cost a shuffle."""
+    from trike_spark.queries.curation import curation_chunk_overlap
+
+    df = curation_chunk_overlap(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert plans.shuffle_count(df) == 0, tree
+    assert "ArrowEvalPython" not in tree and "MapInPandas" not in tree, tree
+
+
+def test_retention_cohorts_no_nested_loop(spark):
+    """Retention joins events⋈firsts on user_id — an equi-join (SMJ or
+    broadcast under AQE), never a nested-loop/cartesian shape."""
+    from trike_spark.queries.events import events_retention_cohorts
+
+    df = events_retention_cohorts(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_kmeans_refine_broadcasts_centroids(spark):
+    """Lloyd assignment: the K centroid vectors broadcast to the embedding
+    scan (BroadcastNestedLoopJoin over the tiny centroid set is the
+    expected shape for the crossJoin); the big side must not be the build
+    side of any shuffle join."""
+    from trike_spark.queries.vectors import sim_kmeans_refine
+
+    df = sim_kmeans_refine(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert "BroadcastNestedLoopJoin" in tree or plans.broadcast_join_count(df) >= 1, tree
+    assert "CartesianProduct" not in tree, tree
