@@ -49,6 +49,9 @@ HEADLINE = [
     "multimodal_resize",
     "events_scd2_intervals",
     "sim_sq_int8_topk",
+    "sim_kmeans_refine",
+    "sim_pq_adc_topk",
+    "text_unigram_logprob",
     # the iterative / composed heavyweights — where regressions would hide
     "dedup_cluster_canonical",
     "dedup_embedding_cosine_pairs",

@@ -383,3 +383,32 @@ def test_kmeans_refine_broadcasts_centroids(spark):
     tree = plans.plan_tree(df)
     assert "BroadcastNestedLoopJoin" in tree or plans.broadcast_join_count(df) >= 1, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_hll_registers_partial_agg_before_exchange(spark):
+    """The HLL register build must map-side combine: the shuffle carries
+    (group, reg, partial max-rho), never raw event rows."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from trike_spark.queries.sketches import sketch_hll_distinct
+
+    df = sketch_hll_distinct(spark, SF_DIR)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "partial_max" in plan, plan
+    assert plan.index("Exchange") < plan.index("partial_max")
+
+
+def test_pq_adc_broadcasts_codebook_and_queries(spark):
+    """PQ: both small sides (codebook, query subvectors) broadcast — the
+    code table and embedding scan never build-side a shuffle join, and
+    nothing degenerates to a cartesian product."""
+    from trike_spark.queries.vectors import sim_pq_adc_topk
+
+    df = sim_pq_adc_topk(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert plans.broadcast_join_count(df) >= 2, tree
+    assert "CartesianProduct" not in tree, tree

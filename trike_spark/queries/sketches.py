@@ -204,3 +204,120 @@ def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+HLL_M = 64  # registers (p = 6)
+HLL_ALPHA = 0.709  # alpha_64 from the HLL paper
+_HLL_W_BITS = 54  # 60-bit hash minus 6 register-index bits
+_HLL_POW = 1 << 55  # integer scaling so register sums stay exact
+
+
+@register(
+    "sketch_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_sql_h60('CAST(user_id AS VARCHAR)')} AS h FROM events),
+    split AS (
+      SELECT event_type, h % {HLL_M} AS reg, h // {HLL_M} AS w FROM h),
+    rho AS (
+      SELECT event_type, reg,
+             CASE WHEN w = 0 THEN {_HLL_W_BITS + 1}
+                  ELSE bit_count((w & -w) - 1) + 1 END AS r
+      FROM split),
+    regs AS (SELECT event_type, reg, MAX(r) AS m FROM rho GROUP BY event_type, reg),
+    grid AS (
+      SELECT t.event_type, g.reg, COALESCE(regs.m, 0) AS m0
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M - 1})) AS reg) g
+      LEFT JOIN regs ON regs.event_type = t.event_type AND regs.reg = g.reg),
+    folded AS (
+      SELECT event_type,
+             SUM(CAST(1 AS BIGINT) << (55 - m0)) AS int_sum,
+             SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS v
+      FROM grid GROUP BY event_type),
+    est AS (
+      SELECT event_type, v,
+             (CAST({HLL_ALPHA} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+               * CAST({_HLL_POW} AS DOUBLE)) / CAST(int_sum AS DOUBLE) AS raw
+      FROM folded),
+    final AS (
+      SELECT event_type, CAST({HLL_M} - v AS BIGINT) AS n_registers_set,
+             ROUND(CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
+                        THEN {HLL_M} * LN({HLL_M}.0 / v) ELSE raw END, 3)
+               AS hll_estimate
+      FROM est),
+    exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
+    SELECT f.event_type, e.n_exact, f.n_registers_set, f.hll_estimate,
+           ROUND((f.hll_estimate - e.n_exact) / e.n_exact, 4) AS rel_err
+    FROM final f JOIN exact e ON e.event_type = f.event_type
+    """,
+    doc=(
+        f"HyperLogLog ({HLL_M} registers, md5 hash): register-level build both "
+        "engines reproduce bit-identically; reports estimate vs exact distinct."
+    ),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-level HyperLogLog, the mergeable distinct-count sketch.
+    Unlike ``approx_count_distinct`` (whose HLL++ register layout is engine
+    internal, so only rows-only checks are possible), this build is
+    md5-derived and integer-exact end to end — register index = low 6 hash
+    bits, rho = trailing-zero count of the remaining 54 bits (bit_count of
+    an integer mask, no float log anywhere), and the harmonic fold sums
+    ``2^(55-M_j)`` as exact BIGINTs — so the DuckDB oracle hash-verifies
+    the sketch itself, not just its output shape.
+
+    Scale shape: state is M=64 registers per group no matter how many
+    events stream through; the shuffle carries (group, reg, max-rho)
+    partials with map-side combine — max is the monoid, so segment
+    sketches merge by register-wise MAX exactly like the incremental-
+    rollup face merges decimal partials. The small-range linear-counting
+    correction matches the published estimator."""
+    e = load_table(spark, sf_dir, "events")
+    h = _h60(F.col("user_id").cast("string"))
+    split = e.select("event_type", h.alias("h")).select(
+        "event_type", (F.col("h") % HLL_M).alias("reg"), F.expr(f"h div {HLL_M}").alias("w")
+    )
+    rho = split.select(
+        "event_type",
+        "reg",
+        F.expr(
+            f"CASE WHEN w = 0 THEN {_HLL_W_BITS + 1} "
+            "ELSE bit_count((w & -w) - 1) + 1 END"
+        ).alias("r"),
+    )
+    regs = rho.groupBy("event_type", "reg").agg(F.max("r").alias("m"))
+    types = e.select("event_type").distinct()
+    grid = (
+        types.select(
+            "event_type", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("reg")
+        )
+        .join(regs, on=["event_type", "reg"], how="left")
+        .select("event_type", F.coalesce(F.col("m"), F.lit(0)).alias("m0"))
+    )
+    folded = grid.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m0 AS INT))")).alias("int_sum"),
+        F.sum(F.when(F.col("m0") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = (F.lit(HLL_ALPHA * (HLL_M * HLL_M)) * F.lit(float(_HLL_POW))).cast("double") / F.col(
+        "int_sum"
+    ).cast("double")
+    est = folded.select("event_type", "v", raw.alias("raw"))
+    final = est.select(
+        "event_type",
+        (HLL_M - F.col("v")).cast("bigint").alias("n_registers_set"),
+        F.round(
+            F.when(
+                (F.col("raw") <= 2.5 * HLL_M) & (F.col("v") > 0),
+                HLL_M * F.log(float(HLL_M) / F.col("v")),
+            ).otherwise(F.col("raw")),
+            3,
+        ).alias("hll_estimate"),
+    )
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return final.join(exact, on="event_type").select(
+        "event_type",
+        "n_exact",
+        "n_registers_set",
+        "hll_estimate",
+        F.round((F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+    )

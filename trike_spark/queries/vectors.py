@@ -756,3 +756,172 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(members, on="cluster").select(
         "cluster", "n_members", "drift", "refined_norm"
     )
+
+
+PQ_M = 8  # subspaces (DIM/PQ_M = 8 dims each)
+_PQ_D = DIM // PQ_M
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential left fold over a double array — matches DuckDB
+    list_aggregate(..., 'sum') bit-for-bit (same contract as :func:`dot`)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+
+@register(
+    "sim_pq_adc_topk",
+    f"""
+    WITH sub AS (
+      SELECT vec_id, label, g.s,
+             embedding[g.s * {_PQ_D} + 1 : g.s * {_PQ_D} + {_PQ_D}] AS subv
+      FROM embeddings,
+           (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) g),
+    spx AS (SELECT label, s, unnest(subv) AS x,
+                   generate_subscripts(subv, 1) AS i
+            FROM sub),
+    cb AS (SELECT label, s, i,
+                  CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS v
+           FROM spx GROUP BY label, s, i),
+    cbv AS (SELECT label, s, list(v ORDER BY i) AS cvec FROM cb GROUP BY label, s),
+    dist AS (
+      SELECT sub.vec_id, sub.s, cbv.label, cbv.cvec,
+             list_aggregate(list_transform(list_zip(sub.subv, cbv.cvec),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS d2
+      FROM sub JOIN cbv ON cbv.s = sub.s),
+    codes AS (
+      SELECT vec_id, s, cvec FROM (
+        SELECT vec_id, s, cvec,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, label) AS rn
+        FROM dist) WHERE rn = 1),
+    q AS (SELECT vec_id AS q_vec_id, s, subv AS q_sub FROM sub
+          WHERE vec_id < {N_QUERIES}),
+    qn AS (SELECT vec_id AS q_vec_id,
+                  SQRT(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS q_norm
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+    parts AS (
+      SELECT q.q_vec_id, c.vec_id AS n_vec_id, q.s,
+             list_aggregate(list_transform(list_zip(q.q_sub, c.cvec),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dotp,
+             list_aggregate(list_transform(list_zip(c.cvec, c.cvec),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS np
+      FROM q JOIN codes c ON c.s = q.s AND c.vec_id <> q.q_vec_id),
+    folded AS (
+      SELECT q_vec_id, n_vec_id,
+             list_aggregate(list(dotp ORDER BY s), 'sum') AS adc_dot,
+             list_aggregate(list(np ORDER BY s), 'sum') AS rnorm2
+      FROM parts GROUP BY q_vec_id, n_vec_id),
+    scored AS (
+      SELECT f.q_vec_id, f.n_vec_id,
+             ROUND(f.adc_dot / (qn.q_norm * SQRT(f.rnorm2)), 6) AS adc_score
+      FROM folded f JOIN qn ON qn.q_vec_id = f.q_vec_id)
+    SELECT q_vec_id, n_vec_id, adc_score, rk FROM (
+      SELECT q_vec_id, n_vec_id, adc_score,
+             ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                ORDER BY adc_score DESC, n_vec_id) AS rk
+      FROM scored) WHERE rk <= {TOP_K}
+    """,
+    doc=(
+        f"Product-quantization ANN: {PQ_M}×{_PQ_D}-dim subspace codebooks "
+        "(per-label centroids), asymmetric-distance (ADC) cosine top-k."
+    ),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ completes the ANN family (brute / LSH / IVF / SQ-int8 / PQ):
+    each vector is stored as M=8 codebook codes; queries score candidates
+    by ADC — exact query subvectors against the candidate's reconstructed
+    centroids — so candidate vectors are never read at query time, only
+    their codes (M bytes vs dim·4 bytes, a 32× read reduction at 100 TB).
+
+    Determinism: codebooks use exact-decimal means, code assignment folds
+    the L2 distance with the engines' shared sequential-fold contract
+    (bit-exact), and the final ADC score is a fold over per-subspace
+    partials collected in subspace order — every float op is order-pinned,
+    so the score and ranking hash-match DuckDB with no tolerance games.
+
+    Scale shape: the codebook (labels × M centroids of dim/M doubles) and
+    the query subvector table (|Q|·M rows) are both broadcast; the big
+    sides — code assignment over all vectors and ADC scoring over the
+    code table — are narrow passes. The only wide exchanges are the
+    (vec, subspace)-keyed argmin window and the per-(q, n) fold, both on
+    code-sized rows, never raw embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = emb.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        "embedding",
+    ).select(
+        "vec_id", "label", "s", F.expr(f"slice(embedding, s * {_PQ_D} + 1, {_PQ_D})").alias("subv")
+    )
+    spx = subs.select("label", "s", F.posexplode("subv").alias("i", "x"))
+    cb = spx.groupBy("label", "s", "i").agg(
+        (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    cbv = (
+        cb.groupBy("label", "s")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
+        .select("label", "s", F.transform("iv", lambda e: e["v"]).alias("cvec"))
+    )
+    d2 = _fold_sum(
+        F.zip_with(
+            F.col("subv"),
+            F.col("cvec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("label"))
+    codes = (
+        subs.select("vec_id", "s", "subv")
+        .join(broadcast(cbv), on="s")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cvec")
+    )
+    q = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), "s", F.col("subv").alias("q_sub")
+    )
+    qn = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    parts = (
+        codes.join(broadcast(q), on="s")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("n_vec_id"),
+            "s",
+            dot(F.col("q_sub"), F.col("cvec")).alias("dotp"),
+            dot(F.col("cvec"), F.col("cvec")).alias("np"),
+        )
+    )
+    folded = (
+        parts.groupBy("q_vec_id", "n_vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "dotp"))).alias("dps"),
+            F.array_sort(F.collect_list(F.struct("s", "np"))).alias("nps"),
+        )
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            _fold_sum(F.transform("dps", lambda e: e["dotp"])).alias("adc_dot"),
+            _fold_sum(F.transform("nps", lambda e: e["np"])).alias("rnorm2"),
+        )
+    )
+    scored = folded.join(broadcast(qn), on="q_vec_id").select(
+        "q_vec_id",
+        "n_vec_id",
+        F.round(F.col("adc_dot") / (F.col("q_norm") * F.sqrt(F.col("rnorm2"))), 6).alias(
+            "adc_score"
+        ),
+    )
+    w_rank = Window.partitionBy("q_vec_id").orderBy(F.col("adc_score").desc(), F.col("n_vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_vec_id", "n_vec_id", "adc_score", "rk")
+    )

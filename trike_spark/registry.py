@@ -105,18 +105,27 @@ def interleaved_export_names() -> dict[str, str]:
     load_all_query_modules()
     from trike_spark.driver_history import DRIVER_VERIFIED, WINDOW_PRIORITY
 
+    prio: dict[str, list[str]] = {}
     fresh: dict[str, list[str]] = {}
     seen: dict[str, list[str]] = {}
-    # Within a family: verdict-priority queries first, then oracle-backed
+    # Three tiers, each family-interleaved: verdict-priority names first
+    # (they must ALL land inside the 50-entry window even when one family
+    # holds many of them), then the remaining never-verified names, then
+    # the rotated already-verified tail. Within a family: oracle-backed
     # before rows-only (a capped driver window should verify hashes, not
     # just row counts), then alphabetical.
     for name in sorted(
         REGISTRY,
-        key=lambda n: (n not in WINDOW_PRIORITY, REGISTRY[n].oracle is None, n),
+        key=lambda n: (REGISTRY[n].oracle is None, n),
     ):
-        bucket = seen if name in DRIVER_VERIFIED else fresh
+        if name in DRIVER_VERIFIED:
+            bucket = seen
+        elif name in WINDOW_PRIORITY:
+            bucket = prio
+        else:
+            bucket = fresh
         bucket.setdefault(REGISTRY[name].fn.__module__, []).append(name)
-    ordered = _interleave(fresh) + _interleave(seen)
+    ordered = _interleave(prio) + _interleave(fresh) + _interleave(seen)
     width = max(2, len(str(len(ordered) - 1)))
     return {name: f"{rank:0{width}d}_{name}" for rank, name in enumerate(ordered)}
 
