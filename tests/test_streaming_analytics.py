@@ -132,3 +132,61 @@ def test_streaming_hash_sample_matches_batch_filter(spark, tmp_path):
         assert {r["token"] for r in got} == expected
     finally:
         q.stop()
+
+
+KEYS_B1 = [
+    {"token": f"user{i}", "ts": f"2024-01-01T10:00:{i % 50:02d}.000Z"} for i in range(20)
+]
+KEYS_B2 = [
+    {"token": f"user{i}", "ts": f"2024-01-01T10:01:{i % 50:02d}.000Z"}
+    for i in (3, 5, 21, 22)
+]
+
+
+def test_streaming_hll_matches_batch_registers(spark, tmp_path):
+    from trike_spark.streaming.analytics import streaming_hll_registers
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(src, "b1.json", KEYS_B1)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("timestampFormat", TS_FMT).json(str(src))
+    )
+    regs = streaming_hll_registers(stream, key_col="token")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _poll(spark, q, "hll_out", lambda rows: len(rows) > 0)
+        _write(src, "b2.json", KEYS_B2)
+        batch = spark.createDataFrame(
+            [(r["token"], r["ts"].replace("Z", "")) for r in KEYS_B1 + KEYS_B2],
+            "token string, ts_s string",
+        ).select("token", F.to_timestamp("ts_s").alias("ts"))
+        expected = {
+            (r["window_start"], r["reg"], r["m"])
+            for r in streaming_hll_registers(batch, key_col="token").collect()
+        }
+        got = _poll(
+            spark,
+            q,
+            "hll_out",
+            lambda rows: {(r["window_start"], r["reg"], r["m"]) for r in rows}
+            == expected,
+        )
+        # state is registers, bounded by HLL_M per window — not per-key
+        from trike_spark.queries.sketches import HLL_M
+
+        per_window = {}
+        for r in got:
+            per_window.setdefault(r["window_start"], 0)
+            per_window[r["window_start"]] += 1
+        assert all(n <= HLL_M for n in per_window.values())
+        assert len(per_window) == 2
+    finally:
+        q.stop()

@@ -91,3 +91,57 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         davg("n_chars").alias("avg_chars"),
     )
+
+
+@register(
+    "pipeline_chunk_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0,
+               CAST(CEIL(CAST(GREATEST(n - {C}, 0) AS DOUBLE) / {S}) AS BIGINT)))
+               AS chunk_idx
+      FROM toks),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             md5(array_to_string(
+                 t[chunk_idx * {S} + 1 : chunk_idx * {S} + {C}], ' ')) AS chunk_md5
+      FROM idx),
+    owners AS (SELECT chunk_md5, MIN(doc_id) AS own_doc FROM chunks GROUP BY chunk_md5),
+    flagged AS (
+      SELECT c.doc_id, CASE WHEN c.doc_id = o.own_doc THEN 1 ELSE 0 END AS kept
+      FROM chunks c JOIN owners o ON o.chunk_md5 = c.chunk_md5)
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS kept_frac
+    FROM flagged GROUP BY doc_id
+    """.replace("{C}", "32").replace("{S}", "24"),
+    doc=(
+        "Chunk-level exact dedup: overlap-chunk the corpus, keep each chunk "
+        "for its lowest-doc_id owner, report per-doc survival fraction."
+    ),
+)
+def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/chunk-granularity dedup — the pass that removes boiler-
+    plate shared across documents without dropping whole docs. Composes
+    :func:`curation_chunk_overlap` (shuffle-free chunker) with a
+    fingerprint-keyed ownership reduction: the only wide exchanges carry
+    16-byte md5 keys (owners groupBy + ownership join — same key, so AQE
+    reuses the exchange), never chunk text. Per-doc survival fraction is
+    the curation signal ("how much of this doc is corpus boilerplate")."""
+    from trike_spark.queries.curation import curation_chunk_overlap
+
+    chunks = curation_chunk_overlap(spark, sf_dir).select("doc_id", "chunk_md5")
+    owners = chunks.groupBy("chunk_md5").agg(F.min("doc_id").alias("own_doc"))
+    flagged = chunks.join(owners, on="chunk_md5").select(
+        "doc_id", F.when(F.col("doc_id") == F.col("own_doc"), 1).otherwise(0).alias("kept")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.round(F.sum("kept").cast("double") / F.count(F.lit(1)), 6).alias("kept_frac"),
+    )

@@ -91,3 +91,53 @@ def streaming_hash_sample(
     unlike ``df.sample``). Stateless narrow filter: append-mode safe, no
     watermark, no state store."""
     return events.filter(_draw(F.col(key_col)) < rate_pct)
+
+
+def streaming_hll_registers(
+    events: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed HyperLogLog registers over a key stream.
+
+    Returns (window_start, window_end, reg, m) — one row per touched
+    register per event-time window, built with the SAME md5 hash /
+    trailing-zero rho as the batch ``sketch_hll_distinct`` oracle, so a
+    windowed streaming sketch merges with (register-wise MAX) or
+    cross-checks against a batch-built one. ONE stateful aggregation;
+    state is ≤64 registers per open window — the watermark bounds open
+    windows, so state is O(windows), never O(distinct keys). Works on a
+    static DataFrame too (same plan), which the parity test exploits.
+    """
+    from trike_spark.queries.sketches import HLL_M, _HLL_W_BITS
+
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    split = src.select(
+        F.col(ts_col), _h60(F.col(key_col).cast("string")).alias("h")
+    ).select(
+        F.col(ts_col),
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    )
+    rho = split.select(
+        F.col(ts_col),
+        "reg",
+        F.expr(
+            f"CASE WHEN w = 0 THEN {_HLL_W_BITS + 1} "
+            "ELSE bit_count((w & -w) - 1) + 1 END"
+        ).alias("r"),
+    )
+    return (
+        rho.groupBy(F.window(F.col(ts_col), window_duration).alias("win"), "reg")
+        .agg(F.max("r").alias("m"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "reg",
+            "m",
+        )
+    )
