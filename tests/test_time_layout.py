@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from trike_spark import plans
 from trike_spark.io import load_table, write_time_partitioned
 
@@ -19,3 +21,37 @@ def test_time_partitioned_archive_prunes(spark, tmp_path):
     rows = [r["o_orderdate"] for r in back.collect()]
     # file-internal order preserved by parquet read of a single partition dir
     assert all(rows[i] <= rows[i + 1] for i in range(len(rows) - 1)) or n < 2
+
+
+def test_day_granularity_labels_are_day_fine(spark, tmp_path):
+    """A 'day' archive must carry day-fine _part labels — a month-fine
+    label would silently collapse day-level pruning."""
+    from trike_spark.io import write_time_partitioned
+
+    df = spark.createDataFrame(
+        [("2024-01-10 05:00:00",), ("2024-01-11 06:00:00",)], "ts_s string"
+    ).select(F.to_timestamp("ts_s").alias("ts"))
+    path = str(tmp_path / "day_arch")
+    write_time_partitioned(df, path, "ts", granularity="day")
+    # partition-column type inference reads day labels back as DATEs
+    parts = {str(r["_part"]) for r in spark.read.parquet(path).select("_part").collect()}
+    assert parts == {"2024-01-10", "2024-01-11"}
+
+
+def test_archive_week_filter_prunes_partitions(spark, tmp_path):
+    """The registered scan face's week predicate must land in
+    PartitionFilters (pruned before IO), not a post-scan Filter."""
+    from trike_spark.io import write_time_partitioned
+    from trike_spark.plans import formatted_plan
+
+    rows = [(f"2024-01-{d:02d} 12:00:00",) for d in range(1, 31)]
+    df = spark.createDataFrame(rows, "ts_s string").select(
+        F.to_timestamp("ts_s").alias("ts")
+    )
+    path = str(tmp_path / "prune_arch")
+    write_time_partitioned(df, path, "ts", granularity="day")
+    archived = spark.read.parquet(path)
+    q = archived.filter(F.col("_part").between("2024-01-10", "2024-01-16"))
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan, plan
+    assert q.count() == 7

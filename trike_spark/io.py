@@ -91,7 +91,11 @@ def write_time_partitioned(
     """
     from pyspark.sql import functions as F
 
-    bucket = F.date_format(F.date_trunc(granularity, F.col(ts_col)), "yyyy-MM").alias("_part")
+    # Partition label must be exactly as fine as the truncation: a "day"
+    # archive labelled yyyy-MM would collapse a whole month into one
+    # partition and silently lose day-level pruning.
+    fmt = {"month": "yyyy-MM", "day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH"}[granularity]
+    bucket = F.date_format(F.date_trunc(granularity, F.col(ts_col)), fmt).alias("_part")
     (
         df.withColumn("_part", bucket)
         .repartition(F.col("_part"))

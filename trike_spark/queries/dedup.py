@@ -582,3 +582,90 @@ def dedup_semantic_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = emb.join(dup_ids, emb.vec_id == dup_ids.b_id, "left_anti")
     return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+NEW_BATCH_PCT = 20  # md5-draw percent of docs treated as the arriving batch
+
+
+@register(
+    "dedup_incremental_lsh",
+    _SQL_SHINGLE_CTE
+    + f""",
+    sigs AS (
+      SELECT doc_id, {{sig_cols}}
+      FROM shh),
+    bands AS (
+      SELECT doc_id, {{band_cols}} FROM sigs),
+    buckets AS (
+      {{bucket_union}}),
+    split AS (
+      SELECT doc_id, band_idx, band_hash,
+             CASE WHEN {_sql_h60('CAST(doc_id AS VARCHAR)')} % 100 < {NEW_BATCH_PCT}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM buckets),
+    hits AS (
+      SELECT n.doc_id AS new_doc, i.doc_id AS idx_doc, n.band_idx
+      FROM split n JOIN split i
+        ON i.band_idx = n.band_idx AND i.band_hash = n.band_hash
+       AND n.is_new = 1 AND i.is_new = 0)
+    SELECT new_doc AS doc_id, MIN(idx_doc) AS dup_of,
+           COUNT(DISTINCT band_idx) AS n_hit_bands
+    FROM hits GROUP BY new_doc
+    """.format(
+        sig_cols=", ".join(f"{_sql_sig(i)} AS sig_{i}" for i in range(K_HASHES)),
+        band_cols=", ".join(_band_exprs_sql()),
+        bucket_union=" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash FROM bands"
+            for b in range(N_BANDS)
+        ),
+    ),
+    doc=(
+        "Incremental dedup: an arriving batch (20% md5 draw) LSH-probed "
+        "against the existing corpus index; new docs that collide report "
+        "their lowest-id index match."
+    ),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape for a continuously-growing corpus: the
+    nightly batch is checked AGAINST the standing index, not within
+    itself — no O(corpus²) work ever recurs. Both sides share one
+    signature/band computation (checkpointed once); the probe is a
+    band-keyed equi-join, so the shuffle carries (band_idx, 16-byte band
+    hash), never text. At deployment the index side's buckets are a
+    materialized table partitioned by band_hash and the (much smaller)
+    batch side broadcasts or shuffles into it — either way cost scales
+    with collisions, exactly like the in-corpus LSH pass. The batch split
+    here is a deterministic md5 draw so the DuckDB oracle reproduces it."""
+    sigs = dedup_minhash_signatures(spark, sf_dir)
+    bands = sigs.select("doc_id", *_band_exprs_spark())
+    buckets = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.band_hash")
+    buckets = buckets.withColumn(
+        "is_new",
+        (_h60(F.col("doc_id").cast("string")) % 100 < NEW_BATCH_PCT).cast("int"),
+    )
+    buckets = cache.checkpoint(buckets)
+    n = buckets.filter(F.col("is_new") == 1).alias("n")
+    i = buckets.filter(F.col("is_new") == 0).alias("i")
+    hits = n.join(
+        i,
+        (F.col("i.band_idx") == F.col("n.band_idx"))
+        & (F.col("i.band_hash") == F.col("n.band_hash")),
+    ).select(
+        F.col("n.doc_id").alias("new_doc"),
+        F.col("i.doc_id").alias("idx_doc"),
+        F.col("n.band_idx").alias("band_idx"),
+    )
+    return hits.groupBy("new_doc").agg(
+        F.min("idx_doc").alias("dup_of"),
+        F.countDistinct("band_idx").alias("n_hit_bands"),
+    ).select(F.col("new_doc").alias("doc_id"), "dup_of", "n_hit_bands")

@@ -118,3 +118,44 @@ def scan_json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "scan_time_partitioned_pruned",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+    GROUP BY day
+    """,
+    doc=(
+        "Time-layout archive face: events → day-partitioned parquet archive "
+        "→ read back with a partition filter → per-day stats (pruned scan)."
+    ),
+)
+def scan_time_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The archive round-trip the trike ingest path replays from
+    (``write_time_partitioned``), surfaced as a driver-checkable query:
+    write the event log day-partitioned, read it back with a predicate on
+    the partition column, aggregate. The value-hash proves the layout
+    round-trips timestamps/values losslessly; the plan-shape test proves
+    the week filter prunes to 7 of 30 partitions BEFORE any IO — the
+    property that turns a 100 TB backfill into a per-day scan."""
+    from trike_spark.io import write_time_partitioned
+
+    e = load_table(spark, sf_dir, "events")
+    path = _scan_tmp(spark, "events_day_archive")
+    write_time_partitioned(e, path, "ts", granularity="day")
+    from trike_spark.queries._util import dec
+
+    archived = spark.read.parquet(path)
+    return (
+        archived.filter(F.col("_part").between("2024-01-10", "2024-01-16"))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+    )
