@@ -190,3 +190,64 @@ def test_streaming_hll_matches_batch_registers(spark, tmp_path):
         assert len(per_window) == 2
     finally:
         q.stop()
+
+
+DOCS_IDX = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "completely different content about spark shuffles and parquet files"),
+]
+DOCS_NEW = [
+    {"doc_id": 100, "text": "the quick brown fox jumps over the lazy dog again and again today"},
+    {"doc_id": 101, "text": "nothing like anything in the index at all whatsoever truly unique"},
+]
+
+
+def test_streaming_lsh_dedup_probe_matches_batch(spark, tmp_path):
+    from pyspark.sql.types import LongType
+
+    from trike_spark.queries.dedup import minhash_buckets_df
+    from trike_spark.streaming.analytics import streaming_lsh_dedup_probe
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    index = minhash_buckets_df(
+        spark.createDataFrame(DOCS_IDX, "doc_id long, text string")
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    _write(src, "batch1.json", DOCS_NEW)
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    hits = streaming_lsh_dedup_probe(stream, index)
+    q = (
+        hits.writeStream.format("memory")
+        .queryName("lsh_probe_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        got = _poll(spark, q, "lsh_probe_out", lambda rows: len(rows) > 0)
+        expected = {
+            (r["doc_id"], r["dup_of"], r["band_idx"])
+            for r in streaming_lsh_dedup_probe(
+                spark.createDataFrame(
+                    [(d["doc_id"], d["text"]) for d in DOCS_NEW],
+                    "doc_id long, text string",
+                ),
+                index,
+            ).collect()
+        }
+        got = _poll(
+            spark,
+            q,
+            "lsh_probe_out",
+            lambda rows: {(r["doc_id"], r["dup_of"], r["band_idx"]) for r in rows}
+            == expected,
+        )
+        # the exact duplicate collides with its index twin; the unique doc not
+        assert {r["doc_id"] for r in got} == {100}
+        assert {r["dup_of"] for r in got} == {1}
+    finally:
+        q.stop()

@@ -352,3 +352,57 @@ def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+MIX_TEMPERATURE = 0.7  # alpha for temperature-scaled mixture sampling
+
+
+@register(
+    "curation_temperature_mix",
+    f"""
+    WITH tok AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens FROM tok),
+    p AS (SELECT source, src_tokens,
+                 CAST(src_tokens AS DOUBLE) / tot.total_tokens AS p
+          FROM tok CROSS JOIN tot),
+    z AS (SELECT SUM(POWER(p, {MIX_TEMPERATURE})) AS z FROM p)
+    SELECT source, src_tokens,
+           ROUND(p, 6) AS actual_frac,
+           ROUND(POWER(p, {MIX_TEMPERATURE}) / z.z, 6) AS temp_frac,
+           ROUND((POWER(p, {MIX_TEMPERATURE}) / z.z) / p, 6) AS repeat_factor
+    FROM p CROSS JOIN z
+    """,
+    doc=(
+        f"Temperature-scaled mixture sampling (alpha={MIX_TEMPERATURE}): "
+        "per-source sampling weights p^alpha renormalized, plus repeat factors."
+    ),
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard multilingual/multi-source mixing rule: raise each
+    source's natural share to alpha<1 and renormalize, boosting the tail
+    without flattening it. Unlike curation_mixture_reweight (explicit
+    target mix), the targets here derive from the corpus itself. Cost is
+    one token-count scan; the per-source table (|sources| rows) and the
+    two scalar aggregates (total, normalizer) broadcast back — nothing
+    wide ever carries more than |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("src_tokens")
+    )
+    tot = tok.agg(F.sum("src_tokens").alias("total_tokens"))
+    p_df = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        (F.col("src_tokens").cast("double") / F.col("total_tokens")).alias("p"),
+    )
+    z = p_df.agg(F.sum(F.pow("p", MIX_TEMPERATURE)).alias("z"))
+    temp = F.pow("p", MIX_TEMPERATURE) / F.col("z")
+    return p_df.crossJoin(F.broadcast(z)).select(
+        "source",
+        "src_tokens",
+        F.round("p", 6).alias("actual_frac"),
+        F.round(temp, 6).alias("temp_frac"),
+        F.round(temp / F.col("p"), 6).alias("repeat_factor"),
+    )

@@ -669,3 +669,34 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("idx_doc").alias("dup_of"),
         F.countDistinct("band_idx").alias("n_hit_bands"),
     ).select(F.col("new_doc").alias("doc_id"), "dup_of", "n_hit_bands")
+
+
+def minhash_buckets_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, band_idx, band_hash) LSH bucket rows.
+
+    Narrow-only (shingle → hash → array-side minhash → band md5 →
+    explode), so the exact same plan runs over a static table or a
+    streaming micro-batch — the streaming incremental-dedup twin
+    (:func:`trike_spark.streaming.analytics.streaming_lsh_dedup_probe`)
+    reuses it verbatim, which is what guarantees stream/batch bucket
+    parity."""
+    sigs = (
+        docs.select("doc_id", _trigrams().alias("shingles"))
+        .select(
+            "doc_id",
+            F.transform(F.col("shingles"), lambda s: _h60(s) % _H_BITS_MOD).alias("hs"),
+        )
+        .select("doc_id", *[_minhash_sig(i).alias(f"sig_{i}") for i in range(K_HASHES)])
+    )
+    bands = sigs.select("doc_id", *_band_exprs_spark())
+    return bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.band_hash")

@@ -141,3 +141,28 @@ def streaming_hll_registers(
             "m",
         )
     )
+
+
+def streaming_lsh_dedup_probe(doc_stream: DataFrame, index_buckets: DataFrame) -> DataFrame:
+    """Streaming twin of ``dedup_incremental_lsh``: arriving documents are
+    LSH-probed against the standing corpus index as they stream in.
+
+    ``doc_stream`` carries (doc_id, text); ``index_buckets`` is the
+    materialized (doc_id, band_idx, band_hash) index — at deployment a
+    parquet/Delta table partitioned by band_hash, refreshed by the batch
+    job. Bucket computation is the SAME narrow expression chain as the
+    batch face (``minhash_buckets_df``), and the probe is a stream-static
+    equi-join on (band_idx, band_hash) — stateless, append-mode safe, no
+    watermark: each emitted row is a collision candidate
+    (doc_id, dup_of, band_idx) for the downstream keep/drop decision.
+    State is zero; the static side is broadcast or bucket-pruned by the
+    join key, so stream throughput is independent of corpus size."""
+    from trike_spark.queries.dedup import minhash_buckets_df
+
+    probe = minhash_buckets_df(doc_stream)
+    idx = index_buckets.select(
+        F.col("doc_id").alias("dup_of"), "band_idx", "band_hash"
+    )
+    return probe.join(idx, on=["band_idx", "band_hash"]).select(
+        "doc_id", "dup_of", "band_idx"
+    )
