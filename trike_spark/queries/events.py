@@ -13,7 +13,7 @@ global, nothing collected.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trike_spark.io import load_table
@@ -605,3 +605,77 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return active.groupBy("cohort_week", "week_offset").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    stats AS (
+      SELECT event_type, hour, c,
+             COUNT(c) OVER w AS n,
+             SUM(c) OVER w AS s1,
+             SUM(c * c) OVER w AS s2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+    scored AS (
+      SELECT event_type, hour, c,
+             CAST(s1 AS DOUBLE) / 24.0 AS mean,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24.0)
+               / 23.0 AS var
+      FROM stats WHERE n = 24)
+    SELECT event_type, hour, c,
+           ROUND(mean, 4) AS trailing_mean,
+           ROUND((c - mean) / SQRT(var), 4) AS zscore
+    FROM scored
+    WHERE var > 0 AND ABS((c - mean) / SQRT(var)) >= 2.0
+    """,
+    doc=(
+        "Rate-anomaly detection: hourly counts vs a trailing-24h window; "
+        "flags |z| >= 2 hours (integer-exact mean/variance, no stddev agg)."
+    ),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring face over the event stream: per-type hourly rates
+    scored against their own trailing day. The mean/variance come from
+    exact BIGINT window sums (count, sum, sum-of-squares) pushed through
+    one fixed double expression tree — NOT a stddev aggregate, whose
+    Welford-vs-naive implementation differences across engines would make
+    the hash unverifiable. One shuffle (the hourly rollup, map-side
+    combined); the trailing window rides the same event_type partitioning.
+    At 100 TB the windowed pass sees hours × types rows, never events."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "c",
+        F.count("c").over(w).alias("n"),
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / 24.0
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / 24.0
+    ) / 23.0
+    scored = stats.filter(F.col("n") == 24).select(
+        "event_type", "hour", "c", mean.alias("mean"), var.alias("var")
+    )
+    z = (F.col("c") - F.col("mean")) / F.sqrt(F.col("var"))
+    return scored.filter((F.col("var") > 0) & (F.abs(z) >= 2.0)).select(
+        "event_type",
+        "hour",
+        "c",
+        F.round("mean", 4).alias("trailing_mean"),
+        F.round(z, 4).alias("zscore"),
+    )

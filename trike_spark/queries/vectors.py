@@ -925,3 +925,76 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("q_vec_id", "n_vec_id", "adc_score", "rk")
     )
+
+
+@register(
+    "sim_knn_classify",
+    f"""
+    WITH nn AS (
+      SELECT q_vec_id, n_label FROM (
+        SELECT a.vec_id AS q_vec_id, b.label AS n_label,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_SQL_COS}, 6) DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES})
+      WHERE rk <= {TOP_K}),
+    votes AS (SELECT q_vec_id, n_label, COUNT(*) AS n_votes
+              FROM nn GROUP BY q_vec_id, n_label),
+    pred AS (
+      SELECT q_vec_id, n_label AS predicted_label, n_votes FROM (
+        SELECT q_vec_id, n_label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                  ORDER BY n_votes DESC, n_label) AS rn
+        FROM votes) WHERE rn = 1)
+    SELECT p.q_vec_id, p.predicted_label, p.n_votes,
+           e.label AS true_label,
+           CASE WHEN p.predicted_label = e.label THEN 1 ELSE 0 END AS correct
+    FROM pred p JOIN embeddings e ON e.vec_id = p.q_vec_id
+    """,
+    doc=(
+        f"k-NN classification: majority label among the top-{TOP_K} cosine "
+        "neighbors (tie → smaller label), scored against the true label."
+    ),
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label propagation — the weak-labeling /
+    auto-annotation face on top of the ANN stack. Same scale shape as the
+    brute baseline it builds on (broadcast query set, per-query top-k
+    window, only k·|Q| survivors shuffle); swap the neighbor source for
+    any of the ANN variants (LSH/IVF/SQ/PQ) and the voting stage is
+    unchanged. Ties break on label id so the vote is deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_vec_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("n_emb"),
+    )
+    cos = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+    w_k = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("n_vec_id"))
+    nn = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "n_vec_id", "n_label", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w_k))
+        .filter(F.col("rk") <= TOP_K)
+    )
+    votes = nn.groupBy("q_vec_id", "n_label").agg(F.count(F.lit(1)).alias("n_votes"))
+    w_v = Window.partitionBy("q_vec_id").orderBy(F.col("n_votes").desc(), F.col("n_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") == 1)
+        .select("q_vec_id", F.col("n_label").alias("predicted_label"), "n_votes")
+    )
+    truth = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(broadcast(truth), on="q_vec_id").select(
+        "q_vec_id",
+        "predicted_label",
+        "n_votes",
+        "true_label",
+        F.when(F.col("predicted_label") == F.col("true_label"), 1).otherwise(0).alias("correct"),
+    )
