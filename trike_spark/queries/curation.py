@@ -406,3 +406,44 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(temp, 6).alias("temp_frac"),
         F.round(temp / F.col("p"), 6).alias("repeat_factor"),
     )
+
+
+@register(
+    "curation_train_val_test_split",
+    f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {_sql_draw('doc_id')} < 80 THEN 'train'
+                  WHEN {_sql_draw('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS split_tokens
+    FROM assigned GROUP BY lang, split
+    """,
+    doc=(
+        "Deterministic 80/10/10 train/val/test split via the md5 draw, "
+        "reported per language — replay-stable eval splits."
+    ),
+)
+def curation_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split every training run needs, made replay-stable: membership
+    is a pure function of doc_id (md5 draw), so re-running the pipeline —
+    or running it on a differently-partitioned copy of the corpus — keeps
+    every document in the same split, which is what keeps eval sets
+    uncontaminated across reprocessings. Narrow assignment + one small
+    (lang, split) aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    draw = _draw(F.col("doc_id"))
+    split = (
+        F.when(draw < 80, "train").when(draw < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"), F.size(F.split("text", " ")).alias("n_tokens"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("split_tokens"),
+        )
+    )

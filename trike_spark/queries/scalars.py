@@ -495,3 +495,75 @@ def scalar_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.lang, s.pos, s.token
         """
     )
+
+
+@register(
+    "scalar_ols_trend_applyinpandas",
+    """
+    WITH b AS (
+      SELECT user_id,
+             date_diff('second', TIMESTAMP '2024-01-01', ts) AS x,
+             CAST(value AS DECIMAL(20,6)) AS y
+      FROM events),
+    s AS (SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x AS DECIMAL(38,6)) * y) AS sxy,
+                 SUM(x * x) AS sxx
+          FROM b GROUP BY user_id)
+    SELECT user_id, n AS n_events,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 86400.0, 6) AS slope_per_day
+    FROM s WHERE n >= 10 AND (n * sxx - sx * sx) <> 0
+    """,
+    doc=(
+        "Grouped-map applyInPandas UDAF: per-user OLS trend of event value "
+        "over time (slope per day), exact-integer sums so the hash verifies."
+    ),
+)
+def scalar_ols_trend_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map escape hatch (``applyInPandas``) demonstrated with
+    a hash-verifiable custom UDAF — a per-key least-squares trend, the
+    kind of per-entity model fit that genuinely wants imperative code.
+
+    Cross-engine determinism inside a Python UDF: the kernel accumulates
+    Python-int sums of integer-quantized inputs (seconds since a fixed
+    origin; value in exact micro-units, mirroring the oracle's
+    DECIMAL(20,6) cast), so the sums are order-independent and exact, and
+    the one float division happens on the same exact operands the oracle
+    divides. Arrow batches per group; one shuffle on user_id — the same
+    exchange any grouped aggregate pays. Each group's rows must fit one
+    worker (bounded here by per-user event counts; a 100 TB deployment
+    salts or pre-aggregates pathological keys first)."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    def _ols(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        origin = pd.Timestamp("2024-01-01")
+        xs = ((pdf["ts"] - origin) // pd.Timedelta(seconds=1)).astype("int64").tolist()
+        ys = [int(round(v * 1_000_000)) for v in pdf["value"].tolist()]
+        sx = sum(xs)
+        sy = sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        den = n * sxx - sx * sx
+        if n < 10 or den == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n_events": pd.Series([], dtype="int64"),
+                 "slope_per_day": pd.Series([], dtype="float64")}
+            )
+        # num is micro-scaled; num / 10**6 is one correctly-rounded double
+        # of the exact rational — the same single rounding the oracle's
+        # CAST(exact DECIMAL AS DOUBLE) performs.
+        num = n * sxy - sx * sy
+        slope = (num / 10**6) / float(den) * 86400.0
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])],
+             "n_events": [n],
+             "slope_per_day": [round(slope, 6)]}
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        _ols, schema="user_id long, n_events long, slope_per_day double"
+    )

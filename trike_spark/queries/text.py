@@ -574,3 +574,35 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(-F.log2("p")) / F.count(F.lit(1)), 6).alias("mean_neg_log2p"),
         )
     )
+
+
+@register(
+    "text_length_histogram",
+    """
+    SELECT CAST(FLOOR(LOG2(len(string_split(text, ' ')))) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           MIN(len(string_split(text, ' '))) AS min_tokens,
+           MAX(len(string_split(text, ' '))) AS max_tokens
+    FROM documents
+    GROUP BY log2_bucket
+    """,
+    doc="Token-length distribution in log2 buckets — the corpus-shape report.",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution report (the chart every curation run
+    starts from): log2 buckets so the histogram has ~20 rows whether the
+    corpus is 1 GB or 100 TB. Bucket ids are FLOOR(LOG2(n)) on integer
+    token counts — log2 of an int is computed identically enough across
+    engines that the floor is only ambiguous at exact powers of two,
+    where IEEE log2 is exact anyway. One map-side-combined aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        d.select(F.floor(F.log2(n)).cast("bigint").alias("log2_bucket"), n.alias("n_tokens"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
