@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_cluster_canonical",
     "dedup_embedding_cosine_pairs",
     "dedup_embedding_lsh_cosine_pairs",
+    "dedup_incremental_lsh",
+    "pipeline_chunk_dedup",
     "pipeline_training_data_prep",
 ]
 
@@ -73,6 +75,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in REGISTRY]
+    # Test hook: SPARK_GRAFT_BENCH_ONLY="a,b" restricts the suite so the
+    # output-contract test can exercise the real code path in seconds.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        names = [n for n in names if n in wanted]
 
     from trike_spark.cache import release_checkpoints
 
