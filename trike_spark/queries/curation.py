@@ -447,3 +447,66 @@ def curation_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("n_tokens").cast("bigint").alias("split_tokens"),
         )
     )
+
+
+# --- weighted sampling without replacement (exact, replay-stable) -----------
+
+WEIGHTED_SAMPLE_K = 25
+
+
+@register(
+    "curation_weighted_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, length(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    t AS (
+      SELECT doc_id, lang, n_tokens,
+             MIN(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))) AS draw
+      FROM (SELECT doc_id, lang, n_tokens,
+                   unnest(generate_series(1, n_tokens)) AS i
+            FROM w)
+      GROUP BY doc_id, lang, n_tokens)
+    SELECT doc_id, lang, n_tokens, draw
+    FROM t ORDER BY draw, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+    doc=(
+        "Token-weighted sampling without replacement via the min-ticket "
+        "draw: P(doc is next pick) = w/Σw, fully deterministic (md5 "
+        "tickets), so the sample is replay-stable."
+    ),
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, exactly and with integer-only
+    randomness: each document gets w tickets (w = token count), ticket i's
+    value is md5(doc_id:i), and a document's draw key is its MINIMUM
+    ticket. The min of w iid uniforms beats the min of v iid uniforms with
+    probability w/(w+v), so ordering docs by their min ticket IS the
+    Efraimidis–Spirakis weighted without-replacement order — but with md5
+    string comparisons instead of u^(1/w) floats, which is what makes the
+    sample bit-reproducible across engines, partitionings and replays.
+
+    Scale: the ticket explode is Σw rows — the same cardinality as
+    tokenizing the corpus, the pipeline's baseline cost — and the top-k by
+    draw is TakeOrdered (per-partition heads, no global sort). For corpora
+    where Σw is prohibitive, the float A-ES key (md5-seeded u^(1/w)) cuts
+    it to one row per doc at the cost of float determinism."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    tickets = w.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("i"),
+    )
+    draws = (
+        tickets.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("i"))).alias("ticket"),
+        )
+        .groupBy("doc_id", "lang", "n_tokens")
+        .agg(F.min("ticket").alias("draw"))
+    )
+    return draws.orderBy("draw", "doc_id").limit(WEIGHTED_SAMPLE_K)

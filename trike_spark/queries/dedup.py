@@ -700,3 +700,72 @@ def minhash_buckets_df(docs: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band_idx", "bb.band_hash")
+
+
+# --- edit-distance verification of LSH candidates ---------------------------
+
+# A pair survives when levenshtein ≤ 20% of the longer text. The compare is
+# kept in integers (dist * 5 <= max_len) so Spark and DuckDB agree bit-for-bit.
+EDIT_DIST_DENOM = 5
+
+_SQL_LSH_CAND = (
+    _SQL_SHINGLE_CTE
+    + f""",
+    sigs AS (
+      SELECT doc_id, {', '.join(f'{_sql_sig(i)} AS sig_{i}' for i in range(K_HASHES))}
+      FROM shh),
+    bands AS (
+      SELECT doc_id, {', '.join(_band_exprs_sql())} FROM sigs),
+    buckets AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash FROM bands" for b in range(N_BANDS))}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id)
+"""
+)
+
+
+@register(
+    "dedup_editdistance_pairs",
+    _SQL_LSH_CAND
+    + f"""
+    SELECT c.doc_a, c.doc_b,
+           levenshtein(da.text, db.text) AS edit_dist
+    FROM cand c
+    JOIN documents da ON c.doc_a = da.doc_id
+    JOIN documents db ON c.doc_b = db.doc_id
+    WHERE levenshtein(da.text, db.text) * {EDIT_DIST_DENOM}
+          <= greatest(length(da.text), length(db.text))
+    """,
+    doc=(
+        "LSH candidates verified by relative edit distance "
+        "(levenshtein ≤ 20% of the longer text) — the two-stage "
+        "candidate→verify near-dup pipeline."
+    ),
+)
+def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup detection: MinHash-LSH candidate generation
+    followed by exact Levenshtein verification — the production shape for
+    edit-distance dedup, because the O(len²) distance kernel only ever runs
+    on LSH survivors (cost scales with candidate count, never |docs|²).
+    Verification is two broadcast-friendly joins fetching the candidate
+    pair's texts plus a JVM-side ``levenshtein``; the 20 % relative
+    threshold is compared in integers (dist·5 ≤ max_len) so the oracle
+    hash-matches without any float round-off."""
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("edit_dist", dist)
+        .filter(
+            F.col("edit_dist") * EDIT_DIST_DENOM
+            <= F.greatest(F.length("text_a"), F.length("text_b"))
+        )
+        .select("doc_a", "doc_b", "edit_dist")
+    )
