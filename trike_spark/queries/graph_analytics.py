@@ -1,0 +1,196 @@
+"""Graph analytics over the purchase graph (customers ↔ suppliers via
+orders⋈lineitem): fixed-point PageRank and a degree-distribution report.
+
+The reference has no graph surface; these extend the LLM-data-pipeline set
+(web-graph-style quality signals — PageRank-weighted source scoring is the
+classic crawl-prioritization input, cf. Common Crawl's harmonic-centrality
+ranks) with the same engine rules as everything else here:
+
+  * **Integer fixed-point arithmetic** (scores scaled by 10^6, integer
+    division everywhere): BIGINT sums are order-independent, so the
+    iterative computation hash-matches the DuckDB oracle exactly — no
+    float drift across engines, partitionings, or AQE re-plans.
+  * **Unrolled, bounded iterations** (3), each ONE join + ONE aggregation
+    on the same key — at 100 TB each round shuffles (node, score) pairs,
+    never adjacency lists; the edge set is computed once and reused.
+  * Degree buckets via an explicit power-of-two CASE chain — integer
+    comparisons only, no log2 float round-off at bucket edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trike_spark import cache
+from trike_spark.io import load_table
+from trike_spark.registry import register
+
+PR_SCALE = 1_000_000  # fixed-point score scale
+PR_ITERS = 3
+PR_BASE = 15 * PR_SCALE // 100  # (1 - d) · SCALE with d = 0.85
+
+_DEG_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128, 256]
+
+
+def _sql_edges() -> str:
+    """Symmetric purchase edges with namespaced node ids ('c…' / 's…')."""
+    return """
+    e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM e0
+      UNION ALL
+      SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0)
+    """
+
+
+def _sql_pr_iter(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.node,
+             CAST({PR_BASE} + (85 * COALESCE(SUM(p.score // d.deg), 0)) // 100
+                  AS BIGINT) AS score
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN {prev} p ON p.node = e.src
+      LEFT JOIN outdeg d ON d.src = e.src
+      GROUP BY n.node)
+    """
+
+
+@register(
+    "graph_pagerank_fixedpoint",
+    f"""
+    WITH {_sql_edges()},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    s0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS score FROM nodes),
+    {','.join(_sql_pr_iter(f's{i}', f's{i + 1}') for i in range(PR_ITERS))}
+    SELECT node, score FROM s{PR_ITERS}
+    """,
+    doc=(
+        f"PageRank ({PR_ITERS} unrolled rounds, d=0.85) over the symmetric "
+        "customer↔supplier purchase graph in 10^6-scaled integer "
+        "fixed-point — BIGINT-exact, so the iterative result hash-matches."
+    ),
+)
+def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank with hash-verifiable determinism: scores are
+    10^6-scaled BIGINTs, contributions use integer division
+    (score div outdeg), and the damping update is
+    base + (85·Σcontrib) div 100 — every operation exact, so three
+    iterations on Spark and on DuckDB produce identical bits.
+
+    Scale shape: the edge set (computed once, checkpointed, reused by all
+    rounds) and the per-round shuffles all key on node id; each round is
+    exactly one join (scores onto edge sources) plus one aggregation
+    (summing contributions at destinations) plus one left join back onto
+    the node list so sink/in-edge-less nodes keep the base score. State
+    per round is one (node, score) row per node — the O(V) frontier, never
+    O(E) — and plan depth is constant per round. Symmetric edges make the
+    graph non-bipartite so mass genuinely mixes across rounds (customers'
+    ranks differ by purchase breadth, suppliers' by customer reach)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
+        e0.select(snode.alias("src"), cnode.alias("dst"))
+    )
+    # One materialization feeds outdeg + every round's join — without it the
+    # orders⋈lineitem distinct would recompute 2·ITERS+1 times.
+    edges = cache.checkpoint(edges)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    scores = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("score"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(scores, edges.src == scores.node)
+            .join(outdeg, "src")
+            .select(F.col("dst"), F.expr("score div deg").alias("contrib"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("contrib").alias("inc"))
+        scores = nodes.join(incoming, nodes.node == incoming.dst, "left").select(
+            "node",
+            (
+                F.lit(PR_BASE)
+                + F.expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100")
+            ).cast("long").alias("score"),
+        )
+    return scores
+
+
+def _bucket_case_sql(col: str) -> str:
+    branches = " ".join(
+        f"WHEN {col} < {b} THEN {i}" for i, b in enumerate(_DEG_BUCKETS)
+    )
+    return f"CASE {branches} ELSE {len(_DEG_BUCKETS)} END"
+
+
+def _bucket_case_spark(col: F.Column) -> F.Column:
+    expr = F.when(col < _DEG_BUCKETS[0], 0)
+    for i, b in enumerate(_DEG_BUCKETS[1:], start=1):
+        expr = expr.when(col < b, i)
+    return expr.otherwise(len(_DEG_BUCKETS))
+
+
+@register(
+    "graph_degree_distribution",
+    f"""
+    WITH {_sql_edges()},
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)
+    SELECT substr(src, 1, 1) AS node_kind,
+           {_bucket_case_sql('outdeg')} AS deg_bucket,
+           COUNT(*) AS n_nodes,
+           MIN(outdeg) AS min_deg, MAX(outdeg) AS max_deg
+    FROM deg
+    GROUP BY substr(src, 1, 1), {_bucket_case_sql('outdeg')}
+    """,
+    doc=(
+        "Power-of-two degree histogram of the purchase graph per node kind "
+        "— the skew report that tells you whether a graph join needs "
+        "salting before you run it."
+    ),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution report — the pre-flight skew check for any
+    graph workload: a heavy tail here is exactly the hot-key population
+    that makes the PageRank contribution join (or a CC round) skew, and
+    the histogram is what picks the salting factor. Buckets are
+    power-of-two via an integer CASE chain (no float log2 at the bucket
+    edges). Two aggregations, both keyed on node id / (kind, bucket);
+    output is at most 2·(buckets+1) rows."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
+        e0.select(snode.alias("src"), cnode.alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return (
+        deg.select(
+            F.substring("src", 1, 1).alias("node_kind"),
+            _bucket_case_spark(F.col("outdeg")).alias("deg_bucket"),
+            "outdeg",
+        )
+        .groupBy("node_kind", "deg_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("outdeg").alias("min_deg"),
+            F.max("outdeg").alias("max_deg"),
+        )
+    )

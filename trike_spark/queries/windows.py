@@ -254,3 +254,88 @@ def window_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("n", ignorenulls=True).over(w).alias("n_filled"),
         )
     )
+
+
+# --- exact equi-depth histogram without a single-partition sort -------------
+
+EQUIDEPTH_K = 8
+_EQ_BAND_WIDTH = 5000  # price band for the distributed-rank first pass
+
+
+@register(
+    "window_equidepth_histogram",
+    f"""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             NTILE({EQUIDEPTH_K}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT bucket, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM ranked GROUP BY bucket
+    """,
+    doc=(
+        f"Exact equi-depth (NTILE-{EQUIDEPTH_K}) price histogram computed "
+        "WITHOUT a global single-partition sort: band-count offsets + "
+        "per-band row_number give the exact global rank distributedly."
+    ),
+)
+def window_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram with EXACT NTILE semantics, but scale-correct:
+    a bare ``NTILE() OVER (ORDER BY …)`` collapses the whole table into
+    one partition (the classic global-window trap). Instead:
+
+      1. bucket rows into monotone price bands (narrow, no shuffle);
+      2. aggregate per-band counts (one tiny shuffle) and turn them into
+         exclusive running offsets + the total N (window over the ~120
+         band rows — single-partition, but over band COUNTS, not data);
+      3. broadcast the offsets back and compute each row's exact global
+         rank as offset + row_number within its band — the heavy window
+         runs partitioned BY BAND, so parallelism is #bands, not 1;
+      4. apply NTILE's allocation rule (first N mod k buckets get
+         ⌈N/k⌉) as a closed-form integer expression over (rank, N).
+
+    Ties of o_totalprice can't straddle bands (bands are functions of the
+    price), and (price, orderkey) is a total order, so the distributed
+    rank equals the oracle's NTILE input rank exactly — integer math end
+    to end, hash-identical. The same skeleton yields exact percentiles,
+    medians, and global row_number at 100 TB; band width plays the role
+    of the range-partitioner's split points."""
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    banded = o.withColumn(
+        "band", F.floor(F.col("o_totalprice") / _EQ_BAND_WIDTH).cast("long")
+    )
+    stats = banded.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    wcum = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = stats.select(
+        "band",
+        F.coalesce(F.sum("bn").over(wcum), F.lit(0)).alias("offset"),
+        F.sum("bn").over(wall).alias("N"),
+    )
+    ranked = banded.join(broadcast(offsets), "band").withColumn(
+        "rk",
+        F.col("offset")
+        + F.row_number().over(
+            Window.partitionBy("band").orderBy("o_totalprice", "o_orderkey")
+        ),
+    )
+    k = EQUIDEPTH_K
+    bucket = F.expr(
+        f"""CASE WHEN rk <= (N % {k}) * (N div {k} + 1)
+                 THEN (rk - 1) div (N div {k} + 1) + 1
+                 ELSE (N % {k}) + (rk - (N % {k}) * (N div {k} + 1) - 1) div (N div {k}) + 1
+            END"""
+    )
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

@@ -56,6 +56,7 @@ def load_all_query_modules() -> None:
         curation,
         dedup,
         events,
+        graph_analytics,
         joins,
         multimodal,
         relational,
