@@ -59,6 +59,11 @@ HEADLINE = [
     "dedup_incremental_lsh",
     "pipeline_chunk_dedup",
     "pipeline_training_data_prep",
+    # round-4 late additions
+    "graph_pagerank_fixedpoint",
+    "window_equidepth_histogram",
+    "dedup_editdistance_pairs",
+    "join_bloom_prefilter_revenue",
 ]
 
 

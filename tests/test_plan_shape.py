@@ -412,3 +412,65 @@ def test_pq_adc_broadcasts_codebook_and_queries(spark):
     tree = plans.plan_tree(df)
     assert plans.broadcast_join_count(df) >= 2, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_bloom_prefilter_probe_before_exchange(spark):
+    """The Bloom probe must be a scan-side filter: the bitset map arrives
+    by broadcast (never a shuffle of orders against the bitset), and the
+    dim join itself is also broadcast — orders never shuffles for the
+    prefilter or the join, only for the final aggregation."""
+    from trike_spark.queries.joins import join_bloom_prefilter_revenue
+
+    df = join_bloom_prefilter_revenue(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    # two broadcasts: the 1-row bloom map (nested-loop/cross) + the dim join
+    assert "BroadcastNestedLoopJoin" in tree, tree
+    assert plans.broadcast_join_count(df) >= 1, tree
+    assert plans.sort_merge_join_count(df) == 0, tree
+
+
+def test_equidepth_heavy_window_is_band_partitioned(spark):
+    """The fact-table window must be partitioned by band (parallelism =
+    #bands); the only global-order window runs over the tiny band-stats
+    side. Offsets come back by broadcast, not a fact shuffle."""
+    from trike_spark.queries.windows import window_equidepth_histogram
+
+    df = window_equidepth_histogram(spark, SF_DIR)
+    plan = plans.formatted_plan(df)
+    # the per-row rank window is hash-partitioned by band
+    assert "hashpartitioning(band" in plan, plan
+    assert plans.broadcast_join_count(df) >= 1, plan
+
+
+def test_pagerank_constant_plan_depth_and_edge_reuse(spark):
+    """Iterative PageRank must not grow the plan with the iteration count:
+    edges are checkpointed once (scan count stays bounded) and each round
+    shuffles (node, score) pairs only."""
+    from trike_spark.queries.graph_analytics import graph_pagerank_fixedpoint
+
+    df = graph_pagerank_fixedpoint(spark, SF_DIR)
+    # edges come from the checkpoint: orders/lineitem parquet scans do NOT
+    # appear once per iteration (3 rounds × 2 joins would be ≥6 scans)
+    assert plans.scan_count(df) <= 2, plans.formatted_plan(df)
+    from trike_spark.cache import release_checkpoints
+
+    release_checkpoints()
+
+
+def test_profile_orders_single_scan_single_expand(spark):
+    """The profiler's whole point: ONE scan feeds all five per-column
+    stat families (the oracle's naive shape is five scans)."""
+    from trike_spark.queries.scans import scan_profile_orders
+
+    df = scan_profile_orders(spark, SF_DIR)
+    assert plans.scan_count(df) == 1, plans.formatted_plan(df)
+
+
+def test_weighted_sample_topk_no_global_sort(spark):
+    """Top-k by draw must be TakeOrdered (per-partition heads), never a
+    full Exchange+Sort of the ticket explosion."""
+    from trike_spark.queries.curation import curation_weighted_sample
+
+    df = curation_weighted_sample(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert "TakeOrderedAndProject" in tree, tree
