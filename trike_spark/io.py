@@ -149,3 +149,32 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    z_col,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout: range-partition by the Morton
+    value (files = contiguous z-ranges) and sort within each file by it.
+
+    Because a contiguous z-range bounds a RECTANGLE in the two interleaved
+    dimensions, every file's parquet min/max footer stats become tight in
+    BOTH dims — a 2-D predicate then skips most files/row-groups, where a
+    single-column sort only ever prunes one dim. ``z_col`` is a Column
+    built with :func:`trike_spark.operators.zorder.z_expr_spark`.
+    ``repartitionByRange`` samples the z distribution so files are
+    balanced even when the dims are skewed (the same mechanism a sort
+    shuffle uses); asserted by ``tests/test_zorder_layout.py`` comparing
+    summed row-group bounding boxes against a natural-order write."""
+    (
+        df.withColumn("_z", z_col)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -769,3 +769,215 @@ def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+# --- SimHash Hamming-ball near-dup (multi-index candidate generation) -------
+
+SIMHASH2_BITS = 32  # wider fingerprint than the bucket-equality face
+SIMHASH2_CHUNKS = 4  # 8-bit chunks; pigeonhole: hamming <= 3 => >= 1 chunk equal (we verify at <= 1)
+HAMMING_MAX = 1
+
+
+def _sql_simhash32() -> str:
+    bits = ", ".join(
+        f"CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << b} ELSE 0 END AS bit_{b}"
+        for b in range(SIMHASH2_BITS)
+    )
+    total = " + ".join(f"bit_{b}" for b in range(SIMHASH2_BITS))
+    return f"""
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents),
+    hashed AS (SELECT doc_id, {_sql_h60('t')} AS h FROM tok),
+    bits AS (SELECT doc_id, {bits} FROM hashed GROUP BY doc_id),
+    sh AS (SELECT doc_id, {total} AS simhash FROM bits)
+    """
+
+
+@register(
+    "dedup_simhash_hamming",
+    f"""
+    WITH {_sql_simhash32()},
+    chunks AS (
+      SELECT doc_id, simhash, c AS chunk_idx,
+             (simhash >> (c * 8)) & 255 AS chunk_val
+      FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
+    """,
+    doc=(
+        f"SimHash near-dup within Hamming distance {HAMMING_MAX}: "
+        f"{SIMHASH2_CHUNKS}×8-bit chunk indexes generate candidates "
+        "(pigeonhole-complete), bit_count(xor) verifies — never an "
+        "all-pairs compare."
+    ),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SimHash pipeline (Manku et al., WWW'07 shape): a
+    32-bit majority-vote fingerprint per doc, then Hamming-ball pair
+    search WITHOUT an all-pairs scan. Candidates come from
+    {SIMHASH2_CHUNKS} chunk indexes — by pigeonhole, two fingerprints
+    within Hamming distance {HAMMING_MAX} must agree on at least one
+    8-bit chunk, so equality-joining each chunk index is a COMPLETE (no
+    false negatives) candidate generator whose cost scales with
+    per-bucket collisions, not |docs|². Verification is one integer
+    bit_count(xor) per candidate — exact in both engines, so the face
+    hash-matches.
+
+    Scale: each doc contributes {SIMHASH2_CHUNKS} (chunk_idx, chunk_val)
+    rows; the join key space is chunks×2^8 buckets (widen the chunk or
+    the fingerprint to keep occupancy flat as the corpus grows — 64-bit/
+    6-chunk is the web-scale configuration, same plan). The shuffle
+    carries (doc_id, simhash) pairs — 16 bytes — never text."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t")
+    )
+    hashed = tok.select("doc_id", _h60(F.col("t")).alias("h"))
+    bit_aggs = [
+        F.when(
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << b),
+        )
+        .otherwise(0)
+        .alias(f"bit_{b}")
+        for b in range(SIMHASH2_BITS)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_aggs)
+    total = bits.columns[1:]
+    expr = F.col(total[0])
+    for c in total[1:]:
+        expr = expr + F.col(c)
+    sh = bits.select("doc_id", expr.cast("long").alias("simhash"))
+
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.expr(f"(simhash >> {c * 8}) & 255").alias("chunk_val"),
+                    )
+                    for c in range(SIMHASH2_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    chunks = cache.checkpoint(chunks)
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- asymmetric containment (quote/sub-document inclusion) ------------------
+
+# Keep pairs where the smaller doc's shingles are ≥ 25% contained in the
+# other but symmetric Jaccard stays < 0.5 — exactly the quote-inclusion set
+# symmetric dedup misses. Both thresholds compared in integers.
+CONTAIN_NUM, CONTAIN_DEN = 1, 4  # containment ≥ 1/4
+JACC_NUM, JACC_DEN = 1, 2  # jaccard < 1/2
+
+
+@register(
+    "dedup_containment_pairs",
+    _SQL_SHINGLE_CTE
+    + f""",
+    ex AS (SELECT doc_id, {_sql_h60('s')} AS k
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+    dfo AS (SELECT k FROM ex GROUP BY k HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+    exf AS (SELECT ex.doc_id, ex.k FROM ex JOIN dfo ON ex.k = dfo.k),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM exf a JOIN exf b ON a.k = b.k AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    SELECT doc_a, doc_b, n_inter,
+           LEAST(x.n, y.n) AS n_small
+    FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+    WHERE n_inter * {CONTAIN_DEN} >= {CONTAIN_NUM} * LEAST(x.n, y.n)
+      AND n_inter * ({JACC_DEN} + {JACC_NUM}) < {JACC_NUM} * (x.n + y.n)
+    """,
+    doc=(
+        "Asymmetric containment pairs: smaller doc ≥ 25% contained in the "
+        "larger while symmetric Jaccard < 0.5 — the quote-inclusion near-"
+        "dups symmetric dedup misses; integer-only thresholds."
+    ),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication (one doc quoting/embedding another): rank
+    pairs by CONTAINMENT |A∩B|/min(|A|,|B|) instead of Jaccard
+    |A∩B|/|A∪B|. A 50-shingle quote inside a 1000-shingle page scores
+    containment 1.0 but Jaccard ≈ 0.05 — invisible to every symmetric
+    face. The filter keeps exactly that asymmetric set: containment ≥ 1/4
+    AND Jaccard < 1/2, both as cross-multiplied integer comparisons, so
+    the oracle hash-matches with zero float round-off. (Jaccard < 1/2 ⟺
+    2·inter < union ⟺ 3·inter < na+nb, since union = na+nb−inter.)
+
+    Scale shape is the audited Jaccard skeleton unchanged: one shingle
+    explode (checkpointed, read by all four consumers), the DF ≤ 100
+    hot-key guard bounding pair fan-out, and shuffles carrying 8-byte
+    hashed shingle keys."""
+    sh = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _trigrams().alias("shingles")
+    )
+    ex = cache.checkpoint(
+        sh.select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", _h60(F.col("s")).alias("k"))
+    )
+    exf = cache.checkpoint(
+        ex.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("k")))
+        .filter(F.col("c") <= MAX_SHINGLE_DF)
+        .drop("c")
+    )
+    a = exf.alias("a")
+    b = exf.alias("b")
+    inter = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    n_small = F.least(F.col("x.n"), F.col("y.n"))
+    return (
+        inter.join(sizes.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sizes.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(
+            (F.col("n_inter") * CONTAIN_DEN >= CONTAIN_NUM * n_small)
+            & (F.col("n_inter") * (JACC_DEN + JACC_NUM) < JACC_NUM * (F.col("x.n") + F.col("y.n")))
+        )
+        .select("doc_a", "doc_b", "n_inter", n_small.alias("n_small"))
+    )

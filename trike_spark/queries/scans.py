@@ -218,3 +218,68 @@ def scan_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return row.select(F.explode(entries).alias("e")).select("e.*")
+
+# --- Z-order (Morton) clustering cells --------------------------------------
+
+from trike_spark.operators.zorder import z_expr_sql, z_expr_spark  # noqa: E402
+
+_Z_BITS = 8
+# quantizers: price [0, 512k) / 2000 and days-since-1995 / 10, both capped
+# to the 8-bit range; integer + IEEE-exact double ops so engines agree.
+_SQL_QP = "LEAST(255, CAST(FLOOR(o_totalprice / 2000) AS BIGINT))"
+_SQL_QD_DUCK = "LEAST(255, date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) // 10)"
+_SQL_QD_SPARK = "LEAST(255, CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) div 10)"
+
+
+@register(
+    "scan_zorder_cells",
+    f"""
+    WITH q AS (
+      SELECT {_SQL_QP} AS qp, {_SQL_QD_DUCK} AS qd, o_totalprice, o_orderdate
+      FROM orders),
+    zz AS (
+      SELECT {z_expr_sql('qp', 'qd', _Z_BITS)} AS z, o_totalprice, o_orderdate
+      FROM q)
+    SELECT z // 256 AS cell, COUNT(*) AS n_rows,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+           CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date
+    FROM zz GROUP BY z // 256
+    """,
+    doc=(
+        "Z-order (Morton) cell report over (price, date): each contiguous "
+        "z-range bounds a RECTANGLE in both dims — the footer-stats "
+        "locality that makes 2-D predicate skipping work."
+    ),
+)
+def scan_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analysis face of the Z-order layout (`io.write_zorder` is the
+    write side, `tests/test_zorder_layout.py` proves the row-group-stats
+    win): quantize (o_totalprice, o_orderdate) to 8 bits each, interleave
+    to a 16-bit Morton code, and report per 256-code cell the row count
+    and the min/max BOUNDING BOX of both source dims. Tight boxes are
+    precisely what parquet footer pruning consumes — a 2-D predicate
+    reads only the cells whose box intersects it. Narrow quantize +
+    interleave (pure integer bit math, zero Python), one ≤256-group
+    aggregation with map-side combine."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.select(
+        F.expr(_SQL_QP).alias("qp"),
+        F.expr(_SQL_QD_SPARK).alias("qd"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    zz = q.select(
+        z_expr_spark("qp", "qd", _Z_BITS).alias("z"), "o_totalprice", "o_orderdate"
+    )
+    return (
+        zz.groupBy(F.expr("z div 256").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.min(F.col("o_orderdate").cast("date")).cast("string").alias("min_date"),
+            F.max(F.col("o_orderdate").cast("date")).cast("string").alias("max_date"),
+        )
+    )
