@@ -251,3 +251,75 @@ def test_streaming_lsh_dedup_probe_matches_batch(spark, tmp_path):
         assert {r["dup_of"] for r in got} == {1}
     finally:
         q.stop()
+
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("text", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+DOCS_B1 = [
+    {"doc_id": str(i), "text": " ".join(f"w{i}{j}" for j in range(3 + i % 5)),
+     "ts": "2024-01-01T10:00:05.000Z"}
+    for i in range(12)
+]
+DOCS_B2 = [
+    {"doc_id": str(100 + i), "text": " ".join(f"v{i}{j}" for j in range(2 + i % 4)),
+     "ts": "2024-01-01T10:01:10.000Z"}
+    for i in range(8)
+]
+
+
+def test_streaming_weighted_sample_matches_batch_draws(spark, tmp_path):
+    """The min-ticket draw is a MIN monoid: the stream's per-window draws
+    must be bit-identical to the same computation on the same rows as a
+    static DataFrame (sample membership survives batch→stream replay)."""
+    from trike_spark.streaming.analytics import streaming_weighted_sample_draws
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(src, "b1.json", DOCS_B1)
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("timestampFormat", TS_FMT)
+        .json(str(src))
+    )
+    draws = streaming_weighted_sample_draws(stream, window_duration="1 minute")
+    q = (
+        draws.writeStream.format("memory")
+        .queryName("wsample_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _poll(spark, q, "wsample_out", lambda rows: len(rows) >= len(DOCS_B1))
+        _write(src, "b2.json", DOCS_B2)
+        batch = spark.createDataFrame(
+            [(r["doc_id"], r["text"], r["ts"].replace("Z", "")) for r in DOCS_B1 + DOCS_B2],
+            "doc_id string, text string, ts_s string",
+        ).select("doc_id", "text", F.to_timestamp("ts_s").alias("ts"))
+        expected = {
+            (r["window_start"], r["doc_id"], r["n_tokens"], r["draw"])
+            for r in streaming_weighted_sample_draws(batch).collect()
+        }
+        got = _poll(
+            spark,
+            q,
+            "wsample_out",
+            lambda rows: {
+                (r["window_start"], r["doc_id"], r["n_tokens"], r["draw"]) for r in rows
+            }
+            == expected,
+        )
+        assert {
+            (r["window_start"], r["doc_id"], r["n_tokens"], r["draw"]) for r in got
+        } == expected
+        # two event-time windows (10:00 and 10:01) must both be present
+        assert len({r["window_start"] for r in got}) == 2
+    finally:
+        q.stop()

@@ -321,3 +321,98 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hll_estimate",
         F.round((F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
     )
+
+
+# --- join-size estimation from CMS inner products ---------------------------
+
+JS_W = 16_384  # wider than the frequency sketch: join-size error ∝ N_A·N_B/W
+
+
+def _sql_js_cell(h_expr: str, d: int) -> str:
+    return f"((({h_expr}) % {1 << 30}) * {_cms_a(d)} + {_cms_b(d)}) % {CMS_P} % {JS_W}"
+
+
+def _js_cell(h: Column, d: int) -> Column:
+    return ((h % (1 << 30)) * F.lit(_cms_a(d)) + F.lit(_cms_b(d))) % CMS_P % JS_W
+
+
+def _js_cells_df(df: DataFrame, key: Column) -> DataFrame:
+    """(rows keyed by `key`) → (d, cell, c) sketch table, ONE pass: each
+    row emits its D cell ids as an array, posexplode splits them, one
+    (d, cell) groupBy with map-side combine builds all rows at once."""
+    h = _h60(key.cast("string"))
+    cells = F.array(*[_js_cell(h, d) for d in range(CMS_D)])
+    return (
+        df.select(F.posexplode(cells).alias("d", "cell"))
+        .groupBy("d", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@register(
+    "sketch_join_size_estimate",
+    f"""
+    WITH ha AS (SELECT {_sql_h60('CAST(l_partkey AS VARCHAR)')} AS hh FROM lineitem),
+    ca AS (
+      {' UNION ALL '.join(
+          f"SELECT {d} AS d, {_sql_js_cell('hh', d)} AS cell, COUNT(*) AS c "
+          "FROM ha GROUP BY 1, 2"
+          for d in range(CMS_D)
+      )}),
+    hb AS (SELECT {_sql_h60('CAST(p_partkey AS VARCHAR)')} AS hh
+           FROM part WHERE p_size > 25),
+    cb AS (
+      {' UNION ALL '.join(
+          f"SELECT {d} AS d, {_sql_js_cell('hh', d)} AS cell, COUNT(*) AS c "
+          "FROM hb GROUP BY 1, 2"
+          for d in range(CMS_D)
+      )}),
+    prod AS (
+      SELECT a.d, SUM(a.c * b.c) AS s
+      FROM ca a JOIN cb b ON a.d = b.d AND a.cell = b.cell
+      GROUP BY a.d),
+    est AS (SELECT CAST(MIN(s) AS BIGINT) AS cms_join_size FROM prod),
+    ex AS (SELECT COUNT(*) AS exact_join_size
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_size > 25)
+    SELECT exact_join_size, cms_join_size FROM ex, est
+    """,
+    doc=(
+        f"Join-cardinality estimate from CMS inner products ({CMS_D}×{JS_W}): "
+        "est = min_d Σ_cell A_d·B_d ≥ |A⋈B| (one-sided), vs the exact size."
+    ),
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimizer's question — how big is this join? — answered from
+    two fixed-size sketches instead of running the join: |A ⋈_k B| =
+    Σ_k f_A(k)·f_B(k) is exactly the inner product of the key-frequency
+    vectors, and the CMS row-wise inner product Σ_cell A_d[cell]·B_d[cell]
+    over-estimates it by collision mass only (min over D rows tightens;
+    error ≤ e/W·N_A·N_B with the usual CMS bound). Both sketches are
+    D·W BIGINT cells regardless of table size, build in one map-side-
+    combined pass each, and the estimate join is sketch⋈sketch — at
+    100 TB you never touch the data twice. Integer arithmetic end to end,
+    so the estimate (and the exact control count) hash-match the oracle.
+
+    This is how a planner prices join orders from pre-collected sketch
+    stats; the face carries the exact size alongside so the driver
+    hash-pins the estimation error itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 25)
+    ca = _js_cells_df(li, F.col("l_partkey"))
+    cb = _js_cells_df(part, F.col("p_partkey"))
+    prod = (
+        ca.alias("a")
+        .join(
+            F.broadcast(cb.alias("b")),
+            (F.col("a.d") == F.col("b.d")) & (F.col("a.cell") == F.col("b.cell")),
+        )
+        .groupBy(F.col("a.d"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("s"))
+    )
+    est = prod.agg(F.min("s").cast("bigint").alias("cms_join_size"))
+    exact = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return exact.crossJoin(F.broadcast(est))

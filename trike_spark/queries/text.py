@@ -606,3 +606,102 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+# --- bigram LM scoring with stupid-backoff ----------------------------------
+
+BACKOFF_ALPHA = 0.4  # Brants et al. "stupid backoff" weight
+
+
+@register(
+    "text_bigram_logprob",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT doc_id, p[1] || ' ' || p[2] AS bigram, p[1] AS prefix, p[2] AS w
+      FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+            FROM toks)),
+    bcnt AS (SELECT bigram, COUNT(*) AS bc FROM bg GROUP BY bigram),
+    pcnt AS (SELECT prefix, COUNT(*) AS pc FROM bg GROUP BY prefix),
+    ucnt AS (
+      SELECT token, COUNT(*) AS uc
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token),
+    tot AS (SELECT SUM(uc) AS n FROM ucnt)
+    SELECT g.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(SUM(-LOG2(
+             CASE WHEN b.bc IS NOT NULL
+                  THEN CAST(b.bc AS DOUBLE) / p.pc
+                  ELSE {BACKOFF_ALPHA} * CAST(u.uc AS DOUBLE) / tot.n
+             END)) / COUNT(*), 6) AS mean_neg_log2p
+    FROM bg g
+    LEFT JOIN bcnt b ON g.bigram = b.bigram
+    JOIN pcnt p ON g.prefix = p.prefix
+    JOIN ucnt u ON g.w = u.token
+    CROSS JOIN tot
+    GROUP BY g.doc_id
+    """,
+    doc=(
+        "Bigram-LM quality score with stupid backoff (p = c(ab)/c(a·), "
+        "else 0.4·p_unigram): per-doc mean -log2 p — the sharper LM "
+        "filter one rung above the unigram face."
+    ),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with stupid backoff (Brants et al.,
+    EMNLP'07 — the backoff made for distributed LMs precisely because it
+    needs no normalization pass): p(w|a) = c(aw)/c(a·) when the bigram
+    was seen, else α·p_unigram(w). Scores are mean per-token surprisal,
+    the standard perplexity-based quality filter at one more order of
+    context than ``text_unigram_logprob`` (when trained on the corpus
+    itself every bigram IS seen; the backoff leg is exercised the moment
+    the model tables are frozen and applied to new text — same plan).
+
+    Scale: the bigram/prefix/unigram count tables are vocabulary-sized
+    and broadcast here; at web scale the bigram table outgrows broadcast
+    and the same plan degrades gracefully to shuffle hash joins keyed on
+    the n-gram — which is exactly how Brants et al. sharded their LM.
+    Corpus passes: one explode for counting, one for scoring."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    l = _tokens()
+    n = F.size(l)
+    pairs = F.zip_with(
+        F.slice(l, 1, n - 1),
+        F.slice(l, 2, n - 1),
+        lambda a, b: F.struct(a.alias("prefix"), b.alias("w")),
+    )
+    bg = (
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "p.prefix", "p.w").alias("bigram"),
+            F.col("p.prefix").alias("prefix"),
+            F.col("p.w").alias("w"),
+        )
+    )
+    from trike_spark import cache
+
+    bg = cache.checkpoint(bg)
+    bcnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+    pcnt = bg.groupBy("prefix").agg(F.count(F.lit(1)).alias("pc"))
+    tok = d.select(F.explode(l).alias("token"))
+    ucnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("uc"))
+    tot = ucnt.agg(F.sum("uc").alias("n"))
+
+    p = F.when(
+        F.col("bc").isNotNull(), F.col("bc").cast("double") / F.col("pc")
+    ).otherwise(F.lit(BACKOFF_ALPHA) * F.col("uc").cast("double") / F.col("n"))
+    return (
+        bg.join(broadcast(bcnt), "bigram", "left")
+        .join(broadcast(pcnt), "prefix")
+        .join(broadcast(ucnt), bg.w == ucnt.token)
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(-F.log2(p)) / F.count(F.lit(1)), 6).alias("mean_neg_log2p"),
+        )
+    )

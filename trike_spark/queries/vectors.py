@@ -1296,3 +1296,51 @@ def sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("p_n").cast("double") / TOP_K).alias("recall"),
         )
     )
+
+
+# --- maximum inner product search (the third FAISS metric) ------------------
+
+
+@register(
+    "sim_topk_inner_product",
+    f"""
+    SELECT q_vec_id, n_vec_id, ip, rk FROM (
+      SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+             ROUND({_SQL_DOT_AB}, 6) AS ip,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY ROUND({_SQL_DOT_AB}, 6) DESC, b.vec_id) AS rk
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES})
+    WHERE rk <= {TOP_K}
+    """,
+    doc=(
+        f"Maximum-inner-product top-{TOP_K} for {N_QUERIES} queries — "
+        "MIPS, the retrieval metric of un-normalized two-tower models; "
+        "same broadcast + per-query window shape as the cosine baseline."
+    ),
+)
+def sim_topk_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS completes the cosine/range/IP metric set (FAISS's three): raw
+    dot product ranking, used when embedding magnitude carries signal
+    (recommender two-tower scores, unnormalized retrieval heads). No
+    norm division — cheaper than cosine — but NOT bucketable by the
+    angular LSH family (hyperplane buckets are magnitude-blind); the
+    standard scale path is the MIPS→cosine reduction (augment each
+    vector with sqrt(M²−‖x‖²) then run any cosine ANN index) or IP-IVF.
+    Plan shape is the audited brute-force baseline: query set broadcast,
+    corpus scan stays put, per-query top-k via the rank window, dot
+    product in the bit-exact JVM fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("n_emb"))
+    ip = F.round(dot(F.col("q_emb"), F.col("n_emb")), 6)
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("ip").desc(), F.col("n_vec_id"))
+    return (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "n_vec_id", ip.alias("ip"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -166,3 +166,55 @@ def streaming_lsh_dedup_probe(doc_stream: DataFrame, index_buckets: DataFrame) -
     return probe.join(idx, on=["band_idx", "band_hash"]).select(
         "doc_id", "dup_of", "band_idx"
     )
+
+
+def streaming_weighted_sample_draws(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming twin of ``curation_weighted_sample``: per event-time
+    window, each arriving doc's weighted draw key (MIN over w md5
+    tickets, w = token count) — MIN is a monoid, so this is ONE stateful
+    windowed aggregation whose state is a single 32-char string per
+    (window, doc); the downstream top-k consumer just sorts the emitted
+    draws. Because the ticket scheme is a pure function of (doc_id, w),
+    the stream's draw for a doc is bit-identical to the batch face's —
+    sample membership survives a batch→stream migration or a replay.
+
+    Expects (doc_id, text, ts). The ticket explode is the same Σw
+    fan-out the batch face pays, applied per micro-batch — narrow until
+    the windowed MIN agg."""
+    src = docs
+    if dict(src.dtypes).get(ts_col) in ("string",):
+        src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    w = src.select(
+        "doc_id",
+        F.col(ts_col),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    tickets = w.select(
+        "doc_id",
+        ts_col,
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("i"),
+    ).select(
+        "doc_id",
+        ts_col,
+        "n_tokens",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("i"))).alias("ticket"),
+    )
+    return (
+        tickets.groupBy(F.window(ts_col, window_duration).alias("win"), F.col("doc_id"), F.col("n_tokens"))
+        .agg(F.min("ticket").alias("draw"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "doc_id",
+            "n_tokens",
+            "draw",
+        )
+    )
