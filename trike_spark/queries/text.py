@@ -12,7 +12,7 @@ partial_count), not raw tokens.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trike_spark.io import load_table
@@ -705,3 +705,176 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(-F.log2(p)) / F.count(F.lit(1)), 6).alias("mean_neg_log2p"),
         )
     )
+
+
+# --- BPE merge induction (distributed, exact) -------------------------------
+
+BPE_MERGES = 3
+
+
+def _sql_bpe_round(r: int) -> str:
+    """One BPE round as CTEs: pair counts → argmax → greedy non-overlapping
+    merge via gaps-and-islands parity → rebuilt symbol arrays."""
+    w, nxt = f"words{r}", f"words{r + 1}"
+    return f"""
+    ex{r} AS (
+      SELECT word_id, wc, generate_subscripts(syms, 1) AS pos, unnest(syms) AS sym
+      FROM {w}),
+    lx{r} AS (
+      SELECT word_id, wc, pos, sym,
+             LEAD(sym) OVER (PARTITION BY word_id ORDER BY pos) AS nxt
+      FROM ex{r}),
+    pc{r} AS (
+      SELECT sym AS a, nxt AS b, SUM(wc) AS cnt
+      FROM lx{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+    best{r} AS (
+      SELECT a, b, cnt FROM pc{r}
+      ORDER BY cnt DESC, a, b LIMIT 1),
+    mt{r} AS (
+      SELECT l.word_id, l.pos
+      FROM lx{r} l CROSS JOIN best{r} bp
+      WHERE l.sym = bp.a AND l.nxt = bp.b),
+    isl{r} AS (
+      SELECT word_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY word_id ORDER BY pos) AS island
+      FROM mt{r}),
+    act{r} AS (
+      SELECT word_id, pos FROM (
+        SELECT word_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY word_id, island ORDER BY pos) AS rn
+        FROM isl{r})
+      WHERE rn % 2 = 1),
+    {nxt} AS (
+      SELECT l.word_id, l.wc,
+             list(CASE WHEN a1.pos IS NOT NULL THEN l.sym || l.nxt ELSE l.sym END
+                  ORDER BY l.pos) AS syms
+      FROM lx{r} l
+      LEFT JOIN act{r} a1 ON l.word_id = a1.word_id AND l.pos = a1.pos
+      LEFT JOIN act{r} a0 ON l.word_id = a0.word_id AND l.pos = a0.pos + 1
+      WHERE a0.pos IS NULL
+      GROUP BY l.word_id, l.wc)
+    """
+
+
+@register(
+    "text_bpe_merges",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    words0 AS (
+      SELECT token AS word_id, COUNT(*) AS wc,
+             list_transform(generate_series(1, length(token)), i -> token[i]) AS syms
+      FROM tok GROUP BY token),
+    {','.join(_sql_bpe_round(r) for r in range(BPE_MERGES))}
+    {' UNION ALL '.join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(BPE_MERGES)
+    )}
+    """,
+    doc=(
+        f"Byte-pair-encoding vocabulary induction: the first {BPE_MERGES} "
+        "merges learned over the corpus word-count table — greedy "
+        "non-overlapping pair merging done exactly (gaps-and-islands "
+        "parity), integer counts, lexicographic tie-breaks."
+    ),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich et al., ACL'16) — the tokenizer-
+    construction step of every LLM data pipeline — with EXACT semantics:
+
+      * trains on the word-count table (vocabulary-sized), not the corpus
+        stream: the classic trick that makes BPE scale — a 100 TB corpus
+        still reduces to ~10⁷ (word, count) rows after the first groupBy,
+        and every merge round is windows+joins over that table;
+      * each round: weighted adjacent-pair counts → argmax (count desc,
+        pair lexicographic — fully deterministic) → greedy LEFT-TO-RIGHT
+        non-overlapping merge. Greedy non-overlap is sequential on paper;
+        here it is closed-form: runs of consecutive match positions (only
+        possible when A=B) activate alternate members — gaps-and-islands
+        parity, two window functions, no iteration within the round;
+      * symbol arrays rebuilt per round; plan depth grows linearly in
+        merge count and each round is checkpointed, so 1000-merge
+        training keeps constant per-round plan size.
+
+    Integer counts end-to-end, so all {BPE_MERGES} learned merges and
+    their frequencies hash-match the DuckDB oracle — an iterative
+    algorithm whose every step is driver-verified."""
+    from trike_spark import cache
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(_tokens()).alias("token"))
+    words = tok.groupBy("token").agg(F.count(F.lit(1)).alias("wc")).select(
+        F.col("token").alias("word_id"),
+        "wc",
+        F.expr(
+            "transform(sequence(1, length(token)), i -> substring(token, i, 1))"
+        ).alias("syms"),
+    )
+
+    merge_rows = []
+    for r in range(BPE_MERGES):
+        words = cache.checkpoint(words)
+        wv = Window.partitionBy("word_id").orderBy("pos")
+        lx = words.select(
+            "word_id", "wc", F.posexplode("syms").alias("pos", "sym")
+        ).withColumn("nxt", F.lead("sym").over(wv))
+        pc = (
+            lx.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        best = pc.orderBy(F.desc("cnt"), "sym", "nxt").limit(1).select(
+            F.col("sym").alias("ba"), F.col("nxt").alias("bb"), F.col("cnt")
+        )
+        best = cache.checkpoint(best)
+        merge_rows.append(
+            best.select(
+                F.lit(r).alias("round"),
+                F.col("ba").alias("sym_a"),
+                F.col("bb").alias("sym_b"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+        )
+        mt = (
+            lx.crossJoin(F.broadcast(best))
+            .filter((F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")))
+            .select("word_id", "pos")
+        )
+        isl = mt.withColumn(
+            "island", F.col("pos") - F.row_number().over(wv)
+        )
+        act = (
+            isl.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("word_id", "island").orderBy("pos")
+                ),
+            )
+            .filter(F.col("rn") % 2 == 1)
+            .select("word_id", "pos")
+        )
+        a1 = act.select(F.col("word_id").alias("w1"), F.col("pos").alias("p1"))
+        a0 = act.select(F.col("word_id").alias("w0"), (F.col("pos") + 1).alias("p0"))
+        rebuilt = (
+            lx.join(a1, (F.col("word_id") == F.col("w1")) & (F.col("pos") == F.col("p1")), "left")
+            .join(a0, (F.col("word_id") == F.col("w0")) & (F.col("pos") == F.col("p0")), "left")
+            .filter(F.col("p0").isNull())
+            .withColumn(
+                "sym_new",
+                F.when(
+                    F.col("p1").isNotNull(), F.concat(F.col("sym"), F.col("nxt"))
+                ).otherwise(F.col("sym")),
+            )
+            .groupBy("word_id", "wc")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym_new"))),
+                    lambda x: x.sym_new,
+                ).alias("syms")
+            )
+        )
+        words = rebuilt
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out
