@@ -178,3 +178,37 @@ def write_zorder(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 << 20,
+    rebalance: bool = False,
+) -> int:
+    """Small-file compaction (the lakehouse maintenance job every
+    streaming sink eventually needs): rewrite a parquet directory into
+    ⌈total_bytes / target⌉ files. Streaming sinks and fine-grained
+    dynamic partitions leave thousands of KB-sized files; at 100 TB the
+    resulting footer/open overhead dominates scan time and the NameNode/
+    object-store listing cost grows unbounded — periodic compaction to
+    ~128 MB files is the standard fix (Delta OPTIMIZE / Iceberg rewrite).
+
+    Default is ``coalesce`` — a NARROW repack (no shuffle: existing
+    partitions are concatenated), which is what you want when the input
+    is merely fragmented. ``rebalance=True`` switches to ``repartition``
+    (one shuffle) for when the files are also skewed. Returns the target
+    file count."""
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df = df.repartition(n) if rebalance else df.coalesce(n)
+    df.write.mode("overwrite").parquet(dst_path)
+    return n
