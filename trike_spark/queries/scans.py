@@ -283,3 +283,64 @@ def scan_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("o_orderdate").cast("date")).cast("string").alias("max_date"),
         )
     )
+
+
+# --- join-key skew report ---------------------------------------------------
+
+SKEW_TOP_N = 10
+
+
+@register(
+    "scan_skew_report",
+    f"""
+    WITH kc AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt
+      FROM orders GROUP BY o_custkey),
+    stats AS (
+      SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             MAX(cnt) AS max_cnt
+      FROM kc)
+    SELECT k.key, k.cnt,
+           s.n_keys, s.n_rows,
+           CAST(ROUND(CAST(k.cnt AS DOUBLE) * s.n_keys / s.n_rows, 6) AS DOUBLE)
+             AS skew_ratio
+    FROM kc k CROSS JOIN stats s
+    ORDER BY k.cnt DESC, k.key
+    LIMIT {SKEW_TOP_N}
+    """,
+    doc=(
+        f"Join-key skew report: top-{SKEW_TOP_N} hottest o_custkey values "
+        "with their multiple-of-mean skew ratio — the pre-flight check "
+        "that decides whether a join needs salting/AQE skew handling."
+    ),
+)
+def scan_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnosis that motivates ``operators/skew.salted_join`` and
+    AQE's skewedJoin: per-key row counts for the intended join key, the
+    hottest keys, and each one's ratio to the mean (cnt·n_keys/n_rows —
+    computed from two exact BIGINTs through one double division, so it
+    hash-matches). A ratio ≫ spark.sql.adaptive.skewJoin thresholds says
+    this key will straggle its shuffle partition; feed the hot list to a
+    salted join or isolate-and-broadcast those keys. One keyed count
+    (map-side combined), a 1-row global stat broadcast back, TakeOrdered
+    top-k — runs on 100 TB for the cost of a count."""
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders")
+    kc = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    ).select("n_keys", "n_rows")
+    ratio = F.round(
+        F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+    )
+    return (
+        kc.crossJoin(broadcast(stats))
+        .select("key", "cnt", "n_keys", "n_rows", ratio.alias("skew_ratio"))
+        .orderBy(F.desc("cnt"), "key")
+        .limit(SKEW_TOP_N)
+    )
