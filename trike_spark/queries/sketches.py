@@ -416,3 +416,165 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_join_size"))
     )
     return exact.crossJoin(F.broadcast(est))
+
+
+# --- HLL set-algebra: distinct-intersection estimate ------------------------
+
+HLL_VAL_THR = 150  # value filter giving partial audience overlap
+
+
+@register(
+    "sketch_hll_intersection",
+    f"""
+    WITH src AS (
+      SELECT 'a' AS side, user_id FROM events
+      WHERE event_type = 'click' AND value > {HLL_VAL_THR}
+      UNION ALL
+      SELECT 'b', user_id FROM events
+      WHERE event_type = 'purchase' AND value > {HLL_VAL_THR}),
+    h AS (SELECT side, {_sql_h60('CAST(user_id AS VARCHAR)')} AS h FROM src),
+    split AS (SELECT side, h % {HLL_M} AS reg, h // {HLL_M} AS w FROM h),
+    rho AS (
+      SELECT side, reg,
+             CASE WHEN w = 0 THEN {_HLL_W_BITS + 1}
+                  ELSE bit_count((w & -w) - 1) + 1 END AS r
+      FROM split),
+    regs AS (SELECT side, reg, MAX(r) AS m FROM rho GROUP BY side, reg),
+    regs3 AS (
+      SELECT side, reg, m FROM regs
+      UNION ALL
+      SELECT 'u' AS side, reg, MAX(m) AS m FROM regs GROUP BY reg),
+    grid AS (
+      SELECT s.side, g.reg, COALESCE(r.m, 0) AS m0
+      FROM (SELECT unnest(['a', 'b', 'u']) AS side) s
+      CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M - 1})) AS reg) g
+      LEFT JOIN regs3 r ON r.side = s.side AND r.reg = g.reg),
+    folded AS (
+      SELECT side,
+             SUM(CAST(1 AS BIGINT) << (55 - m0)) AS int_sum,
+             SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS v
+      FROM grid GROUP BY side),
+    est AS (
+      SELECT side, ROUND(CASE WHEN (CAST({HLL_ALPHA} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+                                    * CAST({_HLL_POW} AS DOUBLE))
+                                   / CAST(int_sum AS DOUBLE) <= 2.5 * {HLL_M} AND v > 0
+                              THEN {HLL_M} * LN({HLL_M}.0 / v)
+                              ELSE (CAST({HLL_ALPHA} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+                                    * CAST({_HLL_POW} AS DOUBLE))
+                                   / CAST(int_sum AS DOUBLE) END, 3) AS e
+      FROM folded),
+    wide AS (
+      SELECT MAX(CASE WHEN side = 'a' THEN e END) AS est_a,
+             MAX(CASE WHEN side = 'b' THEN e END) AS est_b,
+             MAX(CASE WHEN side = 'u' THEN e END) AS est_union
+      FROM est),
+    exact AS (
+      SELECT COUNT(*) AS n_exact FROM
+        (SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'click' AND value > {HLL_VAL_THR}) x
+        JOIN
+        (SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'purchase' AND value > {HLL_VAL_THR}) y
+        USING (user_id))
+    SELECT n_exact, est_a, est_b, est_union,
+           ROUND(est_a + est_b - est_union, 3) AS hll_intersection
+    FROM exact CROSS JOIN wide
+    """,
+    doc=(
+        "Distinct-audience intersection from HLL register algebra: "
+        "union sketch = register-wise MAX, |A∩B| ≈ est(A)+est(B)−est(A∪B) "
+        "(inclusion–exclusion), vs the exact overlap."
+    ),
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra — the audience-overlap question (how many users
+    both clicked AND purchased?) answered from two fixed-size sketches:
+    HLL registers merge under register-wise MAX (giving the union sketch
+    for free, no data repass), and inclusion–exclusion turns three
+    cardinality estimates into an intersection estimate. This is the
+    standard composition for distinct-set algebra over sketches (theta
+    sketches make it native; HLL gets it via I-E with error growing as
+    the overlap shrinks — which is why the face also carries the exact
+    control).
+
+    Scale: each side's state is 64 registers regardless of event volume;
+    building both sketches is ONE pass over the filtered union with
+    (side, reg) keyed MAX and map-side combine; everything after operates
+    on ≤3·64 register rows. Integer register math end-to-end, the one
+    float (the published estimator) is a fixed expression tree — the
+    whole report hash-matches the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter((F.col("event_type") == "click") & (F.col("value") > HLL_VAL_THR))
+    b = e.filter((F.col("event_type") == "purchase") & (F.col("value") > HLL_VAL_THR))
+    src = a.select(F.lit("a").alias("side"), "user_id").unionAll(
+        b.select(F.lit("b").alias("side"), "user_id")
+    )
+    h = _h60(F.col("user_id").cast("string"))
+    split = src.select("side", (h % HLL_M).alias("reg"), h.alias("h")).select(
+        "side", "reg", F.expr(f"h div {HLL_M}").alias("w")
+    )
+    rho = split.select(
+        "side",
+        "reg",
+        F.expr(
+            f"CASE WHEN w = 0 THEN {_HLL_W_BITS + 1} "
+            "ELSE bit_count((w & -w) - 1) + 1 END"
+        ).alias("r"),
+    )
+    regs = rho.groupBy("side", "reg").agg(F.max("r").alias("m"))
+    regs3 = regs.unionAll(
+        regs.groupBy("reg").agg(F.max("m").alias("m")).select(
+            F.lit("u").alias("side"), "reg", "m"
+        )
+    )
+    sides = load_table(spark, sf_dir, "events").sparkSession.createDataFrame(
+        [("a",), ("b",), ("u",)], "side string"
+    )
+    grid = (
+        sides.select(
+            "side", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("reg")
+        )
+        .join(regs3, on=["side", "reg"], how="left")
+        .select("side", F.coalesce(F.col("m"), F.lit(0)).alias("m0"))
+    )
+    folded = grid.groupBy("side").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m0 AS INT))")).alias(
+            "int_sum"
+        ),
+        F.sum(F.when(F.col("m0") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = (
+        F.lit(HLL_ALPHA * (HLL_M * HLL_M)) * F.lit(float(_HLL_POW))
+    ).cast("double") / F.col("int_sum").cast("double")
+    est = folded.select(
+        "side",
+        F.round(
+            F.when(
+                (raw <= 2.5 * HLL_M) & (F.col("v") > 0),
+                F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+            ).otherwise(raw),
+            3,
+        ).alias("e"),
+    )
+    wide = est.agg(
+        F.max(F.when(F.col("side") == "a", F.col("e"))).alias("est_a"),
+        F.max(F.when(F.col("side") == "b", F.col("e"))).alias("est_b"),
+        F.max(F.when(F.col("side") == "u", F.col("e"))).alias("est_union"),
+    )
+    exact = (
+        a.select("user_id")
+        .distinct()
+        .join(b.select("user_id").distinct(), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    return exact.crossJoin(broadcast(wide)).select(
+        "n_exact",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 3).alias(
+            "hll_intersection"
+        ),
+    )
