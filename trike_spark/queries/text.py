@@ -799,9 +799,19 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer counts end-to-end, so all {BPE_MERGES} learned merges and
     their frequencies hash-match the DuckDB oracle — an iterative
     algorithm whose every step is driver-verified."""
+    _words, merge_rows = _bpe_train(load_table(spark, sf_dir, "documents"))
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_train(d: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """Run BPE_MERGES training rounds over the word-count table of `d`;
+    returns (final symbolized word table, one 1-row merge DF per round).
+    See :func:`text_bpe_merges` for the algorithm and scale notes."""
     from trike_spark import cache
 
-    d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(_tokens()).alias("token"))
     words = tok.groupBy("token").agg(F.count(F.lit(1)).alias("wc")).select(
         F.col("token").alias("word_id"),
@@ -874,7 +884,105 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         words = rebuilt
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionAll(m)
-    return out
+    return words, merge_rows
+
+
+@register(
+    "text_bpe_encode_stats",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    words0 AS (
+      SELECT token AS word_id, COUNT(*) AS wc,
+             list_transform(generate_series(1, length(token)), i -> token[i]) AS syms
+      FROM tok GROUP BY token),
+    {','.join(_sql_bpe_round(r) for r in range(BPE_MERGES))},
+    wl AS (SELECT word_id, len(syms) AS n_syms FROM words{BPE_MERGES}),
+    dt AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(length(dt.token)) AS BIGINT) AS n_chars,
+           CAST(SUM(w.n_syms) AS BIGINT) AS n_bpe_symbols,
+           ROUND(CAST(SUM(length(dt.token)) AS DOUBLE) / SUM(w.n_syms), 6)
+             AS chars_per_symbol
+    FROM dt JOIN wl w ON dt.token = w.word_id
+    GROUP BY lang
+    """,
+    doc=(
+        f"Apply the {BPE_MERGES} learned BPE merges and report per-language "
+        "corpus compression (chars vs post-BPE symbols) — the encode side "
+        "of the tokenizer, closing the train→apply loop."
+    ),
+)
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode side of the BPE pipeline: re-tokenize the corpus under
+    the merges ``text_bpe_merges`` learned and report per-language token
+    statistics — exactly the tokenizer-fertility report (chars/symbol,
+    symbols/word) that decides whether a vocabulary suits a multilingual
+    corpus. Encoding rides the symbolized WORD table (vocabulary-sized):
+    documents never re-process — each doc token joins its word's final
+    symbol count, so the corpus-side cost is one explode + one broadcast
+    join regardless of merge count. Integer counts + one pinned double
+    division ⇒ hash-matches the oracle."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    words, _merges = _bpe_train(d)
+    wl = words.select("word_id", F.size("syms").alias("n_syms"))
+    dt = d.select("lang", F.explode(_tokens()).alias("token"))
+    return (
+        dt.join(broadcast(wl), dt.token == wl.word_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.length("token")).cast("bigint").alias("n_chars"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_symbols"),
+            F.round(
+                F.sum(F.length("token")).cast("double") / F.sum("n_syms"), 6
+            ).alias("chars_per_symbol"),
+        )
+    )
+
+
+# --- langid evaluation: confusion matrix ------------------------------------
+
+
+def _langid_oracle_sql() -> str:
+    from trike_spark.registry import REGISTRY
+
+    return REGISTRY["text_langid_heuristic"].oracle
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+    SELECT actual_lang, predicted_lang, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY actual_lang), 6) AS share
+    FROM ({_langid_oracle_sql()})
+    GROUP BY actual_lang, predicted_lang
+    """,
+    doc=(
+        "Language-ID confusion matrix (actual × predicted counts + "
+        "per-actual share) — the eval report for the classifier face."
+    ),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class face: the confusion matrix
+    (and per-class recall shares) of the langid heuristic against the
+    labeled lang column. Composes the scoring face unchanged — predictions
+    are narrow column expressions, so the whole evaluation is one
+    ≤|langs|² aggregation; the share division is one pinned double over
+    two exact counts. At 100 TB you'd run this on a stratified sample
+    (curation_stratified_sample) — the plan is identical."""
+    pred = text_langid_heuristic(spark, sf_dir)
+    counts = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("actual_lang")
+    return counts.select(
+        "actual_lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
+    )

@@ -1344,3 +1344,47 @@ def sim_topk_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+# --- IVF index occupancy report ---------------------------------------------
+
+
+@register(
+    "sim_ivf_cell_stats",
+    """
+    WITH kc AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
+    stats AS (SELECT COUNT(*) AS n_cells, CAST(SUM(cnt) AS BIGINT) AS n_vecs FROM kc)
+    SELECT k.label, k.cnt, s.n_cells, s.n_vecs,
+           ROUND(CAST(k.cnt AS DOUBLE) * s.n_cells / s.n_vecs, 6) AS occupancy_ratio
+    FROM kc k CROSS JOIN stats s
+    """,
+    doc=(
+        "IVF cell-occupancy report (count + multiple-of-mean per cell) — "
+        "the index-balance check that decides whether the coarse quantizer "
+        "needs retraining before probe latency goes bimodal."
+    ),
+)
+def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN analog of ``scan_skew_report``: IVF probe cost is the size
+    of the probed cell, so a hot cell makes query latency bimodal and a
+    near-empty cell wastes its centroid. This face reports per-cell
+    occupancy and its ratio to the mean (two exact BIGINTs through one
+    pinned double division). Ratios far from 1 are the signal to re-run
+    ``sim_kmeans_refine`` (balancing the quantizer) or to split hot cells
+    — same remedy family as salting a skewed join key. One keyed count
+    with map-side combine + a 1-row stat broadcast."""
+    from pyspark.sql.functions import broadcast
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kc = emb.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = kc.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("cnt").cast("bigint").alias("n_vecs"),
+    )
+    ratio = F.round(
+        F.col("cnt").cast("double") * F.col("n_cells") / F.col("n_vecs"), 6
+    )
+    return (
+        kc.crossJoin(broadcast(stats))
+        .select("label", "cnt", "n_cells", "n_vecs", ratio.alias("occupancy_ratio"))
+    )
