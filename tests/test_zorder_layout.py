@@ -89,3 +89,27 @@ def test_zorder_2d_predicate_skips_files(spark, tmp_path):
     )
     want = o.filter(F.col("o_totalprice").between(lo_p, hi_p)).count()
     assert got == want
+
+
+def test_z_interleave_matches_python_reference(spark):
+    """The SQL bit-interleave must equal the obvious Python reference and
+    be injective over the full 8-bit × 8-bit grid."""
+    from trike_spark.operators.zorder import z_expr_spark
+
+    def z_ref(x: int, y: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)] + [
+        (0, 0), (255, 255), (255, 0), (0, 255), (1, 2)
+    ]
+    df = spark.createDataFrame(pairs, "qx long, qy long")
+    got = {
+        (r["qx"], r["qy"]): r["z"]
+        for r in df.select("qx", "qy", z_expr_spark("qx", "qy", 8).alias("z")).collect()
+    }
+    assert got == {(x, y): z_ref(x, y) for x, y in pairs}
+    assert len(set(got.values())) == len(got)  # injective

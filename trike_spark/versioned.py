@@ -1,0 +1,104 @@
+"""Minimal snapshot-versioned parquet tables (the Iceberg/Delta core idea
+reduced to its essentials): every commit writes a new immutable data
+directory plus a JSON manifest; readers pin a manifest, never a directory
+listing. That one indirection buys the three properties object-store
+analytics needs:
+
+  * **Atomic commits** — a half-written data directory is invisible until
+    its manifest lands (manifest write is a single small-file PUT);
+  * **Snapshot isolation / time travel** — a reader holding version N is
+    untouched by later appends; `read_version(path, n)` reproduces any
+    historical state exactly;
+  * **O(1) planning** — the file list comes from the manifest, not a
+    recursive listing of an ever-growing directory tree (the listing cost
+    that kills plain-directory tables at 100 TB).
+
+Not implemented (documented, deliberate): concurrent-writer conflict
+resolution (Iceberg's optimistic swap on the catalog pointer) — single
+writer is assumed, which matches a scheduled-pipeline deployment; and
+column-level manifest stats (parquet footers already carry min/max, see
+``write_zorder`` for making them tight).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
+
+
+def current_version(path: str) -> int:
+    """Highest committed version, or 0 if the table doesn't exist yet."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return 0
+    versions = [
+        int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def commit(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Write `df` as a new table version; returns the version number.
+
+    mode="append": the new snapshot = previous snapshot's files + the new
+    data directory. mode="overwrite": the new snapshot = the new data
+    directory only (logical replace — old files stay on disk for time
+    travel; a retention job deletes directories unreferenced by any kept
+    manifest, exactly like VACUUM / expire_snapshots)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    prev = current_version(path)
+    version = prev + 1
+    data_dir = os.path.join(path, f"data-v{version:06d}")
+    df.write.mode("errorifexists").parquet(data_dir)
+
+    dirs = [f"data-v{version:06d}"]
+    if mode == "append" and prev > 0:
+        with open(_manifest_path(path, prev)) as f:
+            dirs = json.load(f)["data_dirs"] + dirs
+
+    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+    manifest = {
+        "version": version,
+        "parent": prev or None,
+        "mode": mode,
+        "data_dirs": dirs,
+        "committed_at": time.time(),
+    }
+    # single-file atomic publish: write sidecar, rename into place
+    tmp = _manifest_path(path, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, _manifest_path(path, version))
+    return version
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read a pinned snapshot (default: latest). The plan's file set comes
+    from the manifest, so later commits cannot change this DataFrame —
+    snapshot isolation without locks."""
+    v = version if version is not None else current_version(path)
+    if v < 1:
+        raise FileNotFoundError(f"no committed version at {path}")
+    with open(_manifest_path(path, v)) as f:
+        manifest = json.load(f)
+    dirs = [os.path.join(path, d) for d in manifest["data_dirs"]]
+    return spark.read.parquet(*dirs)
+
+
+def history(path: str) -> list[dict]:
+    """All manifests, oldest first — the table's commit log."""
+    out = []
+    for v in range(1, current_version(path) + 1):
+        with open(_manifest_path(path, v)) as f:
+            out.append(json.load(f))
+    return out
