@@ -55,3 +55,42 @@ def test_overwrite_is_logical_replace_with_history(spark, tmp_path):
 def test_reading_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         versioned.read_version(spark, str(tmp_path / "nope"))
+
+
+def test_incremental_read_returns_only_new_rows(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    nation = load_table(spark, SF_DIR, "nation")
+
+    versioned.commit(nation.filter(F.col("n_regionkey") == 0), path)
+    df, hw = versioned.read_incremental(spark, path, 0)
+    assert hw == 1 and df.count() == versioned.read_version(spark, path, 1).count()
+
+    # nothing new → None, checkpoint unchanged
+    df2, hw2 = versioned.read_incremental(spark, path, hw)
+    assert df2 is None and hw2 == hw
+
+    versioned.commit(nation.filter(F.col("n_regionkey") == 1), path)
+    delta, hw3 = versioned.read_incremental(spark, path, hw)
+    assert hw3 == 2
+    want = nation.filter(F.col("n_regionkey") == 1).count()
+    assert delta.count() == want  # ONLY the new rows, not a re-read
+
+    # an overwrite breaks the delta chain loudly, not silently
+    versioned.commit(nation.limit(1), path, mode="overwrite")
+    with pytest.raises(ValueError):
+        versioned.read_incremental(spark, path, hw3 - 1)
+
+
+def test_foreach_batch_committer_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    region = load_table(spark, SF_DIR, "region")
+    sink = versioned.foreach_batch_committer(path)
+
+    sink(region.limit(2), 0)
+    n_after_first = versioned.read_version(spark, path).count()
+    sink(region.limit(2), 0)  # at-least-once replay of the same batch
+    assert versioned.read_version(spark, path).count() == n_after_first
+
+    sink(region.limit(3), 1)  # a genuinely new batch lands
+    assert versioned.read_version(spark, path).count() == n_after_first + 3
+    assert [m.get("batch_id") for m in versioned.history(path)] == [0, 1]

@@ -102,3 +102,61 @@ def history(path: str) -> list[dict]:
         with open(_manifest_path(path, v)) as f:
             out.append(json.load(f))
     return out
+
+
+def read_incremental(
+    spark: SparkSession, path: str, since_version: int
+) -> tuple[DataFrame | None, int]:
+    """Incremental consumption: rows added strictly AFTER `since_version`
+    (the manifest log is the change log — append-mode commits only).
+    Returns (DataFrame or None if nothing new, high-water version to
+    store). The consumer persists the returned version as its checkpoint
+    and calls again later — the batch analog of a streaming offset, and
+    how downstream jobs avoid re-reading a 100 TB table to pick up a 1 GB
+    delta."""
+    latest = current_version(path)
+    if latest <= since_version:
+        return None, since_version
+    new_dirs: list[str] = []
+    for v in range(since_version + 1, latest + 1):
+        with open(_manifest_path(path, v)) as f:
+            m = json.load(f)
+        if m["mode"] != "append":
+            # an overwrite rewrites history; incremental readers must
+            # resync from the full snapshot rather than silently miss it
+            raise ValueError(
+                f"version {v} is an overwrite; incremental read is not "
+                "well-defined across it — resync from read_version()"
+            )
+        new_dirs.append(os.path.join(path, f"data-v{v:06d}"))
+    return spark.read.parquet(*new_dirs), latest
+
+
+def foreach_batch_committer(path: str):
+    """Exactly-once streaming sink into a versioned table: use as
+    ``writeStream.foreachBatch(foreach_batch_committer(path))``.
+
+    foreachBatch is at-least-once — after a failure the same (batchId,
+    data) pair is re-delivered. Idempotence comes from recording the
+    batchId in the manifest and skipping batches already committed: the
+    (check, commit) pair is safe because Structured Streaming serializes
+    foreachBatch calls per query, and the manifest publish is atomic. This
+    is the standard exactly-once recipe for arbitrary sinks (the batchId
+    ledger), here landing in the same snapshot/time-travel table the batch
+    side reads."""
+
+    def _commit(df: DataFrame, batch_id: int) -> None:
+        for m in history(path):
+            if m.get("batch_id") == batch_id:
+                return  # replay of an already-committed micro-batch
+        v = commit(df, path, mode="append")
+        mp = _manifest_path(path, v)
+        with open(mp) as f:
+            manifest = json.load(f)
+        manifest["batch_id"] = batch_id
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, mp)
+
+    return _commit
