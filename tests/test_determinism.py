@@ -1,0 +1,65 @@
+"""Partition-invariance: the engine claims its results are independent of
+physical execution (docs/SCALE.md "cross-engine determinism") — exact
+DECIMAL/BIGINT aggregation, md5-derived randomness, pinned float
+expression trees. This test PROVES it for the most float- and
+order-sensitive faces by running each one under two very different
+shuffle-partition settings and comparing full result multisets.
+
+A face that silently depended on partitioning (a double sum whose value
+shifts with reduction order, a sample keyed on partition id, an
+iterative algorithm sensitive to task scheduling) would fail here long
+before it failed a 1000-executor run."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from trike_spark.cache import release_checkpoints
+from trike_spark.registry import REGISTRY, load_all_query_modules
+
+SF_DIR = "/root/testdata/sf0.01"
+
+load_all_query_modules()
+
+# the faces with the most room for partition-dependence
+SENSITIVE = [
+    "graph_pagerank_fixedpoint",  # iterative integer fixed-point
+    "curation_weighted_sample",  # sampling (md5 min-ticket)
+    "text_unigram_logprob",  # double sums of logs per group
+    "text_bpe_merges",  # iterative argmax over distributed counts
+    "sketch_hll_intersection",  # register sketch + float estimator
+    "dedup_minhash_lsh_pairs",  # hash-family candidate generation
+    "window_equidepth_histogram",  # distributed global rank
+    "q1_pricing_summary",  # decimal money aggregation
+]
+
+
+def _rows_key(df):
+    cols = sorted(df.columns)
+
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return repr(round(v, 9))
+        return str(v)
+
+    return sorted(tuple(norm(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_shuffle_partitioning(spark, name):
+    fn = REGISTRY[name].fn
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = _rows_key(fn(spark, SF_DIR))
+        release_checkpoints()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = _rows_key(fn(spark, SF_DIR))
+        release_checkpoints()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b, f"{name} result depends on shuffle partitioning"

@@ -679,3 +679,95 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean", 4).alias("trailing_mean"),
         F.round(z, 4).alias("zscore"),
     )
+
+
+@register(
+    "events_scd2_point_in_time_join",
+    """
+    WITH state AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type <> 'purchase'),
+    ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM state
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), starts AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM ordered WHERE chg = 1
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           s.event_type AS state_type, s.valid_from AS state_since
+    FROM events p
+    JOIN starts s
+      ON p.user_id = s.user_id
+     AND s.valid_from <= p.ts
+     AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+    doc=(
+        "Point-in-time (temporal) join: each purchase joined to the SCD2 "
+        "state interval valid at its timestamp — the as-of dimension "
+        "lookup vanilla Spark has no operator for."
+    ),
+)
+def events_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumption side of SCD2 (``events_scd2_intervals`` is the
+    build side): answer "what state was this user in at the moment they
+    purchased?" by joining each fact to the dimension interval containing
+    its timestamp — the point-in-time join every feature-store/training-
+    label pipeline needs (feature leakage = getting exactly this join
+    wrong). Half-open intervals make the match unique even when a state
+    change and a purchase share a timestamp.
+
+    Scale: the range predicate rides an EQUI-join on user_id — Spark
+    plans a hash join keyed on user_id with the interval condition as a
+    post-join residual, so the work is proportional to purchases ×
+    per-user intervals (bounded by state CHANGES, not events), never a
+    nested loop over the cross product. The shape to avoid: a
+    bare interval join with no equality key degrades to BNLJ — if the
+    dimension has no natural key, bucket time into epochs and join on
+    the epoch (the interval-join pattern in ``queries/joins.py``)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    state = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    ordered = state.select("user_id", "ts", "event_id", "event_type").select(
+        "*",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    starts = (
+        ordered.filter(F.col("chg") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_type"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        p.join(
+            starts,
+            (p.user_id == starts.user_id)
+            & (starts.valid_from <= p.ts)
+            & (starts.valid_to.isNull() | (p.ts < starts.valid_to)),
+        )
+        .select(
+            "event_id",
+            p.user_id.alias("user_id"),
+            "ts",
+            "state_type",
+            F.col("valid_from").alias("state_since"),
+        )
+    )
