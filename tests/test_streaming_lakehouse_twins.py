@@ -155,3 +155,53 @@ def test_streaming_funnel_state_is_frontier_across_batches(spark, tmp_path):
     assert resumed == full
     assert full[0] and full[1] and full[2]
     assert pd.to_datetime(full[2], unit="us") > pd.to_datetime(full[1], unit="us")
+
+
+def test_streaming_point_in_time_twin_matches_batch_face(spark, tmp_path):
+    """Stream-static as-of enrichment: arriving purchases joined to the
+    SCD2 state intervals must equal the batch point-in-time join on the
+    same fixture."""
+    from trike_spark.queries.events import events_scd2_point_in_time_join
+    from trike_spark.streaming.analytics import point_in_time_enrich
+    from trike_spark.io import load_table
+
+    sf_dir = _events_fixture(tmp_path)
+    batch = {tuple(r) for r in events_scd2_point_in_time_join(spark, sf_dir).collect()}
+    assert batch, "fixture must produce at least one enriched purchase"
+
+    # static dimension: the same interval build the batch face uses
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    state = e.filter(F.col("event_type") != "purchase")
+    ordered = state.select("user_id", "ts", "event_id", "event_type").select(
+        "*",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0).alias("chg"),
+    )
+    intervals = ordered.filter(F.col("chg") == 1).select(
+        "user_id",
+        F.col("event_type").alias("state_type"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+    purchases = _read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        point_in_time_enrich(purchases, intervals)
+        .writeStream.format("memory")
+        .queryName("pit_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pit"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(90)
+        rows = spark.table("pit_twin").collect()
+        assert {tuple(r) for r in rows} == batch
+    finally:
+        q.stop()

@@ -754,7 +754,10 @@ def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair's texts plus a JVM-side ``levenshtein``; the 20 % relative
     threshold is compared in integers (dist·5 ≤ max_len) so the oracle
     hash-matches without any float round-off."""
-    cand = dedup_minhash_lsh_pairs(spark, sf_dir)
+    # the candidate set is LSH-collision-sized (orders smaller than the
+    # corpus): broadcast it so the documents scan joins map-side — the
+    # corpus never shuffles for the verify step.
+    cand = F.broadcast(dedup_minhash_lsh_pairs(spark, sf_dir))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))

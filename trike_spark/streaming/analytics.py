@@ -218,3 +218,28 @@ def streaming_weighted_sample_draws(
             "draw",
         )
     )
+
+
+def point_in_time_enrich(fact_stream: DataFrame, intervals: DataFrame) -> DataFrame:
+    """Streaming twin of ``events_scd2_point_in_time_join``: enrich an
+    arriving fact stream with the SCD2 dimension interval valid at each
+    fact's event time. Stream-static join with the SAME half-open range
+    predicate as the batch face — stateless (the dimension is the static
+    side, re-read per micro-batch so dimension updates between batches
+    are picked up), so it runs in append mode with no watermark.
+
+    ``intervals`` must carry (user_id, state_type, valid_from, valid_to);
+    the batch builder (events_scd2_point_in_time_join's `starts` leg) or
+    a versioned-table snapshot both qualify. At scale the static side is
+    the materialized dimension table — broadcast when it fits, else the
+    join keys on user_id exactly like the batch plan."""
+    s = intervals.select(
+        F.col("user_id").alias("d_user_id"), "state_type", "valid_from", "valid_to"
+    )
+    p = fact_stream
+    return p.join(
+        s,
+        (p.user_id == s.d_user_id)
+        & (s.valid_from <= p.ts)
+        & (s.valid_to.isNull() | (p.ts < s.valid_to)),
+    ).select("event_id", "user_id", "ts", "state_type", F.col("valid_from").alias("state_since"))
