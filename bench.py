@@ -64,6 +64,10 @@ HEADLINE = [
     "window_equidepth_histogram",
     "dedup_editdistance_pairs",
     "join_bloom_prefilter_revenue",
+    "text_bpe_merges",
+    "text_bigram_logprob",
+    "sketch_join_size_estimate",
+    "events_scd2_point_in_time_join",
 ]
 
 

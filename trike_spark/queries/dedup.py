@@ -984,3 +984,38 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "n_inter", n_small.alias("n_small"))
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    _SQL_CLUSTER_CANONICAL.replace(
+        "SELECT doc AS doc_id, canonical_id FROM reach",
+        """,
+    csz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM reach
+            GROUP BY canonical_id)
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM csz GROUP BY cluster_size
+    """,
+    ),
+    doc=(
+        "Near-dup cluster-size histogram: how much of the corpus sits in "
+        "2-, 3-, n-member duplicate groups — the dedup-yield report."
+    ),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report a dedup run is judged by: the distribution of duplicate-
+    cluster sizes (and the document mass in each), i.e. how much the
+    corpus shrinks when each cluster keeps one survivor. Composes the
+    driver-verified star-CC clustering unchanged and adds two tiny keyed
+    aggregations — the histogram output is at most max-cluster-size rows
+    no matter the corpus size."""
+    from trike_spark.operators.graph import connected_components_star
+
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )

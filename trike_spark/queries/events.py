@@ -771,3 +771,74 @@ def events_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("valid_from").alias("state_since"),
         )
     )
+
+
+@register(
+    "events_lateness_report",
+    """
+    WITH arr AS (
+      SELECT ts,
+             MAX(ts) OVER (ORDER BY md5(CAST(event_id AS VARCHAR))
+                           ROWS UNBOUNDED PRECEDING) AS frontier
+      FROM events),
+    late AS (
+      SELECT CAST(date_diff('second', ts, frontier) AS BIGINT) AS lateness_s
+      FROM arr)
+    SELECT CASE WHEN lateness_s = 0 THEN 0
+                WHEN lateness_s <= 60 THEN 1
+                WHEN lateness_s <= 300 THEN 2
+                WHEN lateness_s <= 3600 THEN 3
+                ELSE 4 END AS lateness_bucket,
+           COUNT(*) AS n_events,
+           MIN(lateness_s) AS min_lateness_s,
+           MAX(lateness_s) AS max_lateness_s
+    FROM late GROUP BY 1
+    """,
+    doc=(
+        "Event-time lateness distribution (event_id = arrival order): how "
+        "far behind the watermark frontier events arrive — the report "
+        "that picks withWatermark's delay."
+    ),
+)
+def events_lateness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The empirical input to every watermark decision: track the running
+    event-time frontier (max ts seen so far in ARRIVAL order) and
+    histogram how far behind it each event lands. The archive stores no
+    ingest-sequence column and is fully time-ordered, so arrival order is
+    simulated here as a deterministic md5 permutation of event_id (both
+    engines reproduce it bit-for-bit); in production, order by the ingest
+    sequence / Kinesis sequence number the sink records. A watermark delay below the observed
+    p99 lateness silently DROPS data; far above it inflates state — this
+    report is how you pick it from the data instead of folklore
+    (bucket 0 = in-order, 1 = ≤1 min late, 2 = ≤5 min, 3 = ≤1 h, 4 = worse).
+
+    Scale: the frontier is a running max over GLOBAL arrival order — a
+    single-partition window, the one shape we otherwise ban. Here it is
+    the honest semantics (there is ONE frontier) and the windowed pass
+    carries two longs per row; for 100 TB archives, compute per-shard
+    frontiers (partition by ingest shard — each shard has its own
+    watermark in Spark anyway) and this becomes an ordinary keyed
+    window; bucket thresholds and counts are integer-exact either way."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.md5(F.col("event_id").cast("string"))).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    arr = e.select("ts", F.max("ts").over(w).alias("frontier"))
+    lateness = F.col("frontier").cast("long") - F.col("ts").cast("long")
+    late = arr.select(lateness.alias("lateness_s"))
+    bucket = (
+        F.when(F.col("lateness_s") == 0, 0)
+        .when(F.col("lateness_s") <= 60, 1)
+        .when(F.col("lateness_s") <= 300, 2)
+        .when(F.col("lateness_s") <= 3600, 3)
+        .otherwise(4)
+    )
+    return (
+        late.select(bucket.alias("lateness_bucket"), "lateness_s")
+        .groupBy("lateness_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("lateness_s").alias("min_lateness_s"),
+            F.max("lateness_s").alias("max_lateness_s"),
+        )
+    )
