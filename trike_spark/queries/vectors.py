@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from trike_spark import cache
 from trike_spark.io import load_table
 from trike_spark.registry import register
 
@@ -1388,3 +1389,114 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         kc.crossJoin(broadcast(stats))
         .select("label", "cnt", "n_cells", "n_vecs", ratio.alias("occupancy_ratio"))
     )
+
+
+# --- recall-vs-nprobe curve (the IVF tuning instrument) ---------------------
+
+PROBE_GRID = (1, 2, 3, 5)
+
+
+@register(
+    "sim_ivf_recall_curve",
+    f"""
+    WITH ex AS (SELECT label, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    cent AS (SELECT label, i,
+                    CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS v
+             FROM ex GROUP BY label, i),
+    cvecs AS (SELECT label, list(v ORDER BY i) AS cvec FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    qc AS (SELECT q_vec_id, label,
+                  ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                     ORDER BY {_SQL_COS_QC} DESC, label) AS cent_rank
+           FROM q CROSS JOIN cvecs),
+    truth AS (
+      SELECT q_vec_id, n_vec_id FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_SQL_COS}, 6) DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES})
+      WHERE rk <= {TOP_K}),
+    covered AS (
+      SELECT t.q_vec_id, t.n_vec_id, qc.cent_rank
+      FROM truth t
+      JOIN embeddings n ON n.vec_id = t.n_vec_id
+      JOIN qc ON qc.q_vec_id = t.q_vec_id AND qc.label = n.label)
+    {' UNION ALL '.join(
+        f"SELECT {p} AS nprobe, "
+        f"CAST(SUM(CASE WHEN cent_rank <= {p} THEN 1 ELSE 0 END) AS BIGINT) AS n_found, "
+        f"CAST({N_QUERIES * TOP_K} AS BIGINT) AS n_truth, "
+        f"ROUND(CAST(SUM(CASE WHEN cent_rank <= {p} THEN 1 ELSE 0 END) AS DOUBLE) / {N_QUERIES * TOP_K}, 6) AS recall "
+        "FROM covered"
+        for p in PROBE_GRID
+    )}
+    """,
+    doc=(
+        f"IVF recall ceiling vs nprobe ∈ {PROBE_GRID}: fraction of the exact "
+        f"top-{TOP_K} lying within the n nearest cells per query — the "
+        "curve that picks the nprobe/latency trade."
+    ),
+)
+def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning instrument for the IVF path: for each candidate nprobe,
+    what fraction of the exact top-k is even REACHABLE (lies in the n
+    nearest cells)? Rerank inside probed cells is exact, so this is the
+    achievable-recall ceiling per nprobe — read the curve, pick the
+    smallest nprobe above your recall target, and you have sized the
+    query cost (nprobe·cell_size compares) from data instead of folklore.
+    One centroid-rank table (queries × cells, both tiny sides broadcast)
+    joined to the truth set; each curve point is an integer count over
+    the same covered table — integer/pinned-division end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = sim_topk_bruteforce(spark, sf_dir).select("q_vec_id", "n_vec_id")
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "x"))
+    cent = ex.groupBy("label", "i").agg(
+        (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    cvecs = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
+        .select("label", F.transform("iv", lambda e: e["v"]).alias("cvec"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    wq = Window.partitionBy("q_vec_id").orderBy(
+        cosine(F.col("q_emb"), F.col("cvec")).desc(), F.col("label")
+    )
+    qc = (
+        q.crossJoin(broadcast(cvecs))
+        .withColumn("cent_rank", F.row_number().over(wq))
+        .select("q_vec_id", "label", "cent_rank")
+    )
+    nlab = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("label").alias("n_label"))
+    covered = (
+        truth.join(broadcast(nlab), "n_vec_id")
+        .join(
+            broadcast(qc),
+            (truth.q_vec_id == qc.q_vec_id) & (F.col("n_label") == qc.label),
+        )
+        .select(truth.q_vec_id, "n_vec_id", "cent_rank")
+    )
+    covered = cache.checkpoint(covered)
+    denom = N_QUERIES * TOP_K
+    pts = []
+    for p in PROBE_GRID:
+        hit = F.sum(F.when(F.col("cent_rank") <= p, 1).otherwise(0))
+        pts.append(
+            covered.agg(
+                hit.cast("bigint").alias("n_found"),
+            ).select(
+                F.lit(p).alias("nprobe"),
+                "n_found",
+                F.lit(denom).cast("bigint").alias("n_truth"),
+                F.round(F.col("n_found").cast("double") / denom, 6).alias("recall"),
+            )
+        )
+    out = pts[0]
+    for d in pts[1:]:
+        out = out.unionAll(d)
+    return out
