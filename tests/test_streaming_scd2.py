@@ -140,3 +140,47 @@ def test_streaming_scd2_consistent_with_registered_batch_face(spark, tmp_path):
     finally:
         q.stop()
     assert got == closed_batch
+
+
+def test_streaming_scd2_survives_restart(spark, tmp_path):
+    """Kill the query between micro-batches and resume from the
+    checkpoint: state (the open interval) must carry across the restart —
+    no lost closures, no duplicates."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(src, "b1.json", B1)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("timestampFormat", TS_FMT).json(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")  # file sink: supports checkpoint recovery
+
+    def run_until_idle():
+        q = (
+            scd2_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(90)
+        q.stop()
+
+    run_until_idle()
+    first = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    _write(src, "b2.json", B2)
+    run_until_idle()  # resumed from the same checkpoint
+    second = {tuple(r) for r in spark.read.parquet(out).collect()} - first
+
+    # b2 closes user1's click run (opened in b1) and user2's error run —
+    # possible only if the open-interval state survived the restart
+    closed_after_restart = {(t[0], t[1], t[4]) for t in second}
+    assert (1, "click", 1) in closed_after_restart
+    assert (2, "error", 1) in closed_after_restart
+    # pre-restart emissions appear exactly once (no replay duplicates)
+    all_rows = spark.read.parquet(out).collect()
+    assert len(all_rows) == len({tuple(r) for r in all_rows})
