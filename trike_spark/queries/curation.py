@@ -510,3 +510,66 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ticket").alias("draw"))
     )
     return draws.orderBy("draw", "doc_id").limit(WEIGHTED_SAMPLE_K)
+
+
+STRAT_SAMPLE_K = 5
+
+
+@register(
+    "curation_weighted_sample_per_lang",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, length(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    t AS (
+      SELECT doc_id, lang, n_tokens,
+             MIN(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))) AS draw
+      FROM (SELECT doc_id, lang, n_tokens,
+                   unnest(generate_series(1, n_tokens)) AS i
+            FROM w)
+      GROUP BY doc_id, lang, n_tokens),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens, draw,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk
+      FROM t)
+    SELECT doc_id, lang, n_tokens, draw FROM ranked WHERE rk <= {STRAT_SAMPLE_K}
+    """,
+    doc=(
+        f"Stratified token-weighted sampling: top-{STRAT_SAMPLE_K} "
+        "min-ticket draws PER LANGUAGE — per-stratum weighted samples "
+        "from one global pass."
+    ),
+)
+def curation_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified + weighted sampling combined (the eval-set recipe:
+    'K docs per language, drawn proportional to token count'): identical
+    min-ticket draws to ``curation_weighted_sample`` — same tickets, same
+    bits, so a doc's draw agrees across both faces — but ranked within
+    language by a window instead of a global TakeOrdered. One ticket
+    pass serves every stratum; the per-lang window shuffles once on
+    lang (bounded stratum count ⇒ consider salting only if one stratum
+    dominates, which the skew report would show)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    tickets = w.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("i"),
+    )
+    draws = (
+        tickets.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("i"))).alias("ticket"),
+        )
+        .groupBy("doc_id", "lang", "n_tokens")
+        .agg(F.min("ticket").alias("draw"))
+    )
+    wl = Window.partitionBy("lang").orderBy("draw", "doc_id")
+    return (
+        draws.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= STRAT_SAMPLE_K)
+        .select("doc_id", "lang", "n_tokens", "draw")
+    )
