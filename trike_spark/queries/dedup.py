@@ -717,7 +717,10 @@ _SQL_LSH_CAND = (
     bands AS (
       SELECT doc_id, {', '.join(_band_exprs_sql())} FROM sigs),
     buckets AS (
-      {' UNION ALL '.join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash FROM bands" for b in range(N_BANDS))}),
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash FROM bands"
+          for b in range(N_BANDS)
+      )}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM buckets a JOIN buckets b

@@ -350,7 +350,13 @@ def join_bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = F.lit(True)
     for s in range(K_BLOOM_SEEDS):
         mask = F.coalesce(
-            F.element_at(F.col("bloom"), F.expr(f"CAST(pmod(xxhash64(o_custkey, {s}), {M_BLOOM_BITS}) div 64 AS BIGINT)")),
+            F.element_at(
+                F.col("bloom"),
+                F.expr(
+                    f"CAST(pmod(xxhash64(o_custkey, {s}), {M_BLOOM_BITS})"
+                    " div 64 AS BIGINT)"
+                ),
+            ),
             F.lit(0).cast("long"),
         )
         bit = F.expr(
