@@ -75,3 +75,18 @@ def test_window_priority_names_rank_inside_driver_window():
     exp = interleaved_export_names()
     window = {n for n, _ in sorted(exp.items(), key=lambda kv: kv[1])[:50]}
     assert WINDOW_PRIORITY <= window, WINDOW_PRIORITY - window
+
+
+def test_operator_docs_current():
+    """docs/OPERATORS.md (the generated operator index) must match the
+    registry exactly — same enforcement as the README census."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_operator_docs import render
+
+    with open("/root/repo/docs/OPERATORS.md") as f:
+        committed = f.read()
+    assert committed == render(), (
+        "docs/OPERATORS.md is stale — run `python tools/gen_operator_docs.py`"
+    )
