@@ -194,3 +194,65 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("outdeg").alias("max_deg"),
         )
     )
+
+
+# --- co-occurrence link prediction ------------------------------------------
+
+CN_TOP_K = 20
+CN_DEG_CAP = 50  # hot-customer guard: degree d contributes C(d,2) pairs
+
+
+@register(
+    "graph_common_neighbors_topk",
+    f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT c, COUNT(*) AS d FROM e0 GROUP BY c),
+    kept AS (SELECT e0.c, e0.s FROM e0 JOIN deg ON e0.c = deg.c
+             WHERE deg.d <= {CN_DEG_CAP}),
+    pairs AS (
+      SELECT a.s AS supp_a, b.s AS supp_b, COUNT(*) AS common_customers
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s)
+    SELECT supp_a, supp_b, common_customers
+    FROM pairs
+    ORDER BY common_customers DESC, supp_a, supp_b
+    LIMIT {CN_TOP_K}
+    """,
+    doc=(
+        f"Link prediction by common neighbors: top-{CN_TOP_K} supplier "
+        "pairs sharing the most customers (degree-capped two-hop join) — "
+        "the co-occurrence recommender primitive."
+    ),
+)
+def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors scoring — the simplest link-prediction /
+     'suppliers also used together' signal: a two-hop self-join through
+    the shared customer. The scale hazard is the same as the shingle
+    join's: a customer of degree d contributes C(d,2) pairs, so one
+    mega-customer quadratically dominates — capped with the DF-guard
+    pattern (drop customers above degree {CN_DEG_CAP}; at web scale you'd
+    also sample within the cap, cf. the hot-bucket grid in the LSH
+    kernel). One distinct, one keyed count, the capped pair join keyed on
+    customer, a (pair) count, TakeOrdered top-k."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e0 = cache.checkpoint(e0)
+    deg = e0.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    kept = e0.join(deg.filter(F.col("d") <= CN_DEG_CAP), "c").select("c", "s")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b"))
+        .agg(F.count(F.lit(1)).alias("common_customers"))
+    )
+    return pairs.orderBy(
+        F.desc("common_customers"), "supp_a", "supp_b"
+    ).limit(CN_TOP_K)

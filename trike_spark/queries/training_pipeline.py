@@ -145,3 +145,74 @@ def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept").cast("bigint").alias("n_kept"),
         F.round(F.sum("kept").cast("double") / F.count(F.lit(1)), 6).alias("kept_frac"),
     )
+
+
+# --- tokenizer corpus prep: filter → dedup → BPE train ----------------------
+
+
+def _sql_tokenizer_pipeline() -> str:
+    from trike_spark.queries.text import BPE_MERGES, _sql_bpe_round
+
+    quality = (
+        "len(string_split(text, ' ')) BETWEEN 20 AND 1000 "
+        "AND CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)"
+        " / LENGTH(text) < 0.1"
+    )
+    return f"""
+    WITH survivors AS (
+      SELECT doc_id, text FROM documents
+      WHERE ({quality})
+        AND doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
+    tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM survivors),
+    words0 AS (
+      SELECT token AS word_id, COUNT(*) AS wc,
+             list_transform(generate_series(1, length(token)), i -> token[i]) AS syms
+      FROM tok GROUP BY token),
+    {','.join(_sql_bpe_round(r) for r in range(BPE_MERGES))}
+    {' UNION ALL '.join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(BPE_MERGES)
+    )}
+    """
+
+
+@register(
+    "pipeline_tokenizer_corpus_prep",
+    _sql_tokenizer_pipeline(),
+    doc=(
+        "End-to-end tokenizer pipeline: C4-style quality filter → exact "
+        "dedup (keep-min survivor) → BPE merge training on the surviving "
+        "corpus — the merges differ from the raw-corpus face, which IS "
+        "the point of filtering first."
+    ),
+)
+def pipeline_tokenizer_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizers must be trained on the CURATED corpus, not the raw one —
+    duplicated boilerplate otherwise buys its n-grams vocabulary slots
+    (the BPE analog of dedup's loss impact). This face composes the
+    audited stages: the C4-style quality gate (length band + punctuation
+    ratio), exact dedup keeping the min-doc_id survivor (16-byte
+    fingerprint shuffle), then BPE training on what remains — all one
+    lazy plan, with the training still running over the vocabulary-sized
+    word table. The learned merges are the face's output; at sf0.01 they
+    genuinely differ from ``text_bpe_merges``' raw-corpus merges."""
+    from trike_spark.queries.text import _bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    punct = F.length(
+        F.regexp_replace(F.col("text"), F.lit("[a-z0-9 ]"), F.lit(""))
+    ).cast("double") / F.length("text")
+    quality = d.filter(n_tokens.between(20, 1000) & (punct < 0.1))
+    survivor = d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    # survivor ids are corpus-sized — no broadcast hint; the semi join
+    # shuffles 8-byte ids and AQE may still broadcast at small SF
+    survivors = quality.join(survivor.select("doc_id"), "doc_id", "left_semi")
+    _words, merge_rows = _bpe_train(survivors)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out
