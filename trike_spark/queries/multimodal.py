@@ -209,3 +209,77 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(_fake_resize_batch, schema=_RESIZE_SCHEMA)
+
+
+# --- audio-style frame windowing over raw payload bytes ---------------------
+
+FRAME_LEN = 256  # samples per frame (bytes as 8-bit PCM stand-ins)
+FRAME_STRIDE = 128
+
+
+@register(
+    "multimodal_audio_frames",
+    f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+    fr AS (
+      SELECT doc_id, n, unnest(generate_series(1, n, {FRAME_STRIDE})) AS start
+      FROM p),
+    win AS (
+      SELECT f.doc_id, f.start,
+             LEAST({FRAME_LEN}, f.n - f.start + 1) AS n_samples,
+             list_transform(
+               generate_series(f.start, LEAST(f.start + {FRAME_LEN} - 1, f.n)),
+               i -> CAST(('0x' || substr(p.hx, 2 * i - 1, 2)) AS BIGINT)) AS samples
+      FROM fr f JOIN p ON f.doc_id = p.doc_id)
+    SELECT doc_id, CAST((start - 1) / {FRAME_STRIDE} AS BIGINT) AS frame_idx,
+           n_samples,
+           CAST(list_aggregate(
+             list_transform(samples, s -> (s - 128) * (s - 128)), 'sum')
+             AS BIGINT) AS energy
+    FROM win
+    """,
+    doc=(
+        f"Audio-style framing: overlapping {FRAME_LEN}-sample windows at "
+        f"stride {FRAME_STRIDE} over raw payload bytes, integer energy per "
+        "frame — the waveform-windowing stage with byte-exact verification."
+    ),
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The waveform side of the multimodal set: frame a binary payload
+    into overlapping windows (the universal first stage of audio feature
+    extraction — VAD, spectrograms, fingerprinting all start here) and
+    compute per-frame energy. Bytes stand in for 8-bit PCM samples; the
+    per-sample arithmetic runs on hex-pair parsing in BOTH engines, so
+    unlike the codec-stubbed decode faces this one is byte-exact
+    hash-verified end to end. Everything is row-local array math (frame
+    fan-out = an in-row generator, energy = an integer fold) — zero
+    shuffles, whole pass in codegen; a real 16-bit/stereo reader only
+    changes the sample-parsing expression."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.hex(F.encode("text", "utf-8")).alias("hx"),
+        F.octet_length(F.encode("text", "utf-8")).alias("n"),
+    )
+    fr = p.select(
+        "doc_id",
+        "n",
+        "hx",
+        F.explode(F.expr(f"sequence(1, n, {FRAME_STRIDE})")).alias("start"),
+    )
+    samples = F.expr(
+        f"transform(sequence(start, LEAST(start + {FRAME_LEN} - 1, n)), "
+        "i -> CAST(conv(substr(hx, 2 * i - 1, 2), 16, 10) AS BIGINT))"
+    )
+    return fr.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) div {FRAME_STRIDE} AS BIGINT)").alias("frame_idx"),
+        F.least(F.lit(FRAME_LEN), F.col("n") - F.col("start") + 1).alias("n_samples"),
+        F.aggregate(
+            F.transform(samples, lambda s: (s - 128) * (s - 128)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("energy"),
+    )
