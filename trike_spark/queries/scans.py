@@ -344,3 +344,57 @@ def scan_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(SKEW_TOP_N)
     )
+
+
+@register(
+    "scan_schema_evolution",
+    """
+    WITH gen1 AS (
+      SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <= 2),
+    gen2 AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey > 2),
+    merged AS (
+      SELECT n_nationkey, n_name, NULL AS n_regionkey, 1 AS gen FROM gen1
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey, 2 AS gen FROM gen2)
+    SELECT gen, COUNT(*) AS n_rows,
+           COUNT(n_regionkey) AS n_with_new_col,
+           MIN(n_name) AS first_name
+    FROM merged GROUP BY gen
+    """,
+    doc=(
+        "Schema evolution: two parquet generations (the newer adds a "
+        "column) read as ONE table via mergeSchema; old files surface "
+        "NULL for the added column — the additive-evolution contract."
+    ),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The additive schema-evolution contract every long-lived dataset
+    relies on: generation 1 files lack a column that generation 2 adds;
+    ``mergeSchema`` unifies them into one DataFrame where pre-evolution
+    rows read NULL for the new column — no rewrite of old data, which at
+    100 TB is the only affordable evolution mode (this is precisely what
+    Delta/Iceberg 'add column' does at the metadata layer; plain parquet
+    pays a footer-merge pass instead, which is why mergeSchema is opt-in).
+    The face writes both generations (per-session scratch, one copy),
+    reads them merged, and reports per-generation null accounting. Rename
+    or type-change is NOT additive — that needs the versioned-table
+    layer's logical overwrite (trike_spark/versioned.py)."""
+    n = load_table(spark, sf_dir, "nation")
+    path = _scan_tmp(spark, "schema_evo")
+    g1 = n.filter(F.col("n_regionkey") <= 2).select(
+        "n_nationkey", "n_name", F.lit(1).alias("gen")
+    )
+    g2 = n.filter(F.col("n_regionkey") > 2).select(
+        "n_nationkey", "n_name", "n_regionkey", F.lit(2).alias("gen")
+    )
+    g1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    g2.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    )
+    return merged.groupBy("gen").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_regionkey").alias("n_with_new_col"),
+        F.min("n_name").alias("first_name"),
+    )
