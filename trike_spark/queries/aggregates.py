@@ -322,3 +322,67 @@ def agg_stddev_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_quantity").alias("avg_qty"),
         )
     )
+
+
+# --- explicit salted two-stage aggregation ----------------------------------
+
+SALT_BUCKETS = 32
+
+
+@register(
+    "agg_salted_two_stage",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        f"Skew-proof aggregation: explicit {SALT_BUCKETS}-way salt on the "
+        "6-value (returnflag, linestatus) key, partial sums per salt, then "
+        "final merge — bit-identical to the plain GROUP BY."
+    ),
+)
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting pattern for pathologically low-cardinality keys, made
+    explicit: (returnflag, linestatus) has SIX groups, so a plain hash
+    aggregation at 100 TB funnels every row through six reducers no matter
+    how many executors exist. Stage 1 groups by (key, salt) where salt =
+    xxhash64(row id) mod {SALT_BUCKETS} — 6·{SALT_BUCKETS} cells, spread
+    across the cluster — and stage 2 merges the {SALT_BUCKETS} partials
+    per key. (Spark's partial aggregation usually hides this, but partial
+    buffers are per-task LRU-bounded; an explicit salt is the contract.)
+    Correctness is free because SUM/COUNT are commutative monoids and the
+    decimal accumulator is order-independent — the result hash-matches the
+    single-stage oracle exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = F.pmod(
+        F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")), F.lit(SALT_BUCKETS)
+    )
+    partial = (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            salt.alias("_salt"),
+            (
+                mdec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - mdec("l_discount"))
+            ).alias("_rev"),
+        )
+        .groupBy("l_returnflag", "l_linestatus", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_rev").cast("decimal(38,4)")).alias("_srev"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_rows"),
+            F.round(F.sum("_srev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -573,3 +573,64 @@ def curation_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("rk") <= STRAT_SAMPLE_K)
         .select("doc_id", "lang", "n_tokens", "draw")
     )
+
+
+# --- k-anonymity audit ------------------------------------------------------
+
+KANON_K = 5  # suppression threshold: QI groups smaller than this leak
+KANON_BAND_CENTS = 200_000  # acctbal generalization: $2000 bands
+KANON_OFFSET_CENTS = 100_000  # shift past the -999.99 floor so integer
+# division truncation == floor division in both engines (nonneg operands).
+
+
+@register(
+    "curation_kanonymity_audit",
+    f"""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           (CAST(CAST(c_acctbal AS DECIMAL(38,4)) * 100 AS BIGINT)
+            + {KANON_OFFSET_CENTS}) // {KANON_BAND_CENTS} AS bal_band,
+           COUNT(*) AS k,
+           COUNT(*) < {KANON_K} AS suppressed
+    FROM customer
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    doc=(
+        "k-anonymity audit of the customer quasi-identifier tuple "
+        "(nation, segment, $2000 balance band): group sizes k, with "
+        f"k < {KANON_K} flagged for suppression before release."
+    ),
+)
+def curation_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy gate for releasing tabular training data: generalize the
+    direct value (acctbal → $2000 band, the banding IS the anonymization
+    step) and measure every quasi-identifier combination's group size k.
+    Groups below k={KANON_K} are re-identifiable by linkage and get the
+    suppressed flag — the release job drops or coarsens them. One
+    aggregation on the QI tuple; at 100 TB that is a single shuffle whose
+    key cardinality is |nations|·|segments|·|bands| (tiny), so partial
+    aggregation collapses almost everything map-side. Banding arithmetic
+    is BIGINT end-to-end (cents, offset past the negative floor so
+    truncating division equals floor division in both engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.expr(
+        f"(cast(cast(c_acctbal as decimal(38,4)) * 100 as bigint)"
+        f" + {KANON_OFFSET_CENTS}) div {KANON_BAND_CENTS}"
+    )
+    return (
+        c.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            band.alias("bal_band"),
+        )
+        .groupBy("nationkey", "mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .select(
+            "nationkey",
+            "mktsegment",
+            "bal_band",
+            "k",
+            (F.col("k") < KANON_K).alias("suppressed"),
+        )
+        .orderBy("nationkey", "mktsegment", "bal_band")
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from trike_spark import cache
 from trike_spark.io import load_table
@@ -256,3 +257,130 @@ def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("common_customers"), "supp_a", "supp_b"
     ).limit(CN_TOP_K)
+
+
+# --- triangle counting ------------------------------------------------------
+
+# Composite orientation key deg·SCALE + doc_id: one BIGINT that orders
+# nodes by (degree, id) so edge orientation needs no struct comparison.
+TRI_KEY_SCALE = 100_000_000
+
+
+def _sql_jaccard_edges() -> str:
+    from trike_spark.registry import REGISTRY
+
+    return REGISTRY["dedup_ngram_jaccard_pairs"].oracle
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM ({_sql_jaccard_edges()})),
+    sym AS (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges),
+    deg AS (SELECT node, COUNT(*) AS d FROM sym GROUP BY node),
+    agg AS (
+      SELECT COUNT(*) AS n_nodes,
+             CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+      FROM deg),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v)
+    SELECT agg.n_nodes, (SELECT COUNT(*) FROM edges) AS n_edges,
+           agg.n_wedges, tri.n_triangles,
+           ROUND(CASE WHEN agg.n_wedges = 0 THEN 0.0
+                      ELSE 3.0 * tri.n_triangles / agg.n_wedges END,
+                 6) AS closure
+    FROM agg CROSS JOIN tri
+    """,
+    doc=(
+        "Triangle census of the near-duplicate graph (edges = Jaccard ≥ 0.3 "
+        "doc pairs): node/edge/wedge/triangle counts + global clustering "
+        "coefficient, via degree-ordered orientation."
+    ),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed triangle counting — the classic MapReduce graph
+    kernel (Suri & Vassilvitskii's degree-ordered orientation). Each
+    undirected edge is oriented from its lower (degree, id) endpoint to
+    the higher; wedges are then built only at each edge's LOW endpoint, so
+    a degree-d hub generates O(sqrt(E)) out-wedges instead of C(d, 2) —
+    the orientation bounds every node's out-degree by ~sqrt(E), which is
+    what keeps the wedge join alive on a power-law graph at 100 TB. The
+    count itself is one self-join on the wedge apex plus one equi-join
+    probing the closing edge — all BIGINT, hash-exact vs the oracle's
+    id-ordered triple join (both orientations count each triangle exactly
+    once). The global clustering coefficient 3T/W is one pinned double
+    division of two exact integers.
+
+    The graph is the near-duplicate graph (Jaccard ≥ 0.3 doc pairs from
+    ``dedup_ngram_jaccard_pairs``, composed unchanged) — its transitivity
+    is a real curation diagnostic: closure ≈ 1 means near-dup clusters are
+    cliques (template families, safe to keep one representative); low
+    closure means chain-shaped similarity where transitive-closure dedup
+    over-merges and a stricter threshold is warranted."""
+    from trike_spark.queries.dedup import dedup_ngram_jaccard_pairs
+
+    edges = dedup_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    # Edge set feeds degrees, orientation, the wedge join AND the closing-
+    # edge probe — one materialization, four consumers.
+    edges = cache.checkpoint(edges)
+    sym = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    keyed = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            "u",
+            "v",
+            (F.col("du").cast("long") * TRI_KEY_SCALE + F.col("u")).alias("ku"),
+            (F.col("dv").cast("long") * TRI_KEY_SCALE + F.col("v")).alias("kv"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.greatest("ku", "kv").alias("kdst"),
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src")) & (F.col("w1.kdst") < F.col("w2.kdst")),
+    ).select(F.col("w1.dst").alias("x"), F.col("w2.dst").alias("y"))
+    # The closing edge (x, y) has k(x) < k(y), so it is oriented x→y:
+    # one semi-join against the oriented set closes each wedge at most once.
+    closed = wedges.join(
+        oriented,
+        (wedges.x == oriented.src) & (wedges.y == oriented.dst),
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)
+        ).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        counts.crossJoin(broadcast(n_edges))
+        .crossJoin(broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                6,
+            ).alias("closure"),
+        )
+    )

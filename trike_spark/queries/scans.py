@@ -398,3 +398,81 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_regionkey").alias("n_with_new_col"),
         F.min("n_name").alias("first_name"),
     )
+
+
+# --- referential-integrity audit --------------------------------------------
+
+# (label, child table, fk col, parent table, pk col) — the star schema's
+# declared foreign keys plus the doc↔embedding linkage.
+_FKS = [
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("embeddings.vec_id->documents.doc_id", "embeddings", "vec_id", "documents", "doc_id"),
+]
+
+
+def _sql_fk_row(label: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{label}' AS fk, COUNT(*) AS child_rows,
+           CAST(COALESCE(SUM(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS orphans
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{fk} = p.{pk}
+    """
+
+
+@register(
+    "scan_referential_integrity",
+    "SELECT fk, child_rows, orphans, orphans = 0 AS ok FROM ("
+    + " UNION ALL ".join(_sql_fk_row(*f) for f in _FKS)
+    + ") ORDER BY fk",
+    doc=(
+        "Referential-integrity audit: orphan counts for every declared "
+        "foreign key (6 relations) in one pass — the data-quality "
+        "constraint suite run before any training-data release."
+    ),
+)
+def scan_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint audit as a first-class face: each declared
+    FK becomes (child_rows, orphans, ok). Per relation it is one LEFT
+    join of the child's key column against the parent's distinct keys and
+    one unconditional aggregation — NULL FKs are not orphans (SQL FK
+    semantics). Scale shape: dimension-sized parents (nation, region,
+    customer-at-sf, documents) broadcast; the one genuinely big parent
+    (orders under lineitem) is a shuffle join ON THE KEY both tables
+    already cluster by, and since only the key column is read, the scan
+    is column-pruned to 8 bytes/row either side. The six per-FK one-row
+    aggregates union into a single 6-row report — at 100 TB you run this
+    as one job, not six."""
+    rows = []
+    for label, child, fk, parent, pk in _FKS:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("_fk"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("_pk"))
+            .distinct()
+        )
+        joined = c.join(p, c._fk == p._pk, "left")
+        rows.append(
+            joined.agg(
+                F.lit(label).alias("fk"),
+                F.count(F.lit(1)).alias("child_rows"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_fk").isNotNull() & F.col("_pk").isNull(), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).cast("bigint").alias("orphans"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "fk", "child_rows", "orphans", (F.col("orphans") == 0).alias("ok")
+    ).orderBy("fk")

@@ -339,3 +339,78 @@ def window_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+# --- exponentially-weighted trailing average (integer fixed-point) ----------
+
+EWMA_LAGS = 15  # trailing window: current row + 15 predecessors
+# weight for lag k is 2^(EWMA_LAGS - k) — a halving decay whose tail
+# beyond 16 lags would contribute < 2^-16 of the mass, hence truncation.
+
+
+@register(
+    "window_ewma_trailing",
+    f"""
+    WITH x AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(38,4)) * 100 AS BIGINT)
+               AS total_cents,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS orderkey, a.rn,
+           a.total_cents,
+           CAST(SUM(b.total_cents * (CAST(1 AS BIGINT) << ({EWMA_LAGS} - (a.rn - b.rn))))
+                // SUM(CAST(1 AS BIGINT) << ({EWMA_LAGS} - (a.rn - b.rn)))
+                AS BIGINT) AS ewma_cents
+    FROM x a JOIN x b
+      ON b.o_custkey = a.o_custkey AND b.rn BETWEEN a.rn - {EWMA_LAGS} AND a.rn
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc=(
+        f"EWMA (halving decay, {EWMA_LAGS + 1}-lag truncation) of each "
+        "customer's order totals in BIGINT fixed-point via a bounded band "
+        "self-join — hash-exact, no float recursion."
+    ),
+)
+def window_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing average without floats: weight for
+    lag k is the exact integer 2^({EWMA_LAGS}-k), the average is
+    Σ(x·w) div Σ(w) in BIGINT (cents ≤ 5.5e7 × weight ≤ 2^15 × 16 rows
+    ≈ 2.9e13 — far inside 2^63). The recursive EWMA definition is not
+    window-expressible (the weight depends on the distance to the CURRENT
+    row, not the row itself); the standard distributed shape is this
+    bounded band self-join: both sides shuffle once on the partition key,
+    and the band predicate caps amplification at {EWMA_LAGS + 1}× — O(n)
+    state, no per-key recursion, works identically at 100 TB. Early rows
+    (< {EWMA_LAGS + 1} predecessors) normalize by the weights actually
+    present, so the face has no warm-up NULLs."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (dec("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    x = o.withColumn("rn", F.row_number().over(w)).drop("o_orderdate")
+    a, b = x.alias("a"), x.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (F.col("b.rn") >= F.col("a.rn") - EWMA_LAGS)
+            & (F.col("b.rn") <= F.col("a.rn")),
+        )
+        .groupBy(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey"),
+            F.col("a.rn").alias("rn"),
+            F.col("a.total_cents").alias("total_cents"),
+        )
+        .agg(
+            F.expr(
+                f"sum(b.total_cents * shiftleft(cast(1 as bigint), {EWMA_LAGS} - (a.rn - b.rn)))"
+                f" div sum(shiftleft(cast(1 as bigint), {EWMA_LAGS} - (a.rn - b.rn)))"
+            ).alias("ewma_cents")
+        )
+    )
