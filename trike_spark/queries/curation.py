@@ -634,3 +634,64 @@ def curation_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey", "mktsegment", "bal_band")
     )
+
+
+# --- differentially-private count release (deterministic noise) -------------
+
+DP_U_SCALE = 1_000_000  # uniform-draw resolution for the inverse CDF
+# Laplace scale b = sensitivity / epsilon = 1 / 1 (one doc changes one
+# cell count by 1; epsilon = 1).
+
+
+@register(
+    "curation_dp_count_release",
+    f"""
+    WITH c AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+    u AS (
+      SELECT lang, source, n,
+             (({_sql_h60("lang || '|' || source")} % {DP_U_SCALE}) + 0.5)
+               / {DP_U_SCALE}.0 AS u
+      FROM c)
+    SELECT lang, source,
+           ROUND(n + (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+                     * (-ROUND(LN(1 - 2 * ABS(u - 0.5)), 6)), 4) AS released_n
+    FROM u
+    ORDER BY lang, source
+    """,
+    doc=(
+        "Differentially-private (lang, source) histogram release: "
+        "Laplace(b=1) noise via the inverse CDF over a deterministic "
+        "md5 uniform draw — replayable, engine-exact noise."
+    ),
+)
+def curation_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-count release for corpus composition stats — the governance
+    counterpart to the k-anonymity audit: publish per-(lang, source) doc
+    counts with Laplace(sensitivity/ε = 1/1) noise so no single document's
+    presence is inferable. The twist that makes it verifiable: the
+    uniform draw is a deterministic md5 hash of the CELL KEY (not an RNG),
+    so the 'noise' is replayable and the DuckDB oracle reproduces it
+    bit-for-bit — same inverse-CDF transform, same pinned rounding. (In a
+    production release the draw would key on a secret salt; the mechanism
+    and plan are identical.) Scale: one groupBy on the release cells plus
+    narrow per-row math — the noise costs nothing at any scale. True
+    counts are deliberately NOT in the output schema."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        (_h60(F.concat_ws("|", F.col("lang"), F.col("source"))) % DP_U_SCALE)
+        + 0.5
+    ) / DP_U_SCALE
+    cu = c.withColumn("u", u)
+    noise = F.when(F.col("u") >= 0.5, F.lit(1)).otherwise(F.lit(-1)) * (
+        -F.round(F.log(1 - 2 * F.abs(F.col("u") - 0.5)), 6)
+    )
+    return (
+        cu.select(
+            "lang",
+            "source",
+            F.round(F.col("n") + noise, 4).alias("released_n"),
+        )
+        .orderBy("lang", "source")
+    )

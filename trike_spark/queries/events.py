@@ -69,7 +69,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts >= lag(ts) OVER w + INTERVAL '10 minutes'
+                       OR ts > lag(ts) OVER w + INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -88,9 +88,10 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Session windows, 10 min gap (streaming: session_window(ts,'10 minutes')).",
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's session_window merges events strictly less than gap apart;
-    window end = last event + gap (half-open) — the oracle's gaps-and-
-    islands CTE reproduces exactly that boundary rule (>= gap → new)."""
+    """Spark's session_window merges events up to AND INCLUDING exactly
+    gap apart (an event at ts == previous window end joins the session —
+    verified empirically); window end = last event + gap. The oracle's
+    gaps-and-islands CTE reproduces that boundary rule (> gap → new)."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
@@ -840,5 +841,79 @@ def events_lateness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("lateness_s").alias("min_lateness_s"),
             F.max("lateness_s").alias("max_lateness_s"),
+        )
+    )
+
+
+# --- sessionization with a per-event dynamic gap ----------------------------
+
+DYN_GAP_PURCHASE_US = 30 * 60 * 1_000_000  # purchases hold sessions open 30 min
+DYN_GAP_OTHER_US = 10 * 60 * 1_000_000  # everything else: 10 min
+
+
+@register(
+    "events_sessionization_dynamic_gap",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, value,
+             epoch_us(ts) AS tus,
+             epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN {DYN_GAP_PURCHASE_US}
+                                 ELSE {DYN_GAP_OTHER_US} END AS ext
+      FROM events),
+    m AS (
+      SELECT *, MAX(ext) OVER (PARTITION BY user_id ORDER BY tus
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_ext
+      FROM e),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ext IS NULL OR tus > prev_ext
+                     THEN 1 ELSE 0 END AS new_session
+      FROM m),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           make_timestamp(MAX(ext)) AS session_end,
+           COUNT(*) AS n_events,
+           {{dsum}} AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """.format(dsum=sql_dsum("value")),
+    doc=(
+        "Sessionization where the gap depends on the event: purchases "
+        "extend the session 30 min, other events 10 min — "
+        "session_window(ts, CASE...) with a gaps-and-islands oracle."
+    ),
+)
+def events_sessionization_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows — Spark's ``session_window`` accepts a
+    gap EXPRESSION, so each event extends its session by its own timeout
+    (the 'a purchase keeps the visit alive longer' rule every
+    clickstream pipeline eventually needs). Merge semantics are
+    overlap-of-[ts, ts+gap) windows; the oracle reproduces them with a
+    running MAX of extensions (an event opens a new session iff its ts is
+    strictly past the furthest extension so far — ts landing exactly ON a
+    window end still merges, verified against session_window; and plain
+    lag(ts) is WRONG here because an early long-gap event can outlive a
+    later short-gap one).
+    Same scale shape as the fixed-gap face: one shuffle on user_id, then
+    session merging is a per-key linear pass inside Spark's
+    UpdatingSessionsExec — no state explosion. The streaming leg is the
+    identical expression over readStream (tests/test_streaming_dynamic_gap.py)."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
         )
     )

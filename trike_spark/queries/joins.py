@@ -371,3 +371,72 @@ def join_bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
     )
+
+
+# --- keyless point-in-interval join via time-bin bucketing ------------------
+
+IVB_BIN_US = 30 * 60 * 1_000_000  # 30-min bins ~ the 40-min interval length
+
+
+@register(
+    "join_interval_binned",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t, COUNT(*) AS hh FROM hourly),
+    heavy AS (SELECT h FROM hourly, tot WHERE n * hh * 5 >= 6 * t),
+    iv AS (SELECT h + INTERVAL 5 MINUTE AS w_start,
+                  h + INTERVAL 45 MINUTE AS w_end FROM heavy)
+    SELECT iv.w_start, COUNT(*) AS n_points,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(38,4))), 4) AS DOUBLE)
+             AS total_value
+    FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc=(
+        "Keyless point-in-interval join (events into derived heavy-traffic "
+        "windows) executed as a hash join on 30-min time bins + residual "
+        "containment — no BroadcastNestedLoopJoin at any scale."
+    ),
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range-join-without-a-key shape, solved by bin bucketing
+    (:mod:`trike_spark.operators.interval_bin`): intervals are the
+    heavy-traffic windows [hour+5min, hour+45min) of hours whose event
+    count is ≥ 1.2× the mean (the threshold compare is integer-exact:
+    n·H·5 ≥ 6·T). A naive plan for `ts BETWEEN w_start AND w_end` with no
+    equality column is BNLJ — O(|events|·|windows|). Here both sides get
+    a manufactured 30-min bin key (each 40-min interval explodes onto ≤ 3
+    bins), the join is an ordinary shuffled hash join on the bin, and the
+    containment predicate runs as a residual — linear in events + exploded
+    intervals, AQE-splittable if some bin is bursty. The aggregation then
+    keys on the window start. Oracle is the PLAIN inequality join: binning
+    must be invisible in the result."""
+    from trike_spark.operators.interval_bin import bin_interval_join
+    from trike_spark.queries._util import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = hourly.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("hh"))
+    heavy = hourly.crossJoin(broadcast(tot)).filter(
+        F.col("n") * F.col("hh") * 5 >= 6 * F.col("t")
+    )
+    iv = heavy.select(
+        (F.col("h") + F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        (F.col("h") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
+    )
+    pts = e.select("ts", "user_id", "value")
+    joined = bin_interval_join(pts, iv, "ts", "w_start", "w_end", IVB_BIN_US)
+    return (
+        joined.groupBy("w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .orderBy("w_start")
+    )
