@@ -986,3 +986,133 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
     )
+
+
+# --- quality-gate rejection funnel ------------------------------------------
+
+# Ordered Gopher/C4-style gates with integer-exact thresholds:
+#   too_short      n_tokens < 20
+#   too_long       n_tokens > 90
+#   low_diversity  distinct/n < 0.35       (20·distinct < 7·n)
+#   repetitive     max token share > 0.08  (25·max_cnt > 2·n)
+QF_RULES = ["too_short", "too_long", "low_diversity", "repetitive"]
+
+
+@register(
+    "text_quality_funnel",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tcnt AS (
+      SELECT doc_id, t, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY 1, 2),
+    sig AS (
+      SELECT tok.doc_id,
+             len(tok.toks) AS n,
+             len(list_distinct(tok.toks)) AS nd,
+             m.mx
+      FROM tok JOIN (SELECT doc_id, MAX(c) AS mx FROM tcnt GROUP BY 1) m
+        ON m.doc_id = tok.doc_id),
+    flags AS (
+      SELECT doc_id,
+             (n < 20) AS f1, (n > 90) AS f2,
+             (20 * nd < 7 * n) AS f3, (25 * mx > 2 * n) AS f4
+      FROM sig),
+    firsts AS (
+      SELECT doc_id,
+             CASE WHEN f1 THEN 'too_short'
+                  WHEN f2 THEN 'too_long'
+                  WHEN f3 THEN 'low_diversity'
+                  WHEN f4 THEN 'repetitive'
+                  ELSE 'pass' END AS first_rule,
+             f1, f2, f3, f4
+      FROM flags)
+    SELECT rule, rule_order, n_rejected_first, n_failing FROM (
+      SELECT 'too_short' AS rule, 1 AS rule_order,
+             COUNT(*) FILTER (first_rule = 'too_short') AS n_rejected_first,
+             COUNT(*) FILTER (f1) AS n_failing FROM firsts
+      UNION ALL
+      SELECT 'too_long', 2, COUNT(*) FILTER (first_rule = 'too_long'),
+             COUNT(*) FILTER (f2) FROM firsts
+      UNION ALL
+      SELECT 'low_diversity', 3, COUNT(*) FILTER (first_rule = 'low_diversity'),
+             COUNT(*) FILTER (f3) FROM firsts
+      UNION ALL
+      SELECT 'repetitive', 4, COUNT(*) FILTER (first_rule = 'repetitive'),
+             COUNT(*) FILTER (f4) FROM firsts
+      UNION ALL
+      SELECT 'pass', 5, COUNT(*) FILTER (first_rule = 'pass'),
+             COUNT(*) FILTER (first_rule = 'pass') FROM firsts)
+    ORDER BY rule_order
+    """,
+    doc=(
+        "Quality-gate rejection funnel: per-rule first-rejection and "
+        "marginal-failure counts for the ordered length/diversity/"
+        "repetition gates, plus the surviving-docs row."
+    ),
+)
+def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational artifact a filtering pipeline actually reviews: not
+    each doc's score but the FUNNEL — how many documents each ordered gate
+    rejects first (attribution), how many fail it at all (marginal rate,
+    shows rule overlap), and what survives. Signals are integer-exact
+    (counts and cross-multiplied thresholds — no float ratios to drift).
+    One explode+groupBy computes the per-doc max token count (map-side
+    combine on (doc, token)); everything after is per-doc narrow math and
+    a 5-row report, so the corpus is read once regardless of scale. Rule
+    order mirrors cost: cheap length gates first — at 100 TB you'd
+    short-circuit the explode for docs the length gates already killed
+    (Spark does exactly this: the CASE evaluates lazily)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    tc = (
+        d.select("doc_id", F.explode(t).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"))
+    )
+    sig = d.select(
+        "doc_id", F.size(t).alias("n"), F.size(F.array_distinct(t)).alias("nd")
+    ).join(tc, "doc_id")
+    flags = sig.select(
+        "doc_id",
+        (F.col("n") < 20).alias("f1"),
+        (F.col("n") > 90).alias("f2"),
+        (20 * F.col("nd") < 7 * F.col("n")).alias("f3"),
+        (25 * F.col("mx") > 2 * F.col("n")).alias("f4"),
+    )
+    firsts = flags.withColumn(
+        "first_rule",
+        F.when(F.col("f1"), "too_short")
+        .when(F.col("f2"), "too_long")
+        .when(F.col("f3"), "low_diversity")
+        .when(F.col("f4"), "repetitive")
+        .otherwise("pass"),
+    )
+    rows = []
+    for i, (rule, flag) in enumerate(
+        [("too_short", "f1"), ("too_long", "f2"), ("low_diversity", "f3"), ("repetitive", "f4")],
+        start=1,
+    ):
+        rows.append(
+            firsts.agg(
+                F.lit(rule).alias("rule"),
+                F.lit(i).alias("rule_order"),
+                F.count(F.when(F.col("first_rule") == rule, 1)).alias("n_rejected_first"),
+                F.count(F.when(F.col(flag), 1)).alias("n_failing"),
+            )
+        )
+    passed = F.count(F.when(F.col("first_rule") == "pass", 1))
+    rows.append(
+        firsts.agg(
+            F.lit("pass").alias("rule"),
+            F.lit(5).alias("rule_order"),
+            passed.alias("n_rejected_first"),
+            passed.alias("n_failing"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("rule_order")

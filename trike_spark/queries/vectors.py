@@ -828,7 +828,7 @@ def _fold_sum(arr: Column) -> Column:
         "(per-label centroids), asymmetric-distance (ADC) cosine top-k."
     ),
 )
-def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """PQ completes the ANN family (brute / LSH / IVF / SQ-int8 / PQ):
     each vector is stored as M=8 codebook codes; queries score candidates
     by ADC — exact query subvectors against the candidate's reconstructed
@@ -923,7 +923,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("q_vec_id").orderBy(F.col("adc_score").desc(), F.col("n_vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w_rank))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= k)
         .select("q_vec_id", "n_vec_id", "adc_score", "rk")
     )
 
@@ -1500,3 +1500,76 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in pts[1:]:
         out = out.unionAll(d)
     return out
+
+
+# --- two-stage ANN: PQ shortlist + exact re-rank ----------------------------
+
+RERANK_POOL = 25  # ADC shortlist size; 5x the served k
+
+
+def _sql_pq_pool() -> str:
+    """The registered PQ oracle with its rank cutoff widened to the
+    re-rank pool size (single, asserted substitution — the oracle string
+    is the one source of truth for the PQ pipeline)."""
+    from trike_spark.registry import REGISTRY
+
+    base = REGISTRY["sim_pq_adc_topk"].oracle
+    needle = f"WHERE rk <= {TOP_K}"
+    assert base.count(needle) == 1, "PQ oracle changed; update _sql_pq_pool"
+    return base.replace(needle, f"WHERE rk <= {RERANK_POOL}")
+
+
+@register(
+    "sim_pq_rerank_topk",
+    f"""
+    WITH pool AS ({_sql_pq_pool()})
+    SELECT q_vec_id, n_vec_id, cosine, rk FROM (
+      SELECT p.q_vec_id, p.n_vec_id,
+             ROUND({_SQL_COS}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY p.q_vec_id
+                                ORDER BY ROUND({_SQL_COS}, 6) DESC, p.n_vec_id) AS rk
+      FROM pool p
+      JOIN embeddings a ON a.vec_id = p.q_vec_id
+      JOIN embeddings b ON b.vec_id = p.n_vec_id)
+    WHERE rk <= {TOP_K}
+    """,
+    doc=(
+        f"Two-stage ANN serving: PQ-ADC shortlist (pool {RERANK_POOL}) "
+        f"re-ranked by EXACT cosine to top-{TOP_K} — the standard "
+        "compressed-index + refine pattern."
+    ),
+)
+def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving pattern every production ANN system uses (FAISS
+    IndexIVFPQ + refine, ScaNN's reorder stage): a cheap compressed-domain
+    shortlist (PQ-ADC over M-byte codes — never touches raw vectors),
+    then exact scoring of ONLY pool=|Q|·{RERANK_POOL} candidates. ADC's
+    quantization error costs ranking fidelity; the re-rank recovers it
+    for the price of {RERANK_POOL} full-vector reads per query
+    (tests/test_pq_rerank.py measures recall@{TOP_K} strictly above the
+    raw PQ ranking on the same codes). Scale shape: stage 1 is the
+    audited PQ plan unchanged; stage 2 joins the tiny pool against
+    embeddings by vec_id — a point-lookup join (broadcast pool), so the
+    100 TB cost is the shortlist's, not the corpus's."""
+    pool = sim_pq_adc_topk(spark, sf_dir, k=RERANK_POOL).select(
+        "q_vec_id", "n_vec_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"))
+    nv = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("n_emb"))
+    scored = (
+        broadcast(pool)
+        .join(qv, on="q_vec_id")
+        .join(nv, on="n_vec_id")
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("n_vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_vec_id", "n_vec_id", "cosine", "rk")
+    )
