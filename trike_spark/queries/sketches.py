@@ -337,15 +337,25 @@ def _js_cell(h: Column, d: int) -> Column:
 
 
 def _js_cells_df(df: DataFrame, key: Column) -> DataFrame:
-    """(rows keyed by `key`) → (d, cell, c) sketch table, ONE pass: each
-    row emits its D cell ids as an array, posexplode splits them, one
-    (d, cell) groupBy with map-side combine builds all rows at once."""
-    h = _h60(key.cast("string"))
+    """(rows keyed by `key`) → (d, cell, c) sketch table via the
+    key-frequency vector: aggregate to (key, weight) FIRST (map-side
+    partials shrink the wire to per-task distincts — for a foreign key
+    far below row count), then hash each DISTINCT key once, fan its D
+    affine cells out, and weight-sum per (d, cell). Identical cells to
+    hashing every row (the sketch is linear in the frequency vector) at
+    1/(rows/distinct) of the md5 + explode cost — at sf0.1, 20k hashes
+    instead of 600k row-hashes ×D. The frequency vector is also exactly
+    what the estimate consumes (|A⋈B| = Σ f_A·f_B), making this the
+    canonical build-from-stats path."""
+    freq = df.select(key.cast("string").alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    h = _h60(F.col("k"))
     cells = F.array(*[_js_cell(h, d) for d in range(CMS_D)])
     return (
-        df.select(F.posexplode(cells).alias("d", "cell"))
+        freq.select(F.posexplode(cells).alias("d", "cell"), "w")
         .groupBy("d", "cell")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("w").alias("c"))
     )
 
 
