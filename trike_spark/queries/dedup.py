@@ -1022,3 +1022,170 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
     )
+
+
+# --- exact repeated-substring spans (suffix-dedup style) --------------------
+
+SUBSTR_W = 8  # window length in tokens; cross-doc repeats of this length
+# or longer are marked for removal (cf. the 50-token threshold of
+# suffix-array training-data dedup — scaled to this corpus's 10-99-token
+# docs).
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {SUBSTR_W}),
+    win AS (
+      SELECT doc_id, p,
+             {_sql_h60(f"array_to_string(t[p + 1 : p + {SUBSTR_W}], ' ')")} AS k
+      FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {SUBSTR_W}))
+                   AS p
+            FROM tok)),
+    dup AS (SELECT k FROM win GROUP BY k
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT w.doc_id, w.p FROM win w JOIN dup ON w.k = dup.k),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN lag(p) OVER w IS NULL
+                       OR p - lag(p) OVER w > {SUBSTR_W}
+                  THEN 1 ELSE 0 END AS ns
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+    g AS (
+      SELECT doc_id, p,
+             SUM(ns) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM isl)
+    SELECT doc_id, MIN(p) AS span_start,
+           MAX(p) + {SUBSTR_W} AS span_end,
+           COUNT(*) AS n_windows
+    FROM g GROUP BY doc_id, sid
+    ORDER BY doc_id, span_start
+    """,
+    doc=(
+        f"Exact substring dedup: token positions covered by a {SUBSTR_W}"
+        "-token window repeated across >= 2 docs, merged into removable "
+        "[start, end) spans per doc."
+    ),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup — the distributed re-expression of
+    suffix-array substring dedup (train-set passages repeated verbatim
+    across documents get REMOVED, not the whole doc): every {SUBSTR_W}-
+    token sliding window is hashed; windows whose hash occurs in ≥ 2
+    distinct docs mark their positions; overlapping/adjacent marked
+    windows merge into maximal [start, end) token spans via gaps-and-
+    islands. Scale shape (and why this beats a literal suffix array on a
+    cluster): windows explode to ~n_tokens rows but the heavy key join is
+    a SEMI join of positions against the duplicated-hash set — (key →
+    count distinct) then join back, never a doc×doc pair join, so a
+    window shared by 10^6 docs costs 10^6 marked rows (linear, the answer
+    itself), not 10^12 pairs. The islands pass is one per-doc window
+    function over marked positions only. Hash space is 60-bit md5
+    (mirrored in the oracle; collisions cross-engine-identical and
+    semantically negligible)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SUBSTR_W
+    )
+    win = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {SUBSTR_W}),"
+                f" p -> struct(p as p, array_join(slice(t, p + 1, {SUBSTR_W}), ' ') as s))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.p").alias("p"), _h60(F.col("w.s")).alias("k"))
+    win = cache.checkpoint(win)
+    dup = (
+        win.groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("k")
+    )
+    hits = win.join(dup, "k", "left_semi").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = hits.withColumn(
+        "ns",
+        F.when(
+            F.lag("p").over(w).isNull() | (F.col("p") - F.lag("p").over(w) > SUBSTR_W),
+            1,
+        ).otherwise(0),
+    )
+    g = isl.withColumn(
+        "sid", F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        g.groupBy("doc_id", "sid")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + SUBSTR_W).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def _sql_substring_spans() -> str:
+    from trike_spark.registry import REGISTRY
+
+    return REGISTRY["dedup_substring_spans"].oracle
+
+
+@register(
+    "dedup_substring_removal_stats",
+    f"""
+    WITH spans AS ({_sql_substring_spans()}),
+    per_doc AS (
+      SELECT doc_id, SUM(span_end - span_start) AS cut
+      FROM spans GROUP BY doc_id),
+    toks AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n
+             FROM documents)
+    SELECT t.lang,
+           COUNT(*) AS n_docs,
+           COUNT(p.doc_id) AS n_docs_affected,
+           CAST(SUM(t.n) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(p.cut), 0) AS BIGINT) AS tokens_removed,
+           ROUND(CAST(COALESCE(SUM(p.cut), 0) AS DOUBLE) / SUM(t.n), 6)
+             AS removed_frac
+    FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    GROUP BY t.lang
+    ORDER BY t.lang
+    """,
+    doc=(
+        "Impact report for substring-span dedup: per-language affected-doc "
+        "counts and fraction of tokens the spans would remove."
+    ),
+)
+def dedup_substring_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The go/no-go artifact for span removal: how much of each
+    language's corpus the repeated spans actually cover. Composes the
+    span face unchanged, folds to one row per language — span volume is
+    already sub-corpus-sized, so this is a broadcast-scale join on
+    doc_id plus one small aggregation."""
+    spans = dedup_substring_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("cut")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n")
+    )
+    j = d.join(per_doc, "doc_id", "left")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("cut").alias("n_docs_affected"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.coalesce(F.sum("cut"), F.lit(0)).cast("bigint").alias("tokens_removed"),
+            F.round(
+                F.coalesce(F.sum("cut"), F.lit(0)).cast("double") / F.sum("n"), 6
+            ).alias("removed_frac"),
+        )
+        .orderBy("lang")
+    )
