@@ -130,3 +130,70 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
         assert ks == {1}, rows  # k=2's purchase fell outside the join window
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_join_emits_null_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a left row with no match cannot be
+    emitted when it arrives — the engine must hold it until the WATERMARK
+    passes the end of its join window (only then is 'no match will ever
+    come' provable). The test advances event time with a later batch and
+    asserts the null-padded row appears only then."""
+    left_src = tmp_path / "left"
+    right_src = tmp_path / "right"
+    left_src.mkdir()
+    right_src.mkdir()
+    _write(
+        left_src,
+        "l1.json",
+        [
+            {"k": 1, "ts": "2024-01-01T10:00:00.000Z", "tag": "click"},
+            {"k": 2, "ts": "2024-01-01T10:00:00.000Z", "tag": "click-no-match"},
+        ],
+    )
+    _write(
+        right_src,
+        "r1.json",
+        [{"k": 1, "ts": "2024-01-01T10:03:00.000Z", "tag": "purchase"}],
+    )
+    left = (
+        spark.readStream.schema(SCHEMA).option("timestampFormat", TS_FMT).json(str(left_src))
+    ).withWatermark("ts", "10 minutes").select(F.col("k"), F.col("ts").alias("l_ts"))
+    right = (
+        spark.readStream.schema(SCHEMA).option("timestampFormat", TS_FMT).json(str(right_src))
+    ).withWatermark("ts", "10 minutes").select(F.col("k").alias("rk"), F.col("ts").alias("r_ts"))
+    joined = left.join(
+        right,
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("k", "l_ts", "r_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .start()
+    )
+    try:
+        # phase 1: only the matched row can appear; k=2 must be withheld
+        rows = _poll(spark, q, "ss_outer", lambda rs: len(rs) >= 1)
+        assert {r["k"] for r in rows} == {1}, rows
+
+        # phase 2: push the watermark far past k=2's join window on BOTH
+        # streams (watermark = max event time - 10 min)
+        _write(
+            left_src,
+            "l2.json",
+            [{"k": 9, "ts": "2024-01-01T13:00:00.000Z", "tag": "late-tick"}],
+        )
+        _write(
+            right_src,
+            "r2.json",
+            [{"k": 9, "ts": "2024-01-01T13:00:00.000Z", "tag": "late-tick"}],
+        )
+        rows = _poll(spark, q, "ss_outer", lambda rs: any(r["k"] == 2 for r in rs))
+        k2 = [r for r in rows if r["k"] == 2]
+        assert len(k2) == 1 and k2[0]["r_ts"] is None, rows
+    finally:
+        q.stop()
