@@ -68,6 +68,11 @@ HEADLINE = [
     "text_bigram_logprob",
     "sketch_join_size_estimate",
     "events_scd2_point_in_time_join",
+    # round-4 session-2 additions
+    "dedup_substring_spans",
+    "join_interval_binned",
+    "sim_pq_rerank_topk",
+    "events_sessionization_dynamic_gap",
 ]
 
 
