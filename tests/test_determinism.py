@@ -33,6 +33,12 @@ SENSITIVE = [
     "dedup_minhash_lsh_pairs",  # hash-family candidate generation
     "window_equidepth_histogram",  # distributed global rank
     "q1_pricing_summary",  # decimal money aggregation
+    # round-4 session-2 faces with the same exposure classes
+    "graph_triangle_count",  # iterative-ish multi-join graph census
+    "window_ewma_trailing",  # banded integer weighting
+    "curation_dp_count_release",  # float inverse-CDF over md5 draw
+    "dedup_substring_spans",  # gaps-and-islands over hash matches
+    "agg_salted_two_stage",  # explicit two-stage decimal merge
 ]
 
 
