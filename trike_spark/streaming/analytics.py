@@ -243,3 +243,83 @@ def point_in_time_enrich(fact_stream: DataFrame, intervals: DataFrame) -> DataFr
         & (s.valid_from <= p.ts)
         & (s.valid_to.isNull() | (p.ts < s.valid_to)),
     ).select("event_id", "user_id", "ts", "state_type", F.col("valid_from").alias("state_since"))
+
+
+# --- streaming EWMA (online trailing feature) -------------------------------
+
+_EWMA_STATE = "vals ARRAY<BIGINT>, n BIGINT"
+_EWMA_OUT = (
+    "custkey BIGINT, orderkey BIGINT, rn BIGINT, "
+    "total_cents BIGINT, ewma_cents BIGINT"
+)
+
+
+def _ewma_emit(vals: list[int], lags: int) -> int:
+    num = 0
+    den = 0
+    last = len(vals) - 1
+    for idx, v in enumerate(vals):
+        w = 1 << (lags - (last - idx))
+        num += v * w
+        den += w
+    return num // den
+
+
+def ewma_stream(orders: DataFrame, lags: int | None = None) -> DataFrame:
+    """Streaming twin of ``window_ewma_trailing``: the exponentially-
+    weighted trailing average as an ONLINE per-key feature —
+    ``applyInPandasWithState`` keyed by customer, state = the last
+    ``lags``+1 values (a bounded deque: {16}·8 bytes per live key, the
+    O(1)-state property that makes trailing features streamable at all)
+    plus the running row count. Each arriving order emits its EWMA
+    immediately — the feature-store write a training pipeline consumes.
+
+    Identical integer arithmetic to the batch face (weights 2^k, Σxw div
+    Σw), so on an in-order stream the emitted values are bit-equal to the
+    batch band-join (parity-tested). Ordering contract: rows are sorted
+    by (o_orderdate, o_orderkey) WITHIN each micro-batch; cross-batch
+    out-of-order arrivals compute the EWMA over arrival order, the
+    standard online-feature semantics (event-time exactness needs the
+    batch face or a watermark-delayed replay)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from trike_spark.queries.windows import EWMA_LAGS
+
+    k = EWMA_LAGS if lags is None else lags
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (custkey,) = key
+        vals, n = (list(state.get[0]), state.get[1]) if state.exists else ([], 0)
+        out: dict[str, list] = {c: [] for c in ("custkey", "orderkey", "rn", "total_cents", "ewma_cents")}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+            for ok, cents in zip(pdf["o_orderkey"], pdf["total_cents"]):
+                vals.append(int(cents))
+                del vals[:-(k + 1)]
+                n += 1
+                out["custkey"].append(custkey)
+                out["orderkey"].append(int(ok))
+                out["rn"].append(n)
+                out["total_cents"].append(int(cents))
+                out["ewma_cents"].append(_ewma_emit(vals, k))
+        state.update((vals, n))
+        if out["custkey"]:
+            yield pd.DataFrame(out)
+
+    prepared = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(38,4)") * 100)
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    return prepared.groupBy("o_custkey").applyInPandasWithState(
+        fn,
+        outputStructType=_EWMA_OUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
