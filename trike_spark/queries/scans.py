@@ -476,3 +476,66 @@ def scan_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "fk", "child_rows", "orphans", (F.col("orphans") == 0).alias("ok")
     ).orderBy("fk")
+
+
+# --- dynamic partition pruning ----------------------------------------------
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    """
+    WITH ev AS (
+      SELECT *, date_trunc('day', ts) AS ev_day FROM events),
+    dim AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d_day FROM events
+      WHERE event_type = 'signup'),
+    top3 AS (SELECT d_day FROM dim ORDER BY d_day LIMIT 3)
+    SELECT CAST(ev.ev_day AS DATE) AS day, COUNT(*) AS n_events,
+           COUNT(DISTINCT ev.user_id) AS n_users
+    FROM ev JOIN top3 ON ev.ev_day = top3.d_day
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc=(
+        "Dynamic partition pruning: a day-partitioned event archive joined "
+        "to a filter-derived dim prunes partitions at RUNTIME from the "
+        "dim's values — only 3 of ~30 day directories are read."
+    ),
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale feature static pruning can't give you: the day filter is
+    not a literal — it comes from ANOTHER table's rows (first 3 signup
+    days), so no predicate exists at plan time. Spark's dynamic partition
+    pruning broadcasts the dim's join keys into the fact scan as a
+    runtime subquery filter, so only the matching day directories are
+    listed and read — at 100 TB the difference between a 3-day scan and a
+    full-archive scan. The face writes the archive day-partitioned
+    (scratch, one copy), joins through the derived dim, and the plan test
+    asserts `dynamicpruning` landed in the fact scan's partition filters
+    (`tests/test_dynamic_pruning.py`). Oracle is the plain join on the
+    unpartitioned table — layout must not change results."""
+    e = load_table(spark, sf_dir, "events")
+    path = _scan_tmp(spark, "dpp_events")
+    (
+        e.withColumn("ev_day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("ev_day")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        e.filter(F.col("event_type") == "signup")
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("d_day"))
+        .distinct()
+        .orderBy("d_day")
+        .limit(3)
+    )
+    return (
+        fact.join(dim, fact.ev_day == dim.d_day)
+        .groupBy(F.col("ev_day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )
