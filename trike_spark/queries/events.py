@@ -917,3 +917,127 @@ def events_sessionization_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
             "sum_value",
         )
     )
+
+
+# --- event-type transition matrix (first-order Markov) ----------------------
+
+
+@register(
+    "events_markov_transitions",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM trans
+    ORDER BY prev_type, next_type
+    """,
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences: counts and row-normalized probabilities for every "
+        "(prev, next) event-type pair."
+    ),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining's first artifact — where do users go next? — as a
+    transition matrix. One lag window keyed on user (the ONLY per-user
+    pass; ordering ties broken by event_id so sequences are total-ordered
+    and cross-engine identical), then a |types|²-cell aggregation that
+    collapses map-side, then row normalization as one window over ≤ 25
+    rows. The heavy shuffle is the lag's user_id partition — the same
+    exchange every sessionization face already pays; at 100 TB you'd
+    compute this and the sessionization in ONE pass over the sorted
+    partition. p is a pinned double of two exact counts."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
+# --- last-touch attribution --------------------------------------------------
+
+
+@register(
+    "events_last_touch_attribution",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             MAX(CASE WHEN event_type = 'click'
+                      THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_us
+      FROM events)
+    SELECT event_id AS purchase_id, user_id,
+           make_timestamp(last_click_us) AS attributed_click_ts,
+           (epoch_us(ts) - last_click_us) AS gap_us,
+           {{dval}} AS purchase_value
+    FROM marked
+    WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+      AND epoch_us(ts) - last_click_us <= 3600000000
+    ORDER BY purchase_id
+    """.format(dval="CAST(ROUND(CAST(value AS DECIMAL(38,4)), 4) AS DOUBLE)"),
+    doc=(
+        "Last-touch attribution: each purchase credited to the user's most "
+        "recent preceding click within 1 h — running-max-over-window, no "
+        "self-join."
+    ),
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution as a WINDOW, not a join: the natural
+    formulation ('join each purchase to its latest prior click') is an
+    as-of self-join — two shuffles and a per-pair ranking. The running
+    conditional MAX over the user's time-ordered events computes the same
+    answer in the sessionization family's single user_id exchange, and
+    scales as O(events) with no pair blow-up regardless of how clicky a
+    user is. Gap arithmetic in exact integer micros; the 1 h lookback is
+    the attribution window every ads pipeline parameterizes."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    ).over(w)
+    marked = e.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        last_click.alias("last_click_us"),
+    )
+    return (
+        marked.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_us").isNotNull()
+            & (F.unix_micros("ts") - F.col("last_click_us") <= 3_600_000_000)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.timestamp_micros("last_click_us").alias("attributed_click_ts"),
+            (F.unix_micros("ts") - F.col("last_click_us")).alias("gap_us"),
+            F.round(F.col("value").cast("decimal(38,4)"), 4)
+            .cast("double")
+            .alias("purchase_value"),
+        )
+        .orderBy("purchase_id")
+    )

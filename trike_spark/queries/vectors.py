@@ -1573,3 +1573,117 @@ def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("q_vec_id", "n_vec_id", "cosine", "rk")
     )
+
+
+# --- dimension-truncation (Matryoshka-style) recall -------------------------
+
+PREFIX_DIM = 32  # serve on the first half of the embedding
+
+
+def _sql_prefix_cos(a: str, b: str) -> str:
+    za = f"list_zip({a}.embedding[1:{PREFIX_DIM}], {b}.embedding[1:{PREFIX_DIM}])"
+    dot = (
+        f"list_aggregate(list_transform({za}, "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    )
+    nrm = (
+        "SQRT(list_aggregate(list_transform({v}.embedding[1:%d], "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))" % PREFIX_DIM
+    )
+    return f"{dot} / ({nrm.format(v=a)} * {nrm.format(v=b)})"
+
+
+@register(
+    "sim_prefix_dim_recall",
+    f"""
+    WITH truth AS (
+      SELECT q_vec_id, n_vec_id FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_SQL_COS}, 6) DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES})
+      WHERE rk <= {TOP_K}),
+    pref AS (
+      SELECT q_vec_id, n_vec_id FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_sql_prefix_cos('a', 'b')}, 6) DESC,
+                                           b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES})
+      WHERE rk <= {TOP_K})
+    SELECT t.q_vec_id,
+           CAST(COUNT(p.n_vec_id) AS BIGINT) AS n_found,
+           CAST(COUNT(p.n_vec_id) AS DOUBLE) / {TOP_K} AS recall
+    FROM truth t LEFT JOIN pref p
+      ON t.q_vec_id = p.q_vec_id AND t.n_vec_id = p.n_vec_id
+    GROUP BY t.q_vec_id
+    """,
+    doc=(
+        f"Dimension-truncation recall: top-{TOP_K} served on the first "
+        f"{PREFIX_DIM} of {DIM} dims vs full-dim truth — the Matryoshka "
+        "half-cost/half-bandwidth trade, measured per query."
+    ),
+)
+def sim_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The newest lever in the ANN cost menu (Matryoshka representation
+    learning): serve on a PREFIX of the embedding — half the dims is half
+    the scan bytes, half the dot-product FLOPs, and (unlike PQ) needs no
+    trained codebook, just truncation. This face measures what that buys
+    on THIS corpus: recall@{TOP_K} of prefix-cosine ranking against the
+    full-dim truth. (Random embeddings have no Matryoshka structure, so
+    the measured recall is the pessimistic floor; MRL-trained vectors
+    front-load variance and score far higher — the face is the measure,
+    not the claim.) Same audited scale shape as every recall face:
+    broadcast query set, per-query top-k window, |Q|·k survivors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pre = F.expr(f"slice(embedding, 1, {PREFIX_DIM})")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_full"),
+        pre.alias("q_pre"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_vec_id"),
+        F.col("embedding").alias("n_full"),
+        pre.alias("n_pre"),
+    )
+    pairs = c.crossJoin(broadcast(q)).filter(F.col("n_vec_id") != F.col("q_vec_id"))
+
+    def topk(scored, col):
+        w = Window.partitionBy("q_vec_id").orderBy(F.col(col).desc(), F.col("n_vec_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("q_vec_id", "n_vec_id")
+        )
+
+    truth = topk(
+        pairs.select(
+            "q_vec_id", "n_vec_id",
+            F.round(cosine(F.col("q_full"), F.col("n_full")), 6).alias("s"),
+        ),
+        "s",
+    )
+    pref = topk(
+        pairs.select(
+            "q_vec_id", "n_vec_id",
+            F.round(cosine(F.col("q_pre"), F.col("n_pre")), 6).alias("s"),
+        ),
+        "s",
+    )
+    return (
+        truth.alias("t")
+        .join(
+            pref.alias("p"),
+            (F.col("t.q_vec_id") == F.col("p.q_vec_id"))
+            & (F.col("t.n_vec_id") == F.col("p.n_vec_id")),
+            "left",
+        )
+        .groupBy(F.col("t.q_vec_id").alias("q_vec_id"))
+        .agg(
+            F.count(F.col("p.n_vec_id")).alias("n_found"),
+            (F.count(F.col("p.n_vec_id")).cast("double") / TOP_K).alias("recall"),
+        )
+    )
