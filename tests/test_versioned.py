@@ -94,3 +94,55 @@ def test_foreach_batch_committer_is_idempotent(spark, tmp_path):
     sink(region.limit(3), 1)  # a genuinely new batch lands
     assert versioned.read_version(spark, path).count() == n_after_first + 3
     assert [m.get("batch_id") for m in versioned.history(path)] == [0, 1]
+
+
+def test_expire_snapshots_removes_unreferenced_data(spark, tmp_path):
+    """Retention: after overwrites create unreferenced generations,
+    expire_snapshots(keep_last_n) deletes exactly those directories, kept
+    versions stay byte-identical, expired versions stop being readable."""
+    import os
+
+    from trike_spark.versioned import (
+        commit,
+        current_version,
+        expire_snapshots,
+        read_version,
+    )
+
+    path = str(tmp_path / "vt_expire")
+    commit(spark.range(0, 5).toDF("id"), path)                      # v1
+    commit(spark.range(5, 8).toDF("id"), path)                      # v2 append
+    commit(spark.range(100, 103).toDF("id"), path, mode="overwrite")  # v3
+    commit(spark.range(200, 204).toDF("id"), path)                  # v4 append
+
+    before = sorted(r.id for r in read_version(spark, path, 4).collect())
+    summary = expire_snapshots(path, keep_last_n=2)
+    assert summary["kept_versions"] == [3, 4]
+    assert summary["expired_versions"] == [1, 2]
+    # v1/v2's generations are unreferenced by v3/v4 (overwrite cut them)
+    assert "data-v000001" in summary["deleted_dirs"]
+    assert "data-v000002" in summary["deleted_dirs"]
+    assert not os.path.exists(os.path.join(path, "data-v000001"))
+
+    # kept snapshots unchanged and still readable
+    assert sorted(r.id for r in read_version(spark, path, 4).collect()) == before
+    assert sorted(r.id for r in read_version(spark, path, 3).collect()) == [100, 101, 102]
+    # expired history is gone
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, path, 2).collect()
+    # version counter unaffected; a new commit continues the lineage
+    assert current_version(path) == 4
+    commit(spark.range(300, 301).toDF("id"), path)
+    assert current_version(path) == 5
+
+
+def test_expire_snapshots_never_touches_current(spark, tmp_path):
+    from trike_spark.versioned import commit, expire_snapshots, read_version
+
+    path = str(tmp_path / "vt_expire_min")
+    commit(spark.range(0, 3).toDF("id"), path)
+    summary = expire_snapshots(path, keep_last_n=0)  # clamped to 1
+    assert summary["kept_versions"] == [1]
+    assert sorted(r.id for r in read_version(spark, path).collect()) == [0, 1, 2]

@@ -160,3 +160,45 @@ def foreach_batch_committer(path: str):
         os.rename(tmp, mp)
 
     return _commit
+
+
+def expire_snapshots(path: str, keep_last_n: int = 2) -> dict:
+    """The VACUUM / expire_snapshots retention job the commit docstring
+    promises: drop manifests older than the newest ``keep_last_n``
+    versions and delete every ``data-v*`` directory no KEPT manifest
+    references. Time travel shrinks to the retention window; the current
+    snapshot is never touched (``keep_last_n`` is clamped to ≥ 1).
+
+    Ordering is the crash-safe one: expired MANIFESTS are removed first,
+    then the now-unreferenced data — a crash mid-way leaves either extra
+    (harmless, rerun) or orphaned-but-unreachable data, never a kept
+    manifest pointing at deleted files. Returns a summary dict
+    ``{kept_versions, expired_versions, deleted_dirs}``."""
+    import shutil
+
+    keep_last_n = max(1, keep_last_n)
+    cur = current_version(path)
+    if cur == 0:
+        return {"kept_versions": [], "expired_versions": [], "deleted_dirs": []}
+    cutoff = max(1, cur - keep_last_n + 1)
+    kept = list(range(cutoff, cur + 1))
+    expired = list(range(1, cutoff))
+
+    referenced: set[str] = set()
+    for v in kept:
+        with open(_manifest_path(path, v)) as f:
+            referenced.update(json.load(f)["data_dirs"])
+
+    for v in expired:
+        os.remove(_manifest_path(path, v))
+
+    deleted = []
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("data-v") and entry not in referenced:
+            shutil.rmtree(os.path.join(path, entry))
+            deleted.append(entry)
+    return {
+        "kept_versions": kept,
+        "expired_versions": expired,
+        "deleted_dirs": deleted,
+    }
