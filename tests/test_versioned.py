@@ -146,3 +146,52 @@ def test_expire_snapshots_never_touches_current(spark, tmp_path):
     summary = expire_snapshots(path, keep_last_n=0)  # clamped to 1
     assert summary["kept_versions"] == [1]
     assert sorted(r.id for r in read_version(spark, path).collect()) == [0, 1, 2]
+
+
+def test_delete_where_with_retention_is_full_erasure(spark, tmp_path):
+    """GDPR workflow: delete_where removes rows from the new version,
+    time travel still sees them (audit window), expire_snapshots then
+    erases the history — the two-step compliance story."""
+    from pyspark.sql import functions as F
+
+    from trike_spark.versioned import (
+        commit,
+        delete_where,
+        expire_snapshots,
+        read_version,
+    )
+
+    path = str(tmp_path / "vt_gdpr")
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")], "user_id int, name string"
+    )
+    commit(df, path)  # v1
+    v2 = delete_where(spark, path, F.col("user_id") == 2)
+    assert v2 == 2
+    assert sorted(r.user_id for r in read_version(spark, path).collect()) == [1, 3]
+    # audit window: pre-delete snapshot still has bob
+    assert sorted(r.user_id for r in read_version(spark, path, 1).collect()) == [1, 2, 3]
+    # retention expiry: history gone, bob's bytes deleted from disk
+    summary = expire_snapshots(path, keep_last_n=1)
+    assert summary["expired_versions"] == [1]
+    assert "data-v000001" in summary["deleted_dirs"]
+    assert sorted(r.user_id for r in read_version(spark, path).collect()) == [1, 3]
+
+
+def test_append_schema_contract(spark, tmp_path):
+    import pytest as _pytest
+
+    from trike_spark.versioned import commit, read_version
+
+    path = str(tmp_path / "vt_schema")
+    commit(spark.createDataFrame([(1, "a")], "id int, v string"), path)
+    # matching append is fine
+    commit(spark.createDataFrame([(2, "b")], "id int, v string"), path)
+    # divergent append is refused (would corrupt the parquet union)
+    with _pytest.raises(ValueError, match="append schema"):
+        commit(spark.createDataFrame([(3,)], "id int"), path)
+    # evolution routes through overwrite and updates the contract
+    commit(spark.createDataFrame([(4, "c", 1.5)], "id int, v string, w double"),
+           path, mode="overwrite")
+    commit(spark.createDataFrame([(5, "d", 2.5)], "id int, v string, w double"), path)
+    assert {r.id for r in read_version(spark, path).collect()} == {4, 5}

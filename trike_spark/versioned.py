@@ -57,6 +57,19 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     prev = current_version(path)
+    if mode == "append" and prev > 0:
+        # schema contract: an append must match the table's recorded
+        # schema EXACTLY — a silently-divergent parquet union corrupts
+        # every later read. Widening/renaming routes through
+        # mode="overwrite" (a new logical generation), mirroring how
+        # non-additive evolution works in scan_schema_evolution.
+        with open(_manifest_path(path, prev)) as f:
+            prev_schema = json.load(f).get("schema")
+        if prev_schema is not None and prev_schema != df.schema.json():
+            raise ValueError(
+                "append schema does not match table schema; use "
+                "mode='overwrite' for an evolution commit"
+            )
     version = prev + 1
     data_dir = os.path.join(path, f"data-v{version:06d}")
     df.write.mode("errorifexists").parquet(data_dir)
@@ -72,6 +85,7 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
         "parent": prev or None,
         "mode": mode,
         "data_dirs": dirs,
+        "schema": df.schema.json(),
         "committed_at": time.time(),
     }
     # single-file atomic publish: write sidecar, rename into place
@@ -202,3 +216,24 @@ def expire_snapshots(path: str, keep_last_n: int = 2) -> dict:
         "expired_versions": expired,
         "deleted_dirs": deleted,
     }
+
+
+def delete_where(spark: SparkSession, path: str, condition) -> int:
+    """Row-level delete (the GDPR right-to-be-forgotten primitive): commit
+    a new OVERWRITE snapshot containing the current snapshot minus rows
+    matching ``condition`` (a Column or SQL string). Like Delta's DELETE
+    this is copy-on-write — matching files are logically replaced, the new
+    version simply omits the rows; at scale you'd rewrite only the files
+    whose footer stats can contain matches (the manifest-stat pruning
+    noted as deliberately out of scope).
+
+    Erasure semantics: the rows vanish from the new version immediately,
+    but remain reachable via time travel until ``expire_snapshots``
+    retires the pre-delete versions — full compliance = delete_where +
+    retention window expiry, exactly the Delta VACUUM story. Returns the
+    new version number."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    cur = read_version(spark, path)
+    return commit(cur.filter(~cond), path, mode="overwrite")
