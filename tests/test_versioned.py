@@ -195,3 +195,29 @@ def test_append_schema_contract(spark, tmp_path):
            path, mode="overwrite")
     commit(spark.createDataFrame([(5, "d", 2.5)], "id int, v string, w double"), path)
     assert {r.id for r in read_version(spark, path).collect()} == {4, 5}
+
+
+def test_manifest_stats_prune_directories(spark, tmp_path):
+    """Three disjoint-range generations; a pruned read for one range must
+    plan only that generation's files (asserted via inputFiles) and still
+    return exactly the predicate's rows."""
+    from trike_spark.versioned import commit_with_stats, read_version_pruned
+
+    path = str(tmp_path / "vt_stats")
+    commit_with_stats(spark.range(0, 100).toDF("id"), path, ["id"])       # v1
+    commit_with_stats(spark.range(1000, 1100).toDF("id"), path, ["id"])   # v2
+    commit_with_stats(spark.range(2000, 2100).toDF("id"), path, ["id"])   # v3
+
+    pruned = read_version_pruned(spark, path, "id", 1010, 1020)
+    files = pruned.inputFiles()
+    assert files and all("data-v000002" in f for f in files), files
+    assert sorted(r.id for r in pruned.collect()) == list(range(1010, 1021))
+
+    # out-of-range predicate: zero directories, empty result, schema kept
+    none = read_version_pruned(spark, path, "id", 5000, 6000)
+    assert none.columns == ["id"] and none.count() == 0
+
+    # stats are an optimization, not a filter: overlapping range reads both
+    both = read_version_pruned(spark, path, "id", 50, 1050)
+    assert {d.split("data-v")[1][:6] for d in both.inputFiles()} == {"000001", "000002"}
+    assert both.count() == 50 + 51

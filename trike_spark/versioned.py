@@ -15,9 +15,11 @@ analytics needs:
 
 Not implemented (documented, deliberate): concurrent-writer conflict
 resolution (Iceberg's optimistic swap on the catalog pointer) — single
-writer is assumed, which matches a scheduled-pipeline deployment; and
-column-level manifest stats (parquet footers already carry min/max, see
-``write_zorder`` for making them tight).
+writer is assumed, which matches a scheduled-pipeline deployment.
+Column-level manifest stats ARE implemented (``commit_with_stats`` /
+``read_version_pruned``): manifest min/max prune whole data directories
+at planning time, parquet footers then prune row groups within the
+survivors (``write_zorder`` makes those tight).
 """
 
 from __future__ import annotations
@@ -237,3 +239,67 @@ def delete_where(spark: SparkSession, path: str, condition) -> int:
     cond = F.expr(condition) if isinstance(condition, str) else condition
     cur = read_version(spark, path)
     return commit(cur.filter(~cond), path, mode="overwrite")
+
+
+def commit_with_stats(
+    df: DataFrame, path: str, stats_cols: list[str], mode: str = "append"
+) -> int:
+    """Commit plus Iceberg-style manifest column stats: per data
+    directory, min/max for ``stats_cols`` are computed (one small agg
+    over the just-written data) and recorded in the manifest, enabling
+    :func:`read_version_pruned` to skip whole generations without opening
+    a single parquet footer. At 100 TB this is the planning-time layer
+    ABOVE parquet row-group stats: manifest stats prune directories,
+    footers then prune row groups within the survivors."""
+    from pyspark.sql import functions as F
+
+    version = commit(df, path, mode=mode)
+    spark = df.sparkSession
+    data_dir = os.path.join(path, f"data-v{version:06d}")
+    written = spark.read.parquet(data_dir)
+    row = written.agg(
+        *[F.min(c).alias(f"min_{c}") for c in stats_cols],
+        *[F.max(c).alias(f"max_{c}") for c in stats_cols],
+    ).collect()[0]
+    stats = {c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols}
+    mp = _manifest_path(path, version)
+    with open(mp) as f:
+        manifest = json.load(f)
+    manifest["dir_stats"] = {f"data-v{version:06d}": stats}
+    if manifest["mode"] == "append" and manifest["parent"]:
+        with open(_manifest_path(path, manifest["parent"])) as f:
+            parent_stats = json.load(f).get("dir_stats", {})
+        manifest["dir_stats"] = {**parent_stats, **manifest["dir_stats"]}
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, mp)
+    return version
+
+
+def read_version_pruned(
+    spark: SparkSession, path: str, col: str, lo, hi, version: int | None = None
+) -> DataFrame:
+    """Snapshot read that consults manifest stats to skip data
+    directories whose [min, max] for ``col`` cannot intersect [lo, hi].
+    Directories without recorded stats are conservatively read. The
+    predicate itself is still applied — pruning is an optimization, never
+    a semantic filter."""
+    from pyspark.sql import functions as F
+
+    v = version if version is not None else current_version(path)
+    if v < 1:
+        raise FileNotFoundError(f"no committed version at {path}")
+    with open(_manifest_path(path, v)) as f:
+        manifest = json.load(f)
+    dir_stats = manifest.get("dir_stats", {})
+    keep = []
+    for d in manifest["data_dirs"]:
+        st = dir_stats.get(d, {}).get(col)
+        if st is None or not (st[1] < lo or st[0] > hi):
+            keep.append(os.path.join(path, d))
+    if not keep:
+        # empty result with the right schema: read one dir's schema lazily
+        any_dir = os.path.join(path, manifest["data_dirs"][0])
+        return spark.read.parquet(any_dir).filter(F.lit(False))
+    return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
