@@ -1189,3 +1189,74 @@ def dedup_substring_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+# --- LSH candidate-set evaluation (measure-before-you-switch) ---------------
+
+
+def _sql_lsh_pairs() -> str:
+    from trike_spark.registry import REGISTRY
+
+    return REGISTRY["dedup_minhash_lsh_pairs"].oracle
+
+
+def _sql_jaccard_truth() -> str:
+    from trike_spark.registry import REGISTRY
+
+    return REGISTRY["dedup_ngram_jaccard_pairs"].oracle
+
+
+@register(
+    "dedup_lsh_eval",
+    f"""
+    WITH truth AS (
+      SELECT doc_a, doc_b FROM ({_sql_jaccard_truth()})),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM ({_sql_lsh_pairs()})),
+    hit AS (
+      SELECT t.doc_a FROM truth t
+      JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM hit) AS n_hit,
+           ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth), 6) AS recall,
+           ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM cand), 6) AS precision
+    """,
+    doc=(
+        "Dedup-path evaluation: recall/precision of the MinHash-LSH "
+        "candidate set against the exact Jaccard >= 0.3 truth pairs — the "
+        "gate that justifies running LSH instead of the exact shingle join."
+    ),
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup analog of the ANN recall faces: before trusting the
+    sub-quadratic path at 100 TB, measure what its candidate generation
+    misses (recall: true near-dup pairs with no colliding band — these
+    survive dedup as duplicates) and what it over-generates (precision:
+    collisions below the threshold — wasted verification work, the term
+    that sizes the verify stage). Composes the two audited faces
+    unchanged; the comparison itself is one pair-keyed join of two
+    already-small pair sets plus scalar counts. Banding theory predicts
+    recall ≈ 1-(1-s^r)^b per pair similarity s — this face is the
+    empirical check of that curve on the real corpus."""
+    truth = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6).alias("recall"),
+            F.round(F.col("n_hit").cast("double") / F.col("n_candidates"), 6).alias(
+                "precision"
+            ),
+        )
+    )
