@@ -69,3 +69,52 @@ def test_overwrite_on_base_forces_resync(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="overwrite"):
         maintain_join_view(spark, pa, pb, ["k"], pv, state)
+
+
+def test_agg_view_merge_on_read_equals_full_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trike_spark.operators.incremental_join import (
+        compact_agg_view,
+        maintain_agg_view,
+        read_agg_view,
+    )
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "aggv")
+
+    def full():
+        return sorted(
+            tuple(r)
+            for r in versioned.read_version(spark, base)
+            .groupBy("k")
+            .agg(F.sum("x").alias("sum_x"), F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        )
+
+    def view_rows():
+        return sorted(
+            tuple(r) for r in read_agg_view(spark, view, ["k"], ["x"]).collect()
+        )
+
+    versioned.commit(
+        spark.createDataFrame([(1, 10), (1, 5), (2, 7)], "k int, x bigint"), base
+    )
+    state = maintain_agg_view(spark, base, ["k"], ["x"], view)
+    assert view_rows() == full() == [(1, 15, 2), (2, 7, 1)]
+
+    versioned.commit(
+        spark.createDataFrame([(1, 1), (3, 30)], "k int, x bigint"), base
+    )
+    state = maintain_agg_view(spark, base, ["k"], ["x"], view, state)
+    assert view_rows() == full() == [(1, 16, 3), (2, 7, 1), (3, 30, 1)]
+
+    # compaction: results identical, segment count collapses to one
+    n_segments_before = len(versioned.read_version(spark, view).inputFiles())
+    compact_agg_view(spark, view, ["k"], ["x"])
+    assert view_rows() == full()
+    assert len(versioned.read_version(spark, view).inputFiles()) <= n_segments_before
+
+    # post-compaction ticks keep working
+    versioned.commit(spark.createDataFrame([(2, 3)], "k int, x bigint"), base)
+    state = maintain_agg_view(spark, base, ["k"], ["x"], view, state)
+    assert view_rows() == full()

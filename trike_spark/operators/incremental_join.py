@@ -85,3 +85,64 @@ def maintain_join_view(
     if delta is not None:
         versioned.commit(delta, view_path, mode="append")
     return {"a": hw_a, "b": hw_b}
+
+
+# --- incremental aggregate maintenance (merge-on-read rollup) ---------------
+#
+# The aggregate counterpart of the delta join, using the segment design
+# OLAP stores (Druid/Pinot) and Iceberg merge-on-read deletes share:
+# each tick APPENDS the delta's partial aggregates (a monoid: SUM/COUNT
+# partials per key), readers merge partials at query time (one small
+# groupBy over segment rows, not base rows), and a compaction tick
+# squashes the partial history into one segment via an overwrite commit.
+# Correctness needs only that the aggregate is a commutative monoid —
+# the same property Spark's own partial aggregation relies on.
+
+
+def maintain_agg_view(
+    spark: SparkSession,
+    base_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    view_path: str,
+    state: dict | None = None,
+) -> dict:
+    """One tick: append the NEW base rows' partial (key → SUM(col)..,
+    COUNT(*)) segment to the view. Work ∝ the delta."""
+    from pyspark.sql import functions as F
+
+    st = dict(state or {"base": 0})
+    delta, hw = versioned.read_incremental(spark, base_path, st["base"])
+    if delta is not None:
+        seg = delta.groupBy(*keys).agg(
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        versioned.commit(seg, view_path, mode="append")
+    return {"base": hw}
+
+
+def read_agg_view(
+    spark: SparkSession, view_path: str, keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Merge-on-read: fold all partial segments into final aggregates —
+    a groupBy over segment rows (≈ keys × ticks), never the base table."""
+    from pyspark.sql import functions as F
+
+    segs = versioned.read_version(spark, view_path)
+    return segs.groupBy(*keys).agg(
+        *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def compact_agg_view(
+    spark: SparkSession, view_path: str, keys: list[str], sum_cols: list[str]
+) -> int:
+    """Squash the partial-segment history into one segment (overwrite
+    commit). Readers before/after see identical merged results; the
+    read-time fold shrinks from O(ticks) segments to one. Note this is an
+    overwrite, so incremental CONSUMERS of the view must resync — the
+    same contract as any compaction."""
+    merged = read_agg_view(spark, view_path, keys, sum_cols)
+    return versioned.commit(merged, view_path, mode="overwrite")

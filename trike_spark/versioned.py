@@ -37,6 +37,13 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
 
 
+def _schema_key(schema_json: str) -> list[tuple[str, str]]:
+    """(name, type) pairs with nullability stripped — the part of a schema
+    a parquet union actually cares about."""
+    fields = json.loads(schema_json)["fields"]
+    return [(f["name"], json.dumps(f["type"], sort_keys=True)) for f in fields]
+
+
 def current_version(path: str) -> int:
     """Highest committed version, or 0 if the table doesn't exist yet."""
     mdir = os.path.join(path, _MANIFEST_DIR)
@@ -61,13 +68,17 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
     prev = current_version(path)
     if mode == "append" and prev > 0:
         # schema contract: an append must match the table's recorded
-        # schema EXACTLY — a silently-divergent parquet union corrupts
-        # every later read. Widening/renaming routes through
-        # mode="overwrite" (a new logical generation), mirroring how
-        # non-additive evolution works in scan_schema_evolution.
+        # column names and types — a silently-divergent parquet union
+        # corrupts every later read. Nullability is deliberately NOT part
+        # of the contract (parquet unions are insensitive to it, and the
+        # same aggregate flips nullable across plan shapes). Widening or
+        # renaming routes through mode="overwrite" (a new logical
+        # generation), mirroring non-additive scan_schema_evolution.
         with open(_manifest_path(path, prev)) as f:
             prev_schema = json.load(f).get("schema")
-        if prev_schema is not None and prev_schema != df.schema.json():
+        if prev_schema is not None and _schema_key(prev_schema) != _schema_key(
+            df.schema.json()
+        ):
             raise ValueError(
                 "append schema does not match table schema; use "
                 "mode='overwrite' for an evolution commit"
