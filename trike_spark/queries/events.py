@@ -1041,3 +1041,83 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("purchase_id")
     )
+
+
+# --- incremental join-view face (IVM under the oracle gate) ------------------
+
+
+@register(
+    "events_incremental_join_view",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, value FROM events
+      WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, COUNT(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id)
+    SELECT p.user_id, COUNT(*) AS n_purchases,
+           CAST(ROUND(SUM(CAST(p.value AS DECIMAL(38,4))), 4) AS DOUBLE)
+             AS purchase_value,
+           MAX(c.n_clicks) AS n_clicks
+    FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+    """,
+    doc=(
+        "Materialized join view built INCREMENTALLY (two delta-join "
+        "maintenance ticks over versioned snapshots) then aggregated — "
+        "the oracle computes the same view from scratch, proving the "
+        "delta-join identity end-to-end under the hash gate."
+    ),
+)
+def events_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM under the driver's hash gate, not just pytest: purchases and a
+    per-user click-count dim are committed to versioned tables in TWO
+    increments each (split on event-id parity — deterministic), the join
+    view is maintained tick by tick via the delta-join identity
+    (Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB), and the face returns the final
+    aggregated view. The oracle recomputes the join from scratch — any
+    miss or double-count in the incremental path breaks the hash. Scale
+    claim being proven: each tick's cost is delta-sized, yet the
+    materialized result is indistinguishable from the full recompute."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from trike_spark import versioned
+    from trike_spark.operators.incremental_join import maintain_join_view
+    from trike_spark.queries._util import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    root = _os.path.join(
+        _tempfile.gettempdir(),
+        f"trike_ivm_{spark.sparkContext.applicationId}",
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    pa_, pb_, pv_ = (_os.path.join(root, d) for d in ("purchases", "clicks", "view"))
+
+    versioned.commit(purchases.filter(F.col("event_id") % 2 == 0), pa_)
+    versioned.commit(clicks.filter(F.col("user_id") % 2 == 0), pb_)
+    state = maintain_join_view(spark, pa_, pb_, ["user_id"], pv_)
+    versioned.commit(purchases.filter(F.col("event_id") % 2 == 1), pa_)
+    versioned.commit(clicks.filter(F.col("user_id") % 2 == 1), pb_)
+    maintain_join_view(spark, pa_, pb_, ["user_id"], pv_, state)
+
+    view = versioned.read_version(spark, pv_)
+    return (
+        view.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value", 4).alias("purchase_value"),
+            F.max("n_clicks").alias("n_clicks"),
+        )
+        .orderBy("user_id")
+    )

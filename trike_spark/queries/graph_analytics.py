@@ -384,3 +384,89 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closure"),
         )
     )
+
+
+# --- label propagation (community detection) ---------------------------------
+
+LPA_ITERS = 3
+
+
+def _sql_lpa_iter(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT dst AS node, label FROM (
+        SELECT e.dst, p.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, p.label) AS rn
+        FROM edges e JOIN {prev} p ON p.node = e.src
+        GROUP BY e.dst, p.label)
+      WHERE rn = 1)
+    """
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH {_sql_edges()},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    {','.join(_sql_lpa_iter(f'l{i}', f'l{i + 1}') for i in range(LPA_ITERS))}
+    SELECT label, COUNT(*) AS n_members
+    FROM l{LPA_ITERS}
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc=(
+        f"Synchronous label propagation ({LPA_ITERS} rounds, majority "
+        "vote with min-label tie-break) over the customer-supplier "
+        "purchase graph: community label -> member count."
+    ),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by label propagation (Raghavan et al. 2007),
+    made deterministic for the hash gate: SYNCHRONOUS updates (every
+    round reads only the previous round's labels — asynchronous LPA is
+    schedule-dependent) and ties in the neighbor-majority vote break to
+    the lexicographically smallest label. Same distributed skeleton as
+    PageRank: per round ONE join (labels onto edge sources) + one
+    (dst, label) count + one per-dst top-1 window — state is O(V) label
+    pairs, never adjacency lists; edges computed once, checkpointed,
+    reused by all rounds. Bounded rounds (3) rather than
+    convergence-looped: LPA oscillates on bipartite structure (this
+    purchase graph IS bipartite), so production runs fix the round budget
+    — exactly what the unrolled oracle verifies."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
+        e0.select(snode.alias("src"), cnode.alias("dst"))
+    )
+    edges = cache.checkpoint(edges)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(LPA_ITERS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("label")
+    )
