@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from trike_spark.io import load_table
-from trike_spark.queries._util import davg, dsum, mdec, sql_davg, sql_dsum
+from trike_spark.queries._util import davg, dec, dsum, mdec, sql_davg, sql_dsum
 from trike_spark.registry import register
 
 
@@ -385,4 +385,47 @@ def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_srev"), 2).cast("double").alias("revenue"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_weighted_avg_exact",
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(l_discount AS DECIMAL(18,4)))
+             / SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 6)
+           AS DOUBLE) AS wavg_discount,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,4))), 2)
+                AS DOUBLE) AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc=(
+        "Exact weighted average (revenue-weighted discount): two exact "
+        "decimal sums folded order-independently, ONE pinned division at "
+        "the end — never a sum of per-row ratios."
+    ),
+)
+def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted averages done right for distributed exactness: both the
+    numerator Σ(w·x) and denominator Σw accumulate in exact DECIMAL
+    (order-independent under any partitioning/AQE re-plan), and the
+    division happens ONCE on the two exact totals. The tempting per-row
+    formulation avg(x, weight=w) as sum(x·w/W) needs the global W first
+    (two passes) or floats (order-dependent); this shape is one pass, one
+    shuffle, hash-exact. The decimal quotient is rounded then cast —
+    identical bits in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num = F.sum(mdec("l_extendedprice") * mdec("l_discount"))
+    den = F.sum(mdec("l_extendedprice"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(num / den, 6).cast("double").alias("wavg_discount"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("total_price"),
+        )
+        .orderBy("l_returnflag")
     )
