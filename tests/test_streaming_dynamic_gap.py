@@ -118,3 +118,80 @@ def test_streaming_dynamic_gap_twin_matches_batch(spark, tmp_path):
         assert {tuple(r) for r in rows} == batch
     finally:
         q.stop()
+
+
+def test_append_mode_finalizes_sessions_after_watermark(spark, tmp_path):
+    """Production session semantics: in APPEND mode a session row may only
+    emit once the watermark proves no more events can join it — held while
+    open, emitted exactly once when closed, state purged. Complete mode
+    (above) never exercises this path."""
+    src = tmp_path / "dyn_src2"
+    src.mkdir()
+
+    def write(name, events):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([e[0] for e in events], pa.int64()),
+                    "ts": pa.array([e[1] for e in events], pa.timestamp("us")),
+                    "user_id": pa.array([e[2] for e in events], pa.int64()),
+                    "event_type": pa.array([e[3] for e in events], pa.string()),
+                    "value": pa.array([e[4] for e in events], pa.float64()),
+                    "props": pa.array(["{}"] * len(events), pa.string()),
+                }
+            ),
+            str(src / name),
+        )
+
+    write("b1.parquet", [(1, T0, 1, "click", 1.0), (2, T0 + 5 * MIN, 1, "view", 2.0)])
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    sessions = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("s"), "n_events")
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("dyn_gap_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_append"))
+        .start()
+    )
+    try:
+        # phase 1: session still open (watermark at T0+5min-5min) → no rows
+        deadline = time.time() + 30
+        while time.time() < deadline and q.status["isDataAvailable"]:
+            time.sleep(1)
+        assert spark.table("dyn_gap_append").collect() == []
+
+        # phase 2: a far-future event closes user 1's session
+        write("b2.parquet", [(9, T0 + 120 * MIN, 2, "click", 0.0)])
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            rows = spark.table("dyn_gap_append").collect()
+            if rows:
+                break
+            time.sleep(1)
+        finalized = [(r.user_id, r.n_events) for r in rows]
+        assert finalized == [(1, 2)], rows  # exactly once, fully merged
+    finally:
+        q.stop()
