@@ -39,6 +39,8 @@ SENSITIVE = [
     "curation_dp_count_release",  # float inverse-CDF over md5 draw
     "dedup_substring_spans",  # gaps-and-islands over hash matches
     "agg_salted_two_stage",  # explicit two-stage decimal merge
+    "text_js_divergence_langs",  # double entropy sums over pair mixtures
+    "sketch_bloom_fpr_curve",  # measured-vs-theory float division
 ]
 
 

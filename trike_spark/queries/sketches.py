@@ -588,3 +588,94 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_intersection"
         ),
     )
+
+
+# --- Bloom filter: measured vs theoretical false-positive rate ---------------
+
+
+@register(
+    "sketch_bloom_fpr_curve",
+    f"""
+    WITH members AS (
+      SELECT md5(text) AS fp FROM documents WHERE lang = 'en'),
+    mh AS (SELECT {_sql_h60('fp')} AS hh FROM members),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {' UNION ALL '.join(f'SELECT {_sql_bloom_pos("hh", k)} AS pos FROM mh' for k in range(BLOOM_K))})),
+    probes AS (
+      SELECT doc_id, {_sql_h60('md5(text)')} AS hh
+      FROM documents WHERE lang <> 'en'),
+    hit_rows AS (
+      {' UNION ALL '.join(
+          f'SELECT p.doc_id FROM probes p JOIN bits ON bits.pos = {_sql_bloom_pos("p.hh", k)}'
+          for k in range(BLOOM_K)
+      )}),
+    fp AS (
+      SELECT COUNT(*) AS n_fp FROM (
+        SELECT doc_id FROM hit_rows GROUP BY doc_id
+        HAVING COUNT(*) = {BLOOM_K})),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM bits) AS bits_set,
+             (SELECT COUNT(*) FROM probes) AS n_probes,
+             (SELECT n_fp FROM fp) AS n_fp)
+    SELECT bits_set, n_probes, n_fp,
+           ROUND(CAST(n_fp AS DOUBLE) / n_probes, 6) AS measured_fpr,
+           ROUND((CAST(bits_set AS DOUBLE) / {BLOOM_M})
+                 * (CAST(bits_set AS DOUBLE) / {BLOOM_M})
+                 * (CAST(bits_set AS DOUBLE) / {BLOOM_M}), 6) AS theoretical_fpr
+    FROM stats
+    """,
+    doc=(
+        f"Bloom-filter calibration: measured false-positive rate on "
+        f"non-member probes vs the (bits_set/{BLOOM_M})^{BLOOM_K} theory "
+        "— both hash-pinned."
+    ),
+)
+def sketch_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibration gate for every Bloom deployment (the runtime-filter
+    join, the decontamination prefilter): does the measured FPR match the
+    load-factor theory? bits_set and the false-positive count are exact
+    integers; the theoretical (bits_set/M)^k uses explicit repeated
+    multiplication of an exactly-representable dyadic ratio (M = {BLOOM_M}
+    = 2^9), so even the 'theory' column is bit-identical cross-engine.
+    A measured rate far above theory means correlated keys (hash family
+    too weak); far below means the filter is oversized — both are sizing
+    actions. Same broadcast-bitset scale shape as the membership face."""
+    d_tbl = load_table(spark, sf_dir, "documents")
+    mh = d_tbl.filter(F.col("lang") == "en").select(_h60(F.md5("text")).alias("hh"))
+    bits = None
+    for k in range(BLOOM_K):
+        bk = mh.select(_bloom_pos(F.col("hh"), k).alias("pos"))
+        bits = bk if bits is None else bits.unionByName(bk)
+    bits = bits.distinct()
+    probes = d_tbl.filter(F.col("lang") != "en").select(
+        "doc_id", _h60(F.md5("text")).alias("hh")
+    )
+    hit_rows = None
+    for k in range(BLOOM_K):
+        hk = probes.join(
+            bits, _bloom_pos(F.col("hh"), k) == F.col("pos"), "inner"
+        ).select("doc_id")
+        hit_rows = hk if hit_rows is None else hit_rows.unionByName(hk)
+    fp = (
+        hit_rows.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == BLOOM_K)
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    nbits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    nprobes = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    ratio = F.col("bits_set").cast("double") / BLOOM_M
+    return (
+        nbits.crossJoin(F.broadcast(nprobes))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            "bits_set",
+            "n_probes",
+            "n_fp",
+            F.round(F.col("n_fp").cast("double") / F.col("n_probes"), 6).alias(
+                "measured_fpr"
+            ),
+            F.round(ratio * ratio * ratio, 6).alias("theoretical_fpr"),
+        )
+    )

@@ -1116,3 +1116,92 @@ def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("rule_order")
+
+
+# --- Jensen-Shannon divergence between language unigram profiles -------------
+
+
+@register(
+    "text_js_divergence_langs",
+    """
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+    c AS (SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    n AS (SELECT lang, SUM(c) AS n FROM c GROUP BY 1),
+    p AS (SELECT c.lang, c.t, CAST(c.c AS DOUBLE) / n.n AS p
+          FROM c JOIN n ON n.lang = c.lang),
+    hl AS (SELECT lang, -SUM(p * LOG2(p)) AS h FROM p GROUP BY lang),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b
+      FROM (SELECT DISTINCT lang FROM c) a
+      JOIN (SELECT DISTINCT lang FROM c) b ON a.lang < b.lang),
+    m AS (
+      SELECT pr.lang_a, pr.lang_b, p.t, SUM(p.p) / 2 AS m
+      FROM pairs pr JOIN p ON p.lang IN (pr.lang_a, pr.lang_b)
+      GROUP BY 1, 2, 3),
+    hm AS (SELECT lang_a, lang_b, -SUM(m * LOG2(m)) AS h_m
+           FROM m GROUP BY 1, 2)
+    SELECT hm.lang_a, hm.lang_b,
+           ROUND(hm.h_m - (ha.h + hb.h) / 2, 6) AS js_divergence
+    FROM hm
+    JOIN hl ha ON ha.lang = hm.lang_a
+    JOIN hl hb ON hb.lang = hm.lang_b
+    ORDER BY lang_a, lang_b
+    """,
+    doc=(
+        "Jensen-Shannon divergence between every language pair's unigram "
+        "distribution (JS = H(M) - (H(P)+H(Q))/2, base-2, bounded by 1) — "
+        "the corpus-drift / domain-shift diagnostic."
+    ),
+)
+def text_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution distance between corpus slices — THE diagnostic for
+    'did this source/language/crawl-batch shift?' (data-mixture work
+    compares slice token distributions exactly this way). Uses the
+    entropy identity JS(P,Q) = H((P+Q)/2) − (H(P)+H(Q))/2, which needs no
+    full-outer token alignment: the mixture's support is the UNION of
+    supports by construction of the sum. Shapes: one token count (map-
+    side combined), per-language entropies over exact counts, and the
+    pair mixture built by replicating each language's distribution to its
+    |langs|−1 pairs via a broadcast pair list — rows ∝ vocab · pairs,
+    never corpus tokens. Output is |langs|·(|langs|−1)/2 rows."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(_tokens()).alias("t"))
+    c = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("lang").agg(F.sum("c").alias("n"))
+    p = c.join(n, "lang").select(
+        "lang", "t", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    hl = p.groupBy("lang").agg((-F.sum(F.col("p") * F.log2("p"))).alias("h"))
+    langs = c.select("lang").distinct()
+    pairs = (
+        langs.alias("a")
+        .crossJoin(broadcast(langs.alias("b")))
+        .filter(F.col("a.lang") < F.col("b.lang"))
+        .select(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+    )
+    m = (
+        p.crossJoin(broadcast(pairs))
+        .filter((F.col("lang") == F.col("lang_a")) | (F.col("lang") == F.col("lang_b")))
+        .groupBy("lang_a", "lang_b", "t")
+        .agg((F.sum("p") / 2).alias("m"))
+    )
+    hm = m.groupBy("lang_a", "lang_b").agg(
+        (-F.sum(F.col("m") * F.log2("m"))).alias("h_m")
+    )
+    ha = hl.select(F.col("lang").alias("lang_a"), F.col("h").alias("h_a"))
+    hb = hl.select(F.col("lang").alias("lang_b"), F.col("h").alias("h_b"))
+    return (
+        hm.join(broadcast(ha), "lang_a")
+        .join(broadcast(hb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.round(F.col("h_m") - (F.col("h_a") + F.col("h_b")) / 2, 6).alias(
+                "js_divergence"
+            ),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
