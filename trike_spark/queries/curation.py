@@ -29,7 +29,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trike_spark.io import load_table
-from trike_spark.queries.dedup import _sql_h60, _SQL_TRIGRAMS, _h60, _trigrams
+from trike_spark.queries.dedup import (
+    _SQL_JACCARD_PAIRS,
+    _SQL_TRIGRAMS,
+    _h60,
+    _sql_h60,
+    _trigrams,
+)
 from trike_spark.registry import register
 
 PACK_BUDGET = 512  # tokens per packed sequence bin
@@ -741,3 +747,158 @@ def curation_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("c_mktsegment").alias("mktsegment"),
         band.alias("bal_band"),
     ).orderBy("pseudo_id")
+
+
+# --- split-leakage measurement + cluster-safe split --------------------------
+#
+# The doc-level train/val/test split above is replay-stable but NOT
+# leakage-safe: two near-duplicate documents can land in different splits,
+# contaminating eval. These two faces are the measurement and the fix:
+#   * split_leakage_report — count near-dup pairs (exact n-gram Jaccard
+#     >= 0.3, same pair set as dedup_ngram_jaccard_pairs) that straddle the
+#     naive doc-keyed split. Off-diagonal rows ARE the leakage.
+#   * split_cluster_safe — key the draw on the near-dup CLUSTER label
+#     (connected components over the pair graph) instead of the doc_id, so
+#     a whole near-dup cluster moves as one unit and cross-split pairs are
+#     provably zero; the face carries the (re-computed, not assumed)
+#     cross_split_pairs column as the proof.
+#
+# 100 TB posture: both reuse the bounded pair pipeline (60-bit shingle
+# keys, DF hot-key guard) and the O(log^2 n) star-CC operator; the split
+# assignment itself is a narrow map keyed on the group label, and the
+# leak-count join carries (doc_id, split) pairs only.
+
+_SQL_SPLIT_CASE_DOC = (
+    f"CASE WHEN {_sql_draw('doc_id')} < 80 THEN 'train' "
+    f"WHEN {_sql_draw('doc_id')} < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+def _split_col(c: Column) -> Column:
+    draw = _draw(c)
+    return F.when(draw < 80, "train").when(draw < 90, "val").otherwise("test")
+
+
+@register(
+    "curation_split_leakage_report",
+    _SQL_JACCARD_PAIRS
+    + f""",
+    asg AS (SELECT doc_id, {_SQL_SPLIT_CASE_DOC} AS split FROM documents)
+    SELECT a.split AS split_a, b.split AS split_b, COUNT(*) AS n_pairs,
+           a.split <> b.split AS leaking
+    FROM pairs p JOIN asg a ON p.doc_a = a.doc_id
+                 JOIN asg b ON p.doc_b = b.doc_id
+    GROUP BY a.split, b.split
+    """,
+    doc=(
+        "Eval-leakage audit: near-dup pairs (Jaccard >= 0.3) that straddle "
+        "the naive doc-keyed train/val/test split."
+    ),
+)
+def curation_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measures what the doc-keyed split leaks. The pair set is the exact
+    Jaccard pipeline (dedup_ngram_jaccard_pairs — shared shape, same
+    oracle fragment); the split side is a narrow (doc_id, split) map, so
+    the only added shuffle is the pairs⨝assignment hash join on doc ids."""
+    from trike_spark.queries.dedup import dedup_ngram_jaccard_pairs
+
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    asg = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _split_col(F.col("doc_id")).alias("split")
+    )
+    a = asg.alias("a")
+    b = asg.alias("b")
+    return (
+        pairs.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("leaking"),
+        )
+    )
+
+
+@register(
+    "curation_split_cluster_safe",
+    _SQL_JACCARD_PAIRS
+    + f""",
+    nodes AS (SELECT DISTINCT doc FROM
+              (SELECT doc_a AS doc FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(doc, lbl) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.doc)
+      SELECT doc, MIN(lbl) AS canonical_id FROM r GROUP BY doc),
+    asg AS (
+      SELECT d.doc_id,
+             COALESCE(r.canonical_id, d.doc_id) AS group_id,
+             CASE WHEN {_sql_draw('COALESCE(r.canonical_id, d.doc_id)')} < 80 THEN 'train'
+                  WHEN {_sql_draw('COALESCE(r.canonical_id, d.doc_id)')} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN reach r ON d.doc_id = r.doc),
+    leak AS (SELECT COUNT(*) AS cross_split_pairs
+             FROM pairs p JOIN asg a ON p.doc_a = a.doc_id
+                          JOIN asg b ON p.doc_b = b.doc_id
+             WHERE a.split <> b.split)
+    SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT group_id) AS n_groups,
+           cross_split_pairs
+    FROM asg CROSS JOIN leak
+    GROUP BY split, cross_split_pairs
+    """,
+    doc=(
+        "Leakage-safe train/val/test split keyed on the near-dup cluster "
+        "label; cross_split_pairs is re-counted (not assumed) and must be 0."
+    ),
+)
+def curation_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fix for what split_leakage_report measures: the md5 draw is
+    keyed on the connected-component label of the near-dup graph (star-CC,
+    operators/graph.py), so every near-dup cluster lands in ONE split.
+    Singleton docs (no near-dup edge) use their own doc_id as the group
+    key — same distribution, no join fan-out. The face re-counts
+    cross-split pairs as its own proof column instead of asserting zero.
+    """
+    from trike_spark import cache
+    from trike_spark.operators.graph import connected_components_star
+    from trike_spark.queries.dedup import dedup_ngram_jaccard_pairs
+
+    pairs = cache.checkpoint(
+        dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    group = F.coalesce(F.col("lbl"), F.col("doc_id")).alias("group_id")
+    # assigned is consumed by three plan branches (summary + both sides of
+    # the leak join); checkpoint so the CC labels aren't derived thrice.
+    asg = cache.checkpoint(
+        d.join(labels, d["doc_id"] == labels["node"], "left")
+        .select("doc_id", group)
+        .select("doc_id", "group_id", _split_col(F.col("group_id")).alias("split"))
+    )
+    a = asg.alias("a")
+    b = asg.alias("b")
+    leak = (
+        pairs.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .filter(F.col("a.split") != F.col("b.split"))
+        .agg(F.count(F.lit(1)).alias("cross_split_pairs"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        asg.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("group_id").alias("n_groups"),
+        )
+        .crossJoin(broadcast(leak))
+    )

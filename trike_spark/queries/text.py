@@ -1205,3 +1205,88 @@ def text_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# --- BM25 retrieval -----------------------------------------------------------
+
+# Fixed query-term set (high-DF synthetic-vocab terms so every SF has hits).
+BM25_QUERY = ("hash", "join", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           WHERE token IN ({_BM25_IN}) GROUP BY doc_id, token),
+    idf AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+            WHERE token IN ({_BM25_IN}) GROUP BY token),
+    term AS (
+      SELECT tf.doc_id,
+             ROUND(LN(1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+                   * ((tf.tf * {BM25_K1 + 1.0}) /
+                      (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * (dl.dl / stats.avgdl)))),
+                   6) AS s
+      FROM tf JOIN idf ON tf.token = idf.token
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats)
+    SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+    FROM term GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    doc=(
+        f"BM25 retrieval (k1={BM25_K1}, b={BM25_B}): top-{BM25_TOPK} documents "
+        f"for the fixed query {BM25_QUERY}."
+    ),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 over the corpus for a fixed |Q|=3 query.
+
+    Scale shape: the token array is FILTERED to query terms before explode,
+    so the exploded stream carries only matching tokens (|Q|/|V| of the
+    corpus) — the tf shuffle is proportional to hit count, not corpus
+    size. df (|Q| rows) and the one-row (N, avgdl) stats are broadcast, so
+    scoring is a narrow map over the tf stream; the final top-k is
+    TakeOrderedAndProject (per-partition heap + driver merge, no global
+    sort). Per-term scores are rounded then summed in exact DECIMAL so the
+    ≤|Q|-element fold is order-independent (driver hash contract,
+    queries/_util.py).
+    """
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(_tokens()).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum(F.size(_tokens())).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qlit = F.array(*[F.lit(t) for t in BM25_QUERY])
+    hits = d.select(
+        "doc_id",
+        F.explode(F.filter(_tokens(), lambda t: F.array_contains(qlit, t))).alias("token"),
+    )
+    tf = hits.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    idf = hits.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    norm = F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+    idf_part = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (F.col("tf") + F.lit(BM25_K1) * norm)
+    term = (
+        tf.join(broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select("doc_id", F.round(idf_part * tf_part, 6).alias("s"))
+    )
+    return (
+        term.groupBy("doc_id")
+        .agg(F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
