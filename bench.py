@@ -73,6 +73,9 @@ HEADLINE = [
     "join_interval_binned",
     "sim_pq_rerank_topk",
     "events_sessionization_dynamic_gap",
+    # round-4 session-3 additions
+    "text_bm25_topk",
+    "curation_split_cluster_safe",
 ]
 
 
