@@ -902,3 +902,96 @@ def curation_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(broadcast(leak))
     )
+
+
+# --- DSIR-style importance selection -----------------------------------------
+
+DSIR_TARGET_LANG = "en"
+DSIR_TOPK = 25
+
+
+@register(
+    "curation_dsir_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    raw_c AS (SELECT t, COUNT(*) AS c_raw FROM tok GROUP BY t),
+    tgt_c AS (SELECT t, COUNT(*) AS c_tgt FROM tok
+              WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY t),
+    vocab AS (SELECT r.t, r.c_raw, COALESCE(g.c_tgt, 0) AS c_tgt
+              FROM raw_c r LEFT JOIN tgt_c g ON r.t = g.t),
+    tot AS (SELECT CAST(SUM(c_raw) AS DOUBLE) AS n_raw,
+                   CAST(SUM(c_tgt) AS DOUBLE) AS n_tgt,
+                   CAST(COUNT(*) AS DOUBLE) AS v
+            FROM vocab),
+    lr AS (SELECT t,
+                  ROUND(LN(((c_tgt + 1.0) / (n_tgt + v)) /
+                           ((c_raw + 1.0) / (n_raw + v))), 6) AS llr
+           FROM vocab CROSS JOIN tot),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(SUM(CAST(lr.llr AS DECIMAL(18,6))) AS DOUBLE) AS sum_llr,
+             COUNT(*) AS n_tokens
+      FROM tok JOIN lr ON tok.t = lr.t GROUP BY tok.doc_id)
+    SELECT doc_id, ROUND(sum_llr / n_tokens, 6) AS dsir_score, n_tokens
+    FROM scored ORDER BY dsir_score DESC, doc_id LIMIT {DSIR_TOPK}
+    """,
+    doc=(
+        f"DSIR importance selection: per-token log-likelihood ratio between a "
+        f"'{DSIR_TARGET_LANG}'-target unigram LM and the raw-corpus LM "
+        f"(Laplace-smoothed), mean per doc, top-{DSIR_TOPK}."
+    ),
+)
+def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023), the
+    hashed-n-gram variant collapsed to unigrams: score(doc) = mean over
+    tokens of ln(p_target(t) / p_raw(t)), both Laplace-smoothed, and keep
+    the top-k highest-scoring documents — the standard cheap way to skim
+    target-domain-looking data out of a raw crawl.
+
+    Scale shape: both LMs are vocabulary-sized aggregates (two token-keyed
+    shuffles whose OUTPUT is |V| rows); the per-token log-ratio table is
+    broadcast, so scoring the corpus is a narrow map + one doc_id-keyed
+    partial agg — the token stream itself never shuffles. Per-token ratios
+    are rounded then summed in exact DECIMAL (order-independent); the one
+    mean division is pinned at the end (driver hash contract)."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("t"))
+    raw_c = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_c = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    vocab = raw_c.join(tgt_c, "t", "left").select(
+        "t", "c_raw", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    )
+    tot = vocab.agg(
+        F.sum("c_raw").cast("double").alias("n_raw"),
+        F.sum("c_tgt").cast("double").alias("n_tgt"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    p_tgt = (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v"))
+    p_raw = (F.col("c_raw") + 1.0) / (F.col("n_raw") + F.col("v"))
+    lr = vocab.crossJoin(broadcast(tot)).select(
+        "t", F.round(F.log(p_tgt / p_raw), 6).alias("llr")
+    )
+    scored = (
+        tok.join(broadcast(lr), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("llr").cast("decimal(18,6)")).cast("double").alias("sum_llr"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round(F.col("sum_llr") / F.col("n_tokens"), 6).alias("dsir_score"),
+            "n_tokens",
+        )
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(DSIR_TOPK)
+    )

@@ -1687,3 +1687,93 @@ def sim_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.col("p.n_vec_id")).cast("double") / TOP_K).alias("recall"),
         )
     )
+
+
+# --- triplet mining (contrastive-training data) ------------------------------
+
+
+@register(
+    "sim_triplet_mining",
+    f"""
+    WITH sc AS (
+      SELECT a.vec_id AS q_vec_id, a.label AS q_label,
+             b.vec_id AS n_vec_id, b.label AS n_label,
+             ROUND({_SQL_COS}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}),
+    pos AS (
+      SELECT q_vec_id, n_vec_id AS pos_vec_id, cosine AS cos_pos FROM (
+        SELECT q_vec_id, n_vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                  ORDER BY cosine DESC, n_vec_id) AS rk
+        FROM sc WHERE n_label = q_label) WHERE rk = 1),
+    neg AS (
+      SELECT q_vec_id, n_vec_id AS neg_vec_id, cosine AS cos_neg FROM (
+        SELECT q_vec_id, n_vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                  ORDER BY cosine DESC, n_vec_id) AS rk
+        FROM sc WHERE n_label <> q_label) WHERE rk = 1)
+    SELECT p.q_vec_id, pos_vec_id, cos_pos, neg_vec_id, cos_neg,
+           ROUND(cos_pos - cos_neg, 6) AS margin
+    FROM pos p JOIN neg n ON p.q_vec_id = n.q_vec_id
+    """,
+    doc=(
+        "Triplet mining for contrastive training: per anchor, the nearest "
+        "same-label positive and the nearest WRONG-label (hard) negative, "
+        "with the cos_pos - cos_neg margin."
+    ),
+)
+def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, hard-negative) triplet generation — the data a
+    contrastive embedding-training run consumes. Hard negatives are the
+    highest-cosine wrong-label neighbors (the ones the current embedding
+    most confuses), which is the standard mining rule.
+
+    Scale shape: one scored pass (broadcast anchor set, corpus streams),
+    then ONE window partitioned by (anchor, same-label?) picks both the
+    positive and the negative — the candidate stream is ranked once, not
+    once per role. Only the two rk=1 survivors per (anchor, side) reach
+    the final pivot; anchors lacking either side drop (inner-join parity
+    with the oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_vec_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("n_emb"),
+    )
+    sc = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            (F.col("n_label") == F.col("q_label")).alias("same"),
+            F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id", "same").orderBy(
+        F.col("cosine").desc(), F.col("n_vec_id")
+    )
+    best = sc.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    out = best.groupBy("q_vec_id").agg(
+        F.max(F.when(F.col("same"), F.col("n_vec_id"))).alias("pos_vec_id"),
+        F.max(F.when(F.col("same"), F.col("cosine"))).alias("cos_pos"),
+        F.max(F.when(~F.col("same"), F.col("n_vec_id"))).alias("neg_vec_id"),
+        F.max(F.when(~F.col("same"), F.col("cosine"))).alias("cos_neg"),
+    )
+    return (
+        out.filter(F.col("pos_vec_id").isNotNull() & F.col("neg_vec_id").isNotNull())
+        .select(
+            "q_vec_id",
+            "pos_vec_id",
+            "cos_pos",
+            "neg_vec_id",
+            "cos_neg",
+            F.round(F.col("cos_pos") - F.col("cos_neg"), 6).alias("margin"),
+        )
+    )
