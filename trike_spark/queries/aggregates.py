@@ -429,3 +429,77 @@ def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- RFM customer segmentation ------------------------------------------------
+
+RFM_BINS = 5
+
+
+@register(
+    "agg_rfm_segmentation",
+    f"""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT custkey, monetary,
+             NTILE({RFM_BINS}) OVER (ORDER BY last_order DESC, custkey) AS r_score,
+             NTILE({RFM_BINS}) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             NTILE({RFM_BINS}) OVER (ORDER BY monetary DESC, custkey) AS m_score
+      FROM base)
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(monetary), 2) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    doc=(
+        f"RFM segmentation: recency/frequency/monetary quintile scores "
+        f"(ntile({RFM_BINS}), score 1 = best) rolled up to segment counts."
+    ),
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic customer-base segmentation: per-customer recency
+    (last order date), frequency (order count), monetary (exact-decimal
+    spend), each quintiled, then rolled up per (r,f,m) cell.
+
+    Determinism: every NTILE ordering carries the custkey tie-break so
+    bucket boundaries are a total order (both engines fill buckets
+    front-loaded by the same rule); monetary folds in exact DECIMAL and
+    converts to double once at the end.
+
+    Scale shape: one shuffle on o_custkey builds the base; the three
+    ntiles are global windows — at 100 TB the production form switches
+    them to approx-percentile cutpoints (percentile_approx on three
+    columns, one pass, broadcast the 12 cut values) rather than a single-
+    partition sort; the per-segment rollup is a tiny keyed agg (≤125
+    cells). The face keeps exact ntile because the driver hash-verifies
+    positional assignment."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("o_totalprice")).alias("monetary"),
+    )
+    scored = base.select(
+        "custkey",
+        "monetary",
+        F.ntile(RFM_BINS)
+        .over(Window.orderBy(F.col("last_order").desc(), F.col("custkey")))
+        .alias("r_score"),
+        F.ntile(RFM_BINS)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("custkey")))
+        .alias("f_score"),
+        F.ntile(RFM_BINS)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).cast("double").alias("total_monetary"),
+    )

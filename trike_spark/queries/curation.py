@@ -995,3 +995,82 @@ def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(DSIR_TOPK)
     )
+
+
+# --- embedding-space diversification -----------------------------------------
+
+DIVERSIFY_KEEP = 5
+
+
+@register(
+    "curation_embedding_diversify",
+    f"""
+    WITH ex AS (SELECT label, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    cent AS (SELECT label, i,
+                    CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS v
+             FROM ex GROUP BY label, i),
+    cvecs AS (SELECT label, list(v ORDER BY i) AS cvec FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND((list_aggregate(list_transform(list_zip(e.embedding, c.cvec),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
+                    (SQRT(list_aggregate(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                     * SQRT(list_aggregate(list_transform(c.cvec,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))), 6)
+               AS cos_centroid
+      FROM embeddings e JOIN cvecs c ON c.label = e.label)
+    SELECT vec_id, label, cos_centroid, rk FROM (
+      SELECT vec_id, label, cos_centroid,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY cos_centroid ASC, vec_id) AS rk
+      FROM scored) WHERE rk <= {DIVERSIFY_KEEP}
+    """,
+    doc=(
+        f"Diversity-preserving selection: per semantic cluster, the "
+        f"{DIVERSIFY_KEEP} members FARTHEST from their own centroid "
+        "(lowest cosine) — the D4-style anti-redundancy pick."
+    ),
+)
+def curation_embedding_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversification (the D4 recipe's second leg, after
+    SemDeDup removes near-identical cores): within each semantic cluster,
+    keep the members least similar to the cluster centroid — the
+    periphery that carries the cluster's diversity — capped per cluster
+    so no cluster dominates the kept set.
+
+    Scale shape: centroids are exact-DECIMAL per-(label, dim) means — a
+    (K·dim)-row shuffle, the same state size as the k-means face; the
+    K centroid vectors broadcast; scoring is a narrow map over the
+    embedding scan and only the per-cluster window (bounded by cell
+    occupancy, not corpus size) ranks the members."""
+    from pyspark.sql.functions import broadcast
+
+    from trike_spark.queries.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "x"))
+    cent = ex.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    cvecs = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
+        .select("label", F.transform("iv", lambda e: e["v"]).alias("cvec"))
+    )
+    scored = emb.join(broadcast(cvecs), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("cvec")), 6).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos_centroid").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DIVERSIFY_KEEP)
+        .select("vec_id", "label", "cos_centroid", "rk")
+    )

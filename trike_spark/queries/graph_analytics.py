@@ -470,3 +470,78 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("label")
     )
+
+
+# --- bounded BFS (frontier expansion) -----------------------------------------
+
+BFS_SEED = "c1"  # customer node 'c' + custkey 1 exists at every SF
+BFS_HOPS = 3
+
+
+@register(
+    "graph_bfs_distances",
+    f"""
+    WITH {_sql_edges()},
+    d0 AS (SELECT '{BFS_SEED}' AS node, 0 AS dist),
+    f1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN d0 ON e.src = d0.node),
+    d1 AS (SELECT node, 1 AS dist FROM f1
+           WHERE node NOT IN (SELECT node FROM d0)),
+    u1 AS (SELECT node, dist FROM d0 UNION ALL SELECT node, dist FROM d1),
+    f2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN d1 ON e.src = d1.node),
+    d2 AS (SELECT node, 2 AS dist FROM f2
+           WHERE node NOT IN (SELECT node FROM u1)),
+    u2 AS (SELECT node, dist FROM u1 UNION ALL SELECT node, dist FROM d2),
+    f3 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN d2 ON e.src = d2.node),
+    d3 AS (SELECT node, 3 AS dist FROM f3
+           WHERE node NOT IN (SELECT node FROM u2)),
+    u3 AS (SELECT node, dist FROM u2 UNION ALL SELECT node, dist FROM d3)
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM u3 GROUP BY dist
+    """,
+    doc=(
+        f"Bounded BFS from {BFS_SEED!r} over the purchase graph: nodes "
+        f"first reached at each hop ≤ {BFS_HOPS} (frontier sizes)."
+    ),
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hop counts, the frontier-expansion primitive
+    under k-hop neighborhoods, reachability audits, and graph-sampled
+    crawls. Each round is ONE join (edges onto the previous frontier) +
+    one distinct + one anti-join against the visited set — state is the
+    O(V) visited list, never O(E); frontier and visited are checkpointed
+    per round so plan depth stays constant (same discipline as the CC
+    and PageRank loops). Hop count is bounded (unrolled), which is how a
+    production k-hop query should run — unbounded BFS on a 100 TB graph
+    is a different algorithm (CC), not a bigger loop."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = cache.checkpoint(
+        e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
+            e0.select(snode.alias("src"), cnode.alias("dst"))
+        )
+    )
+    visited = spark.createDataFrame([(BFS_SEED, 0)], "node string, dist int")
+    frontier = visited.select("node")
+    for k in range(1, BFS_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = cache.checkpoint(
+            nxt.join(visited, "node", "left_anti").select(
+                "node", F.lit(k).cast("int").alias("dist")
+            )
+        )
+        visited = cache.checkpoint(visited.unionByName(new))
+        frontier = new.select("node")
+    return visited.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
