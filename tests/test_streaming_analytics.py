@@ -323,3 +323,70 @@ def test_streaming_weighted_sample_matches_batch_draws(spark, tmp_path):
         assert len({r["window_start"] for r in got}) == 2
     finally:
         q.stop()
+
+
+def test_streaming_dsir_score_matches_batch(spark, tmp_path):
+    from pyspark.sql.types import LongType
+
+    from trike_spark.queries.curation import dsir_llr_entries
+    from trike_spark.streaming.analytics import streaming_dsir_score
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "en", "hash join merge scan"),
+            (1, "en", "join join filter"),
+            (2, "de", "der hash filter"),
+            (3, "fr", "le scan le merge"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    entries, oov = dsir_llr_entries(corpus)
+    assert oov != 0.0 and len(entries) > 0
+
+    new_docs = [
+        {"doc_id": 10, "text": "hash join unseen"},
+        {"doc_id": 11, "text": "der der filter"},
+    ]
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    src = tmp_path / "dsir_in"
+    src.mkdir()
+    _write(src, "b1.json", new_docs)
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    scored = streaming_dsir_score(stream, entries, oov)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("dsir_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dsir_ckpt"))
+        .start()
+    )
+    try:
+        got = _poll(spark, q, "dsir_out", lambda rows: len(rows) == len(new_docs))
+    finally:
+        q.stop()
+
+    # parity: the same function on a static frame, plus a pure-Python fold
+    # in token-array order (both IEEE doubles → bit-identical before the
+    # one final round).
+    static = streaming_dsir_score(
+        spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in new_docs], "doc_id long, text string"
+        ),
+        entries,
+        oov,
+    ).collect()
+    lut = dict(entries)
+    for rows in (got, static):
+        by_id = {r["doc_id"]: r for r in rows}
+        for d in new_docs:
+            toks = d["text"].split(" ")
+            acc = 0.0
+            for t in toks:
+                acc += lut.get(t, oov)
+            exp = round(acc / len(toks), 6)
+            assert by_id[d["doc_id"]]["dsir_score"] == exp, (d, rows)
+            assert by_id[d["doc_id"]]["n_tokens"] == len(toks)
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in static}

@@ -1121,3 +1121,68 @@ def events_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- path / journey analysis --------------------------------------------------
+
+PATH_MAX_STEPS = 5
+PATH_TOPK = 10
+
+
+@register(
+    "events_top_paths",
+    f"""
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id, d,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM seq WHERE rn <= {PATH_MAX_STEPS} GROUP BY user_id, d)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_journeys
+    FROM paths GROUP BY path
+    ORDER BY n_journeys DESC, path LIMIT {PATH_TOPK}
+    """,
+    doc=(
+        f"Top user journeys: ordered event-type sequence per (user, day), "
+        f"first {PATH_MAX_STEPS} steps, top-{PATH_TOPK} most common paths."
+    ),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The journey/top-paths report behind funnel-discovery UIs — the
+    sequence-mining complement of the Markov-transition face (which sees
+    edges; this sees whole prefixes).
+
+    Determinism: step order is the (ts, event_id) total order; assembly is
+    sorted-struct collect + array_join (collect_list arrival order is
+    partition-dependent, sorting restores a canonical form — same rule as
+    agg_string_agg_nations).
+
+    Scale shape: ONE shuffle on (user_id, day) does both the step ranking
+    and the path assembly (the window and the groupBy share partitioning;
+    AQE reuses the exchange); per-group state is bounded by the step cap.
+    The final top-k is TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    seq = (
+        e.select("user_id", F.col("ts").cast("date").alias("d"), "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_MAX_STEPS)
+    )
+    paths = seq.groupBy("user_id", "d").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), "path")
+        .limit(PATH_TOPK)
+    )

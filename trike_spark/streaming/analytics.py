@@ -323,3 +323,40 @@ def ewma_stream(orders: DataFrame, lags: int | None = None) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dsir_score(
+    doc_stream: DataFrame,
+    llr_entries: list[tuple[str, float]],
+    oov_llr: float,
+) -> DataFrame:
+    """Streaming twin of ``curation_dsir_topk``'s scoring stage: arriving
+    documents are scored against a FIXED reference LM (the DSIR unigram
+    log-likelihood-ratio table from ``dsir_llr_entries``) as they stream
+    in — the production shape for continuously skimming target-looking
+    data out of a live crawl.
+
+    Stateless and append-mode safe: the LM ships as one literal
+    map-from-arrays expression (vocabulary-sized — the broadcast-model
+    deployment shape), each row's score is a fold over its own token
+    array (coalesce → ``oov_llr`` for tokens the reference corpus never
+    saw), so there is no shuffle, no state store, and no watermark —
+    stream throughput is independent of both corpus and vocabulary size.
+    The fold order is the token array order, so the emitted score is
+    deterministic and replay-stable."""
+    keys = [t for t, _ in llr_entries]
+    vals = [s for _, s in llr_entries]
+    llr_map = F.map_from_arrays(
+        F.lit(keys).cast("array<string>"), F.lit(vals).cast("array<double>")
+    )
+    toks = F.split(F.col("text"), " ")
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.coalesce(F.element_at(llr_map, t), F.lit(float(oov_llr)))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return doc_stream.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(total / F.size(toks), 6).alias("dsir_score"),
+    )
