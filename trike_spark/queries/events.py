@@ -1186,3 +1186,70 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_journeys").desc(), "path")
         .limit(PATH_TOPK)
     )
+
+
+# --- robust (MAD) anomaly detection ------------------------------------------
+
+MAD_K = 1.4826  # consistency constant: MAD * k estimates sigma under normality
+MAD_CUTOFF = 3.5
+
+
+@register(
+    "events_anomaly_mad",
+    f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value,
+           ROUND((d.value - d.med) / ({MAD_K} * m2.mad), 6) AS robust_z
+    FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+    WHERE ABS((d.value - d.med) / ({MAD_K} * m2.mad)) > {MAD_CUTOFF}
+    """,
+    doc=(
+        f"Robust outliers: |modified z| > {MAD_CUTOFF} where z = "
+        f"(value - median) / ({MAD_K} * MAD) per event type."
+    ),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust twin of ``events_anomaly_zscore``: median/MAD instead of
+    mean/stddev, so the detector's own baseline is not dragged by the very
+    outliers it hunts — the correct choice for long-tailed value columns
+    (this corpus's value field spans ~0–500 with a far tail, where
+    mean/σ under-flags).
+
+    Determinism: exact interpolated percentile is bit-identical across
+    engines (same contract as agg_percentiles); the modified-z expression
+    is pinned and the >cutoff comparison runs on the same doubles both
+    sides.
+
+    Scale shape: two grouped aggregations on event_type (each output is
+    |types| rows — broadcastable), each joined back onto the stream as a
+    broadcast; the events scan feeds a narrow filter. Exact per-group
+    median is a sort of the GROUP, not the table; at 100 TB swap in
+    percentile_approx for the baseline legs and keep the same plan."""
+    from pyspark.sql.functions import broadcast
+
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(MAD_K) * F.col("mad"))
+    return (
+        dev.join(broadcast(mad), "event_type")
+        .filter(F.abs(z) > MAD_CUTOFF)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("robust_z"))
+    )

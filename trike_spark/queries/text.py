@@ -1290,3 +1290,96 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# --- Zipf-law fit -------------------------------------------------------------
+
+
+@register(
+    "text_zipf_slope",
+    """
+    WITH freq AS (
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token),
+    ranked AS (
+      SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rk
+      FROM freq),
+    pts AS (
+      SELECT CAST(ROUND(LN(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(ROUND(LN(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM ranked),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pts),
+    fit AS (
+      SELECT n, sx, sy, syy, sxx, sxy,
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS vocab_size, slope,
+           ROUND((sy - slope * sx) / n, 6) AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+                 ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM fit
+    """,
+    doc=(
+        "Zipf-law fit: OLS slope/intercept/R^2 of ln(freq) vs ln(rank) over "
+        "the vocabulary — the corpus-shape diagnostic (natural text ~ -1)."
+    ),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the corpus look like natural language? Natural text follows
+    Zipf's law (rank-frequency slope ≈ -1 on log-log); templated or
+    machine-generated corpora flatten or steepen it, so the fitted slope
+    is a cheap corpus-level quality/contamination signal.
+
+    Determinism: the regression inputs are quantized (round→DECIMAL) per
+    point, all five moment sums fold exactly, and the slope/intercept/R²
+    arithmetic is one pinned double expression computed from those exact
+    sums — the same discipline as scalar_ols_trend_applyinpandas, but
+    expressed entirely JVM-side.
+
+    Scale shape: term frequency is the canonical map-side-combine shuffle;
+    ranking is one global sort of the VOCABULARY (|V| rows, not corpus
+    rows); the moments reduce to a single row. At 100 TB only |V| survives
+    the first aggregation — the corpus itself is touched once."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    pts = freq.withColumn("rk", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rk").cast("double")), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6).cast("decimal(18,6)").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    fit = s.select(
+        n, sx, sy, syy, sxx, sxy,
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope"),
+    )
+    slope = F.col("slope")
+    return fit.select(
+        n.cast("bigint").alias("vocab_size"),
+        slope,
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
