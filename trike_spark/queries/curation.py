@@ -910,51 +910,11 @@ DSIR_TARGET_LANG = "en"
 DSIR_TOPK = 25
 
 
-@register(
-    "curation_dsir_topk",
-    f"""
-    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
-                 FROM documents),
-    raw_c AS (SELECT t, COUNT(*) AS c_raw FROM tok GROUP BY t),
-    tgt_c AS (SELECT t, COUNT(*) AS c_tgt FROM tok
-              WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY t),
-    vocab AS (SELECT r.t, r.c_raw, COALESCE(g.c_tgt, 0) AS c_tgt
-              FROM raw_c r LEFT JOIN tgt_c g ON r.t = g.t),
-    tot AS (SELECT CAST(SUM(c_raw) AS DOUBLE) AS n_raw,
-                   CAST(SUM(c_tgt) AS DOUBLE) AS n_tgt,
-                   CAST(COUNT(*) AS DOUBLE) AS v
-            FROM vocab),
-    lr AS (SELECT t,
-                  ROUND(LN(((c_tgt + 1.0) / (n_tgt + v)) /
-                           ((c_raw + 1.0) / (n_raw + v))), 6) AS llr
-           FROM vocab CROSS JOIN tot),
-    scored AS (
-      SELECT tok.doc_id,
-             CAST(SUM(CAST(lr.llr AS DECIMAL(18,6))) AS DOUBLE) AS sum_llr,
-             COUNT(*) AS n_tokens
-      FROM tok JOIN lr ON tok.t = lr.t GROUP BY tok.doc_id)
-    SELECT doc_id, ROUND(sum_llr / n_tokens, 6) AS dsir_score, n_tokens
-    FROM scored ORDER BY dsir_score DESC, doc_id LIMIT {DSIR_TOPK}
-    """,
-    doc=(
-        f"DSIR importance selection: per-token log-likelihood ratio between a "
-        f"'{DSIR_TARGET_LANG}'-target unigram LM and the raw-corpus LM "
-        f"(Laplace-smoothed), mean per doc, top-{DSIR_TOPK}."
-    ),
-)
-def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data Selection via Importance Resampling (Xie et al. 2023), the
-    hashed-n-gram variant collapsed to unigrams: score(doc) = mean over
-    tokens of ln(p_target(t) / p_raw(t)), both Laplace-smoothed, and keep
-    the top-k highest-scoring documents — the standard cheap way to skim
-    target-domain-looking data out of a raw crawl.
-
-    Scale shape: both LMs are vocabulary-sized aggregates (two token-keyed
-    shuffles whose OUTPUT is |V| rows); the per-token log-ratio table is
-    broadcast, so scoring the corpus is a narrow map + one doc_id-keyed
-    partial agg — the token stream itself never shuffles. Per-token ratios
-    are rounded then summed in exact DECIMAL (order-independent); the one
-    mean division is pinned at the end (driver hash contract)."""
+def _dsir_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR scoring plan: (doc_id, sum_llr, n_tokens). Both LMs are
+    vocabulary-sized aggregates whose OUTPUT is |V| rows; the per-token
+    log-ratio table broadcasts, so scoring is a narrow map + one
+    doc_id-keyed partial agg — the token stream itself never shuffles."""
     from pyspark.sql.functions import broadcast
 
     d = load_table(spark, sf_dir, "documents")
@@ -978,7 +938,7 @@ def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = vocab.crossJoin(broadcast(tot)).select(
         "t", F.round(F.log(p_tgt / p_raw), 6).alias("llr")
     )
-    scored = (
+    return (
         tok.join(broadcast(lr), "t")
         .groupBy("doc_id")
         .agg(
@@ -986,8 +946,61 @@ def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+# CTE chain shared by the deterministic top-k face and the Gumbel
+# resampling face: ends at `scored` (doc_id, sum_llr, n_tokens).
+_SQL_DSIR_SCORED = f"""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    raw_c AS (SELECT t, COUNT(*) AS c_raw FROM tok GROUP BY t),
+    tgt_c AS (SELECT t, COUNT(*) AS c_tgt FROM tok
+              WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY t),
+    vocab AS (SELECT r.t, r.c_raw, COALESCE(g.c_tgt, 0) AS c_tgt
+              FROM raw_c r LEFT JOIN tgt_c g ON r.t = g.t),
+    tot AS (SELECT CAST(SUM(c_raw) AS DOUBLE) AS n_raw,
+                   CAST(SUM(c_tgt) AS DOUBLE) AS n_tgt,
+                   CAST(COUNT(*) AS DOUBLE) AS v
+            FROM vocab),
+    lr AS (SELECT t,
+                  ROUND(LN(((c_tgt + 1.0) / (n_tgt + v)) /
+                           ((c_raw + 1.0) / (n_raw + v))), 6) AS llr
+           FROM vocab CROSS JOIN tot),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(SUM(CAST(lr.llr AS DECIMAL(18,6))) AS DOUBLE) AS sum_llr,
+             COUNT(*) AS n_tokens
+      FROM tok JOIN lr ON tok.t = lr.t GROUP BY tok.doc_id)"""
+
+
+@register(
+    "curation_dsir_topk",
+    _SQL_DSIR_SCORED
+    + f"""
+    SELECT doc_id, ROUND(sum_llr / n_tokens, 6) AS dsir_score, n_tokens
+    FROM scored ORDER BY dsir_score DESC, doc_id LIMIT {DSIR_TOPK}
+    """,
+    doc=(
+        f"DSIR importance selection: per-token log-likelihood ratio between a "
+        f"'{DSIR_TARGET_LANG}'-target unigram LM and the raw-corpus LM "
+        f"(Laplace-smoothed), mean per doc, top-{DSIR_TOPK}."
+    ),
+)
+def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023), the
+    hashed-n-gram variant collapsed to unigrams: score(doc) = mean over
+    tokens of ln(p_target(t) / p_raw(t)), both Laplace-smoothed, and keep
+    the top-k highest-scoring documents — the standard cheap way to skim
+    target-domain-looking data out of a raw crawl.
+
+    Scale shape: both LMs are vocabulary-sized aggregates (two token-keyed
+    shuffles whose OUTPUT is |V| rows); the per-token log-ratio table is
+    broadcast, so scoring the corpus is a narrow map + one doc_id-keyed
+    partial agg — the token stream itself never shuffles. Per-token ratios
+    are rounded then summed in exact DECIMAL (order-independent); the one
+    mean division is pinned at the end (driver hash contract)."""
     return (
-        scored.select(
+        _dsir_scored_df(spark, sf_dir).select(
             "doc_id",
             F.round(F.col("sum_llr") / F.col("n_tokens"), 6).alias("dsir_score"),
             "n_tokens",
@@ -1118,3 +1131,61 @@ def dsir_llr_entries(corpus: DataFrame) -> tuple[list[tuple[str, float]], float]
     ]
     oov = round(math.log((1.0 / (n_tgt + v)) / (1.0 / (n_raw + v))), 6)
     return entries, oov
+
+
+# --- DSIR Gumbel-top-k resampling --------------------------------------------
+
+DSIR_SAMPLE_K = 20
+_H60_RANGE = float(1 << 60)
+
+
+@register(
+    "curation_dsir_gumbel_sample",
+    _SQL_DSIR_SCORED
+    + f""",
+    keyed AS (
+      SELECT doc_id,
+             ROUND(sum_llr / n_tokens, 6) AS dsir_score,
+             ROUND(-LN(-LN((CAST({_sql_h60("CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
+                           / {_H60_RANGE})), 6) AS gumbel
+      FROM scored)
+    SELECT doc_id, dsir_score, gumbel,
+           ROUND(dsir_score + gumbel, 6) AS sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id LIMIT {DSIR_SAMPLE_K}
+    """,
+    doc=(
+        f"DSIR resampling proper: Gumbel-top-{DSIR_SAMPLE_K} over the "
+        "importance scores (sample ∝ exp(score) without replacement), "
+        "noise derived from the md5 draw so the sample is replay-stable."
+    ),
+)
+def curation_dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING step the DSIR paper actually prescribes (top-k
+    selection over-concentrates on one mode; sampling ∝ exp(score)
+    preserves diversity): the Gumbel-top-k trick — add g = -ln(-ln(u)) to
+    each score and take the k largest keys, which is exactly a weighted
+    sample without replacement. u comes from the md5 draw on doc_id, so
+    unlike rand()-based sampling the selected set survives replays,
+    repartitioning, and speculative re-execution bit-for-bit.
+
+    Scale shape: identical to the top-k face (shared scoring plan) plus a
+    narrow per-row key computation; the final top-k is
+    TakeOrderedAndProject."""
+    scored = _dsir_scored_df(spark, sf_dir)
+    u = (_h60(F.col("doc_id").cast("string")).cast("double") + 0.5) / F.lit(_H60_RANGE)
+    return (
+        scored.select(
+            "doc_id",
+            F.round(F.col("sum_llr") / F.col("n_tokens"), 6).alias("dsir_score"),
+            F.round(-F.log(-F.log(u)), 6).alias("gumbel"),
+        )
+        .select(
+            "doc_id",
+            "dsir_score",
+            "gumbel",
+            F.round(F.col("dsir_score") + F.col("gumbel"), 6).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(DSIR_SAMPLE_K)
+    )

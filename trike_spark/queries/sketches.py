@@ -679,3 +679,80 @@ def sketch_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ratio * ratio * ratio, 6).alias("theoretical_fpr"),
         )
     )
+
+
+# --- AMS (Alon-Matias-Szegedy) second-moment sketch ---------------------------
+
+AMS_R = 15  # estimators (odd, so the median is an exact middle element)
+
+
+@register(
+    "sketch_ams_f2",
+    f"""
+    WITH est AS (SELECT unnest(generate_series(0, {AMS_R - 1})) AS i),
+    signs AS (
+      SELECT e.i,
+             CASE WHEN {_sql_h60("CAST(e.i AS VARCHAR) || ':' || CAST(l.l_orderkey AS VARCHAR)")} % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM lineitem l CROSS JOIN est e),
+    counters AS (SELECT i, CAST(SUM(s) AS BIGINT) AS c FROM signs GROUP BY i),
+    ams AS (SELECT quantile_cont(CAST(c AS DOUBLE) * CAST(c AS DOUBLE), 0.5) AS f2_est
+            FROM counters),
+    exact AS (
+      SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact FROM
+        (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey))
+    SELECT CAST(f2_est AS BIGINT) AS f2_estimate, f2_exact,
+           ROUND(ABS(f2_est - f2_exact) / f2_exact, 6) AS rel_error
+    FROM ams CROSS JOIN exact
+    """,
+    doc=(
+        f"AMS F2 sketch ({AMS_R} sign-hash estimators, median): streaming "
+        "self-join-size estimate vs the exact second moment."
+    ),
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third classic sketch (after CMS and HLL): F2 = Σ f_k² — the
+    SELF-join size, which is what a cost-based optimizer wants before
+    picking a join strategy on a key it knows nothing about. Each
+    estimator keeps ONE integer: a ±1 sign-hash random walk whose squared
+    endpoint is an unbiased F2 estimate; the median over {AMS_R} walks
+    tames the variance. Compare `sketch_join_size_estimate` (CMS inner
+    product, one-sided over-estimate): AMS is unbiased and two-sided.
+
+    Determinism: counters are exact BIGINT sums (order-independent), the
+    squares are < 2^53 so exact in double, and the median of an odd count
+    is an element, not an interpolation.
+
+    Scale shape: the only state is {AMS_R} integers; the explode-by-
+    estimator stream aggregates with map-side combine, so the shuffle
+    carries ≤ {AMS_R} partials per task no matter how large lineitem is.
+    The exact-F2 control leg (one keyed count + one sum) is the honesty
+    cost, same pattern as the CMS join-size face."""
+    from pyspark.sql.functions import broadcast
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    est = spark.range(AMS_R).select(F.col("id").cast("int").alias("i"))
+    sign_h = _h60(
+        F.concat(F.col("i").cast("string"), F.lit(":"), F.col("l_orderkey").cast("string"))
+    )
+    signs = li.crossJoin(broadcast(est)).select(
+        "i", F.when(sign_h % 2 == 0, 1).otherwise(-1).alias("s")
+    )
+    counters = signs.groupBy("i").agg(F.sum("s").cast("bigint").alias("c"))
+    ams = counters.agg(
+        F.percentile(F.col("c").cast("double") * F.col("c").cast("double"), F.lit(0.5)).alias(
+            "f2_est"
+        )
+    )
+    exact = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2_exact"))
+    )
+    return ams.crossJoin(broadcast(exact)).select(
+        F.col("f2_est").cast("bigint").alias("f2_estimate"),
+        "f2_exact",
+        F.round(F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 6).alias(
+            "rel_error"
+        ),
+    )
