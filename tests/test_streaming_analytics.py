@@ -390,3 +390,54 @@ def test_streaming_dsir_score_matches_batch(spark, tmp_path):
             assert by_id[d["doc_id"]]["dsir_score"] == exp, (d, rows)
             assert by_id[d["doc_id"]]["n_tokens"] == len(toks)
     assert {r["doc_id"] for r in got} == {r["doc_id"] for r in static}
+
+
+def test_streaming_anomaly_probe_matches_batch(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, LongType
+
+    from trike_spark.streaming.analytics import streaming_anomaly_probe
+
+    baselines = spark.createDataFrame(
+        [("click", 10.0, 2.0), ("view", 5.0, 1.0)],
+        "event_type string, med double, mad double",
+    )
+    events = [
+        {"event_id": 1, "event_type": "click", "value": 10.5},   # z ~ 0.17
+        {"event_id": 2, "event_type": "click", "value": 30.0},   # z ~ 6.7 -> out
+        {"event_id": 3, "event_type": "view", "value": 4.9},     # z ~ -0.07
+        {"event_id": 4, "event_type": "view", "value": -10.0},   # z ~ -10.1 -> out
+    ]
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = tmp_path / "anom_in"
+    src.mkdir()
+    _write(src, "b1.json", events)
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = streaming_anomaly_probe(stream, baselines)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "anom_ckpt"))
+        .start()
+    )
+    try:
+        got = _poll(spark, q, "anom_out", lambda rows: len(rows) >= 2)
+    finally:
+        q.stop()
+    # stateless ⇒ the identical function on a static frame is the oracle
+    static = streaming_anomaly_probe(
+        spark.createDataFrame(
+            [(e["event_id"], e["event_type"], e["value"]) for e in events],
+            "event_id long, event_type string, value double",
+        ),
+        baselines,
+    ).collect()
+    key = lambda r: (r["event_id"], r["robust_z"])
+    assert sorted(map(key, got)) == sorted(map(key, static))
+    assert {r["event_id"] for r in got} == {2, 4}

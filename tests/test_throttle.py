@@ -124,3 +124,40 @@ def test_admit_unit_carries_credit_across_batches():
     for _ in range(5):
         list(admit(("a",), [pd.DataFrame({"event_id": [], "arrival_seq": []})], st, burst=3, refill=2))
     assert st.get == (3,)
+
+
+def test_admit_property_against_reference_model():
+    """Property: for ANY batch-size sequence and (burst, refill), the
+    stateful operator matches a direct simulation of the bucket algebra
+    exactly — admitted counts, per-row verdicts, and carried credit."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trike_spark.streaming.throttle import admit
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=6),
+        burst=st.integers(min_value=1, max_value=5),
+        refill=st.integers(min_value=0, max_value=5),
+    )
+    def check(sizes, burst, refill):
+        st_obj = _FakeState()
+        credit = burst  # reference model
+        seq = 0
+        for bi, n in enumerate(sizes):
+            if bi > 0:
+                credit = min(burst, credit + refill)
+            pdf = pd.DataFrame(
+                {"event_id": list(range(seq, seq + n)), "arrival_seq": list(range(seq, seq + n))}
+            )
+            out = list(admit(("k",), [pdf], st_obj, burst=burst, refill=refill))
+            admitted = list(out[0]["admitted"]) if out else []
+            exp_admit = min(credit, n)
+            assert admitted == [True] * exp_admit + [False] * (n - exp_admit)
+            credit -= exp_admit
+            assert st_obj.get == (credit,)
+            seq += n
+
+    check()

@@ -360,3 +360,31 @@ def streaming_dsir_score(
         F.size(toks).alias("n_tokens"),
         F.round(total / F.size(toks), 6).alias("dsir_score"),
     )
+
+
+def streaming_anomaly_probe(
+    events: DataFrame,
+    baselines: DataFrame,
+    cutoff: float = 3.5,
+) -> DataFrame:
+    """Streaming twin of ``events_anomaly_mad``: arriving events are scored
+    against FIXED robust baselines (event_type, med, mad — the batch
+    job's periodically refreshed model table) and only |modified z| >
+    cutoff outliers are emitted.
+
+    Stateless and append-mode safe: the baseline table is |types| rows and
+    broadcast, scoring is a narrow per-row expression — no shuffle, no
+    state store, no watermark, so alerting latency is one micro-batch
+    regardless of history size. Splitting model-build (batch, exact
+    medians) from model-serve (stream, broadcast probe) is the standard
+    deployment shape for threshold detectors."""
+    from trike_spark.queries.events import MAD_K
+
+    z = (F.col("value") - F.col("med")) / (F.lit(MAD_K) * F.col("mad"))
+    return (
+        events.join(F.broadcast(baselines), "event_type")
+        .filter(F.abs(z) > cutoff)
+        .select(
+            "event_id", "event_type", "value", F.round(z, 6).alias("robust_z")
+        )
+    )
