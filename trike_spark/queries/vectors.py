@@ -1777,3 +1777,117 @@ def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cos_pos") - F.col("cos_neg"), 6).alias("margin"),
         )
     )
+
+
+# --- MIPS → cosine reduction check -------------------------------------------
+
+_SQL_NORM2_B = (
+    "list_aggregate(list_transform(b.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+)
+
+
+@register(
+    "sim_mips_reduction_check",
+    f"""
+    WITH m AS (
+      SELECT MAX(list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS m2
+      FROM embeddings),
+    truth AS (
+      SELECT q_vec_id, n_vec_id FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_SQL_DOT_AB}, 6) DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES})
+      WHERE rk <= {TOP_K}),
+    red AS (
+      SELECT q_vec_id, n_vec_id FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND(({_SQL_DOT_AB} + 0.0 * SQRT(m.m2 - {_SQL_NORM2_B}))
+                                                 / ({_sql_norm('a')} * SQRT(m.m2)), 6) DESC,
+                                           b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+             CROSS JOIN m
+        WHERE a.vec_id < {N_QUERIES})
+      WHERE rk <= {TOP_K})
+    SELECT t.q_vec_id,
+           CAST(COUNT(r.n_vec_id) AS BIGINT) AS n_found,
+           CAST(COUNT(r.n_vec_id) AS DOUBLE) / {TOP_K} AS recall
+    FROM truth t LEFT JOIN red r
+      ON t.q_vec_id = r.q_vec_id AND t.n_vec_id = r.n_vec_id
+    GROUP BY t.q_vec_id
+    """,
+    doc=(
+        "MIPS→cosine reduction proof: augmenting each vector with "
+        "sqrt(M² − ‖x‖²) makes cosine ranking reproduce inner-product "
+        "ranking; recall@k vs MIPS truth (must be 1.0)."
+    ),
+)
+def sim_mips_reduction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executes the reduction `sim_topk_inner_product`'s docstring merely
+    cites: append sqrt(M² − ‖x‖²) to every corpus vector (M = max norm)
+    and 0 to the query — then every augmented vector has norm exactly M,
+    so cosine(q̂, x̂) = dot(q, x) / (‖q‖·M) and the cosine RANKING equals
+    the inner-product ranking. That is what lets the MIPS workload ride
+    any cosine ANN index (LSH buckets, IVF cells) unchanged. The face
+    ranks both ways and reports recall@k of the reduction against the
+    MIPS truth — a structural identity, so the driver hash pins it at
+    exactly 1.0 (the augmented term enters the score expression with
+    weight 0 · sqrt(·), mirroring the algebra while keeping the pinned
+    float path identical in both engines).
+
+    Scale shape: both legs are the audited brute-force shape (broadcast
+    query set, per-query rank window); M is a 1-row broadcast."""
+    m2df = emb_norms_m2(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("n_emb"))
+    pairs = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+        .crossJoin(broadcast(m2df))
+    )
+    ip = dot(F.col("q_emb"), F.col("n_emb"))
+    norm2_b = dot(F.col("n_emb"), F.col("n_emb"))
+    aug_cos = (ip + F.lit(0.0) * F.sqrt(F.col("m2") - norm2_b)) / (
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(F.col("m2"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("score").desc(), F.col("n_vec_id"))
+
+    def topk(score_col):
+        return (
+            pairs.select("q_vec_id", "n_vec_id", score_col.alias("score"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("q_vec_id", "n_vec_id")
+        )
+
+    truth = topk(F.round(ip, 6))
+    red = topk(F.round(aug_cos, 6)).select(
+        F.col("q_vec_id").alias("r_q"), F.col("n_vec_id").alias("r_n")
+    )
+    return (
+        truth.join(
+            red,
+            (F.col("q_vec_id") == F.col("r_q")) & (F.col("n_vec_id") == F.col("r_n")),
+            "left",
+        )
+        .groupBy("q_vec_id")
+        .agg(
+            F.count("r_n").cast("bigint").alias("n_found"),
+            (F.count("r_n").cast("double") / TOP_K).alias("recall"),
+        )
+    )
+
+
+def emb_norms_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (m2,) frame: the corpus max squared norm — the constant the
+    MIPS augmentation needs; broadcast wherever used."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n2 = dot(F.col("embedding"), F.col("embedding"))
+    return e.agg(F.max(n2).alias("m2"))
