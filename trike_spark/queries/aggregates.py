@@ -503,3 +503,66 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(F.sum("monetary"), 2).cast("double").alias("total_monetary"),
     )
+
+
+# --- Pareto concentration (80/20 report) --------------------------------------
+
+
+@register(
+    "agg_pareto_revenue_share",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS spend
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT SUM(spend) AS total, COUNT(*) AS n FROM spend),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rk,
+             SUM(spend) OVER (ORDER BY spend DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             t.total, t.n
+      FROM spend CROSS JOIN tot t)
+    SELECT CAST(MIN(rk) AS BIGINT) AS n_top80,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_customers,
+           ROUND(CAST(MIN(rk) AS DOUBLE) / ANY_VALUE(n), 6) AS share_of_customers
+    FROM ranked WHERE 5 * cum >= 4 * total
+    """,
+    doc=(
+        "Pareto report: how many top customers carry 80% of revenue "
+        "(crossing found in exact decimal — 5*cum >= 4*total, no floats)."
+    ),
+)
+def agg_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 concentration question every revenue (or token-source)
+    distribution gets asked. The crossing test is 5·cum ≥ 4·total in
+    EXACT decimal — scaling both sides keeps the 80 % threshold out of
+    float territory entirely, so the reported count cannot flap on a
+    rounding boundary.
+
+    Scale shape: one o_custkey shuffle builds per-customer spend; the
+    cumulative window runs over the CUSTOMER DIMENSION (not facts), the
+    same sanctioned dimension-sized global window as the equi-depth
+    histogram — at 100 TB the swap is a two-pass cutpoint search over
+    percentile sketches of the spend distribution, same output contract."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("spend"))
+    tot = spend.agg(F.sum("spend").alias("total"), F.count(F.lit(1)).alias("n"))
+    order = [F.col("spend").desc(), F.col("o_custkey")]
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = spend.crossJoin(broadcast(tot)).select(
+        F.row_number().over(Window.orderBy(*order)).alias("rk"),
+        F.sum("spend").over(w_cum).alias("cum"),
+        "total",
+        "n",
+    )
+    return (
+        ranked.filter(F.lit(5) * F.col("cum") >= F.lit(4) * F.col("total"))
+        .agg(
+            F.min("rk").cast("bigint").alias("n_top80"),
+            F.any_value("n").cast("bigint").alias("n_customers"),
+            F.round(
+                F.min("rk").cast("double") / F.any_value("n"), 6
+            ).alias("share_of_customers"),
+        )
+    )

@@ -440,3 +440,80 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w_start")
     )
+
+
+@register(
+    "join_asof_forward_order_ship",
+    """
+    WITH sd AS (SELECT l_shipdate, MIN(l_orderkey) AS asof_shipkey
+                FROM lineitem GROUP BY l_shipdate)
+    SELECT o.o_orderkey, o.o_orderdate,
+           sd.l_shipdate AS next_shipdate, sd.asof_shipkey
+    FROM orders o ASOF JOIN sd ON o.o_orderdate <= sd.l_shipdate
+    """,
+    doc="Forward as-of join: each order matched to the EARLIEST ship date >= its order date.",
+)
+def join_asof_forward_order_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nearest-successor twin of ``join_asof_event_order`` — 'what is
+    the next scheduled event at or after t' (next shipment, next
+    maintenance window, next market open). Same month-bucketed plan,
+    mirrored: each month holds its own ascending (date, key) entries plus
+    the EARLIEST entry of all strictly-later months (reverse cumulative
+    fill over the month spine); orders broadcast-hash-join on their
+    (clamped) month and probe the first entry >= their date. Inner as-of
+    semantics: orders past the last ship date drop, exactly as DuckDB's
+    ASOF JOIN drops them."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    sd = li.groupBy("l_shipdate").agg(F.min("l_orderkey").alias("asof_shipkey"))
+    buckets = (
+        sd.withColumn("m", F.date_trunc("month", F.col("l_shipdate")))
+        .groupBy("m")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_shipdate", "asof_shipkey"))
+            ).alias("entries")
+        )
+    )
+    bounds = sd.agg(
+        F.date_trunc("month", F.min("l_shipdate")).alias("mn"),
+        F.date_trunc("month", F.max("l_shipdate")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 month"))).alias("m")
+    )
+    # reverse cumulative fill: a month inherits the earliest entry of all
+    # LATER months, so an order whose own month has no later shipment
+    # still finds its successor
+    w_next = Window.orderBy("m").rowsBetween(1, Window.unboundedFollowing)
+    monthly = (
+        spine.join(buckets, "m", "left")
+        .withColumn("next_cum", F.min(F.element_at("entries", 1)).over(w_next))
+    )
+
+    ov = (
+        orders.select("o_orderkey", "o_orderdate", F.date_trunc("month", "o_orderdate").alias("om"))
+        .crossJoin(broadcast(bounds.select("mn")))
+        .withColumn("m", F.greatest("om", "mn"))
+    )
+    probe = F.coalesce(
+        F.element_at(
+            F.filter(F.col("entries"), lambda e: e["l_shipdate"] >= F.col("o_orderdate")), 1
+        ),
+        F.col("next_cum"),
+    )
+    return (
+        ov.join(broadcast(monthly), "m", "left")
+        # explode(array(x)) = 1:1 generate barrier → probe evaluated once
+        .select("o_orderkey", "o_orderdate", F.explode(F.array(probe)).alias("mm"))
+        .filter(F.col("mm").isNotNull())  # inner as-of: no successor → drop
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("mm.l_shipdate").alias("next_shipdate"),
+            F.col("mm.asof_shipkey").alias("asof_shipkey"),
+        )
+    )
