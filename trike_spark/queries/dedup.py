@@ -1260,3 +1260,130 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- LSH banding sweep (the b x r tuning instrument) --------------------------
+
+SWEEP_BANDS = (2, 4, 8)  # rows-per-band = K_HASHES // b: (4, 2, 1)
+
+
+def _sweep_band_sql(nb: int) -> str:
+    rows = K_HASHES // nb
+    bands = ", ".join(
+        "md5("
+        + " || '_' || ".join(f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f") AS band_{b}"
+        for b in range(nb)
+    )
+    buckets = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash FROM bands{nb}"
+        for b in range(nb)
+    )
+    return f"""
+    bands{nb} AS (SELECT doc_id, {bands} FROM sigs),
+    buckets{nb} AS ({buckets}),
+    cand{nb} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets{nb} a JOIN buckets{nb} b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    stats{nb} AS (
+      SELECT {nb} AS n_bands, {rows} AS rows_per_band,
+             (SELECT COUNT(*) FROM cand{nb}) AS n_candidates,
+             (SELECT COUNT(*) FROM truth t JOIN cand{nb} c
+                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hit,
+             ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN cand{nb} c
+                           ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM truth), 6) AS recall,
+             ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN cand{nb} c
+                           ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM cand{nb}), 6) AS precision)
+    """
+
+
+@register(
+    "dedup_lsh_band_sweep",
+    _SQL_SHINGLE_CTE
+    + f""",
+    sigs AS (
+      SELECT doc_id, {', '.join(f'{_sql_sig(i)} AS sig_{i}' for i in range(K_HASHES))}
+      FROM shh),
+    truth AS (SELECT doc_a, doc_b FROM (__TRUTH__)),
+    {','.join(_sweep_band_sql(nb) for nb in SWEEP_BANDS)}
+    {' UNION ALL '.join(f'SELECT * FROM stats{nb}' for nb in SWEEP_BANDS)}
+    """.replace("__TRUTH__", _SQL_JACCARD_PAIRS + " SELECT doc_a, doc_b FROM pairs"),
+    doc=(
+        f"LSH banding sweep over b ∈ {SWEEP_BANDS} (K={K_HASHES}): "
+        "recall/precision of each (b, r) candidate set vs the exact "
+        "Jaccard truth — the measured banding-theory curve."
+    ),
+)
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup analog of ``sim_ivf_recall_curve``: banding theory says a
+    pair with similarity s collides with probability 1-(1-s^r)^b, so
+    fewer/wider bands (r↑) buy precision at recall's expense and
+    more/narrower bands (b↑) the reverse. ``dedup_lsh_eval`` measures the
+    ONE production config; this face measures the whole dial so the
+    b×r choice at 100 TB is a read-off, not a rerun.
+
+    Scale shape: ONE signature table (checkpointed, vocabulary of the
+    sweep) feeds every config; each config is a band-equality self-join
+    whose cost is its own collision count — exactly the quantity the
+    sweep is measuring; truth is computed once. All counts are scalar
+    aggregates crossed into 1-row stats (broadcast), unioned."""
+    from pyspark.sql.functions import broadcast
+
+    from trike_spark import cache
+
+    sigs = cache.checkpoint(dedup_minhash_signatures(spark, sf_dir))
+    truth = cache.checkpoint(
+        dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+
+    out = None
+    for nb in SWEEP_BANDS:
+        rows = K_HASHES // nb
+        band_cols = []
+        for b in range(nb):
+            parts = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+            band_cols.append(F.md5(F.concat_ws("_", *parts)).alias(f"band_{b}"))
+        bands = sigs.select("doc_id", *band_cols)
+        buckets = None
+        for b in range(nb):
+            leg = bands.select(
+                "doc_id", F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash")
+            )
+            buckets = leg if buckets is None else buckets.unionAll(leg)
+        a, bb = buckets.alias("a"), buckets.alias("b")
+        cand = (
+            a.join(
+                bb,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        cand = cache.checkpoint(cand)
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_hit = (
+            truth.join(cand, on=["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        row = (
+            n_cand.crossJoin(broadcast(n_hit))
+            .crossJoin(broadcast(n_truth))
+            .select(
+                F.lit(nb).alias("n_bands"),
+                F.lit(rows).alias("rows_per_band"),
+                "n_candidates",
+                "n_hit",
+                F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6).alias("recall"),
+                F.round(F.col("n_hit").cast("double") / F.col("n_candidates"), 6).alias(
+                    "precision"
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
