@@ -1253,3 +1253,88 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > MAD_CUTOFF)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("robust_z"))
     )
+
+
+# --- session-level analytics --------------------------------------------------
+
+
+@register(
+    "events_session_stats",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS dur_us
+      FROM numbered GROUP BY user_id, session_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+           ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_duration_s
+    FROM sessions
+    """,
+    doc=(
+        "Session-level analytics: session count, bounce rate "
+        "(single-event sessions), mean events and mean active duration."
+    ),
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollup a product dashboard reads off sessionization: how many
+    sessions, how many one-and-done (bounce), how long and how deep the
+    rest run. Duration is last-event − first-event (active span), not the
+    gap-padded window end the sessionization face emits.
+
+    Determinism: durations are exact integer microsecond differences;
+    every mean is an exact BIGINT sum through one pinned division.
+
+    Scale shape: ONE shuffle on user_id feeds both session windows (lag
+    flag + running sum share the partitioning), then the session rollup
+    and the global 1-row reduce; per-user state is bounded by that user's
+    events. Built on the gaps-and-islands form (not session_window) so
+    the whole plan stays in whole-stage codegen."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    e = load_table(spark, sf_dir, "events")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 10 minutes")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).cast("bigint").alias("dur_us"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sessions.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.round(bounce.cast("double") / F.count(F.lit(1)), 6).alias("bounce_rate"),
+        F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 6).alias("avg_events"),
+        F.round(
+            F.sum("dur_us").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("avg_duration_s"),
+    )

@@ -414,3 +414,78 @@ def window_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_cents")
         )
     )
+
+
+# --- rolling correlation ------------------------------------------------------
+
+CORR_WIN = 7  # trailing days
+
+
+@register(
+    "window_rolling_corr",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY CAST(ts AS DATE)),
+    roll AS (
+      SELECT d,
+             CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+             CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) OVER w AS DOUBLE) AS syy,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS n
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN {CORR_WIN - 1} PRECEDING AND CURRENT ROW))
+    SELECT d, CAST(n AS BIGINT) AS n_days,
+           ROUND((n * sxy - sx * sy) /
+                 (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS rolling_corr
+    FROM roll WHERE n = {CORR_WIN}
+    """,
+    doc=(
+        f"Trailing-{CORR_WIN}-day Pearson correlation between daily click and "
+        "purchase counts — integer window sums, one pinned double expression."
+    ),
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling cross-metric correlation — the co-movement monitor behind
+    'did purchases decouple from clicks this week' dashboards and feature
+    drift checks between paired signals.
+
+    Determinism: every moment (Σx, Σy, Σxy, Σx², Σy², n) is an exact
+    BIGINT window sum; the Pearson formula is ONE pinned double
+    expression over those exact sums (same discipline as text_zipf_slope,
+    in rolling form). No stddev/corr aggregate is used — engine-specific
+    accumulation orders would break the cross-engine hash.
+
+    Scale shape: the corpus-wide shuffle is the daily rollup (map-side
+    combined, |days|·|types| output); the rolling frame then runs over
+    the DAY dimension — bounded by the calendar, never by event volume
+    (the sanctioned dimension-sized window, same as the equi-depth
+    histogram)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-(CORR_WIN - 1), Window.currentRow)
+    roll = daily.select(
+        "d",
+        F.sum("x").over(w).cast("double").alias("sx"),
+        F.sum("y").over(w).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("double").alias("syy"),
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        roll.filter(n == CORR_WIN)
+        .select("d", n.cast("bigint").alias("n_days"), F.round(corr, 6).alias("rolling_corr"))
+    )
