@@ -40,6 +40,7 @@ ARROW_PYTHON_OK = {
     "pipeline_training_data_prep",
     "scalar_ols_trend_applyinpandas",
     "scalar_udtf_tokenize",
+    "sim_knn_graph_lsh",  # LSH bucket kernel (Arrow) feeds the graph build
     "sim_lsh_bucket_topk",
     "sim_lsh_recall_at_k",
     "sim_norms_pandas_udf",

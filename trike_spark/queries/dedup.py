@@ -1387,3 +1387,86 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --- approximate k-NN graph build (sim family; lives here with the LSH
+# bucket fragments to keep the dedup<->vectors import graph acyclic) ----------
+
+KNN_GRAPH_K = 3
+
+
+@register(
+    "sim_knn_graph_lsh",
+    f"""
+    WITH planes AS (
+      SELECT vec_id, embedding,
+             {', '.join(f'{_rotation_bucket_sql(r)} AS b_{r}' for r in range(LSH_ROTATIONS))}
+      FROM embeddings),
+    buckets AS (
+      {' UNION ALL '.join(
+          f'SELECT vec_id, {r} AS rot, b_{r} AS bucket FROM planes'
+          for r in range(LSH_ROTATIONS)
+      )}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+      FROM buckets x JOIN buckets y
+        ON x.rot = y.rot AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+    scored AS (
+      SELECT c.src, c.dst, ROUND({_sql_cos_ab()}, 6) AS cosine
+      FROM cand c JOIN embeddings a ON a.vec_id = c.src
+                  JOIN embeddings b ON b.vec_id = c.dst)
+    SELECT src, dst, cosine, rk FROM (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+      FROM scored) WHERE rk <= {KNN_GRAPH_K}
+    """,
+    doc=(
+        f"Approximate k-NN graph (k={KNN_GRAPH_K}) from LSH-bucket "
+        "candidates: per-node top-k among colliding vectors — the "
+        "sub-quadratic graph-build primitive."
+    ),
+)
+def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds the neighborhood graph that semi-supervised label
+    propagation, graph-based ANN (HNSW-family), and manifold diagnostics
+    all start from — WITHOUT the n² scan: candidates come from the same
+    4×6-hyperplane LSH buckets as the near-dup path, so per-node work
+    scales with bucket occupancy. Nodes whose collisions number under k
+    simply carry fewer edges, and isolated nodes none — the honest
+    approximate-graph semantics (densify by adding rotations, the
+    documented knob).
+
+    Scale shape: bucket assignment is a narrow Arrow-batched map; the
+    candidate join is bucket-equality (collision-bounded); scoring rides
+    the same exact fold as every sim_* face; the per-src top-k window is
+    bounded by candidate degree, not corpus size."""
+    import numpy as np
+
+    from pyspark.sql.functions import broadcast as _b  # noqa: F401
+
+    from trike_spark.operators.vector_blocks import lsh_bucket_cosine_pairs
+    from trike_spark.queries.vectors import DIM, _plane_values
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = np.array(
+        [
+            [_plane_values(r * LSH_ROT_PLANES + k) for k in range(LSH_ROT_PLANES)]
+            for r in range(LSH_ROTATIONS)
+        ]
+    )
+    pairs = (
+        lsh_bucket_cosine_pairs(emb, planes, threshold=-2.0)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine"
+    ).unionAll(
+        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        edges.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_GRAPH_K)
+        .select("src", "dst", "cosine", "rk")
+    )
