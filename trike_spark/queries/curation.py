@@ -1189,3 +1189,73 @@ def curation_dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(DSIR_SAMPLE_K)
     )
+
+
+# --- survivorship (golden record) merge --------------------------------------
+
+
+@register(
+    "curation_dedup_survivorship",
+    _SQL_JACCARD_PAIRS
+    + """,
+    nodes AS (SELECT DISTINCT doc FROM
+              (SELECT doc_a AS doc FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(doc, lbl) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.doc)
+      SELECT doc, MIN(lbl) AS canonical_id FROM r GROUP BY doc)
+    SELECT r.canonical_id,
+           MIN(d.doc_id) AS survivor_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           string_agg(DISTINCT d.source, ',' ORDER BY d.source) AS sources,
+           string_agg(DISTINCT d.lang, ',' ORDER BY d.lang) AS langs,
+           MAX(d.n_chars) AS max_chars
+    FROM reach r JOIN documents d ON d.doc_id = r.doc
+    GROUP BY r.canonical_id
+    HAVING COUNT(*) > 1
+    """,
+    doc=(
+        "Survivorship merge over near-dup clusters: each cluster collapses "
+        "to a golden record keeping min doc_id, the union of sources/langs "
+        "seen across its members, and the max length."
+    ),
+)
+def curation_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup's second half: dropping duplicates loses their metadata — the
+    survivor should carry the UNION of where its copies were seen (source
+    attribution drives mixture weights and licensing audits; max length
+    picks the least-truncated copy). Keyed on the near-dup CLUSTER (star-
+    CC over the exact-Jaccard pair graph) because this corpus, like most
+    crawls post-normalization, has few byte-exact copies but real
+    near-dup families.
+
+    Scale shape: composes the audited pair + CC chain; the merge itself
+    is one cluster-keyed aggregation over the clustered docs only (pair
+    participants, a small fraction of the corpus), with sorted-distinct
+    list merges (collect_set is arrival-ordered; sort_array restores the
+    canonical form — the string_agg determinism rule)."""
+    from trike_spark import cache
+    from trike_spark.operators.graph import connected_components_star
+    from trike_spark.queries.dedup import dedup_ngram_jaccard_pairs
+
+    pairs = cache.checkpoint(
+        dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.join(labels, d["doc_id"] == labels["node"])
+        .groupBy(F.col("lbl").alias("canonical_id"))
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
+            F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .filter(F.col("n_merged") > 1)
+    )

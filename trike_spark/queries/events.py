@@ -1338,3 +1338,50 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dur_us").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
         ).alias("avg_duration_s"),
     )
+
+
+# --- windowed trending top-k --------------------------------------------------
+
+TREND_TOPK = 3
+
+
+@register(
+    "events_windowed_topk",
+    f"""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events, rk FROM (
+      SELECT window_start, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rk
+      FROM hourly) WHERE rk <= {TREND_TOPK}
+    """,
+    doc=(
+        f"Trending: top-{TREND_TOPK} event types per hourly window "
+        "(windowed group-count + per-window rank)."
+    ),
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'what's trending this hour' shape every activity feed runs:
+    windowed count per key, then a bounded rank within each window. The
+    rollup shuffles once on (window, type) with map-side combine; the
+    rank window's groups are |types|-sized, so the second exchange moves
+    only the rollup (|windows|·|types| rows), never events. In streaming
+    form the rollup is the watermarked windowed aggregation and the rank
+    runs in the foreachBatch sink — same split as the CDC twin."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    wr = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        hourly.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TREND_TOPK)
+        .select("window_start", "event_type", "n_events", "rk")
+    )
