@@ -1385,3 +1385,47 @@ def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TREND_TOPK)
         .select("window_start", "event_type", "n_events", "rk")
     )
+
+
+# --- hour x day-of-week activity heatmap --------------------------------------
+
+
+@register(
+    "events_heatmap_hour_dow",
+    """
+    WITH cells AS (
+      SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hour_of_day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n_events) AS DOUBLE) AS total FROM cells)
+    SELECT dow, hour_of_day, n_events,
+           ROUND(CAST(n_events AS DOUBLE) / total, 6) AS share
+    FROM cells CROSS JOIN tot
+    """,
+    doc=(
+        "Activity heatmap: event counts and share per (day-of-week, "
+        "hour-of-day) cell — the seasonality fingerprint."
+    ),
+)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seasonality fingerprint behind capacity planning and
+    anomaly-baseline stratification (a Monday-9am baseline must not be
+    compared to Sunday-3am traffic). One map-side-combined rollup to at
+    most 7×24 cells; the share denominator is a 1-row broadcast.
+    dayofweek is 1=Sunday..7=Saturday in BOTH engines (Spark dayofweek /
+    DuckDB dayofweek+1 alignment is pinned by the driver hash)."""
+    from pyspark.sql.functions import broadcast
+
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = cells.agg(F.sum("n_events").cast("double").alias("total"))
+    return cells.crossJoin(broadcast(tot)).select(
+        "dow",
+        "hour_of_day",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / F.col("total"), 6).alias("share"),
+    )

@@ -1383,3 +1383,82 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --- incremental-corpus novelty ----------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)]),
+               p -> p[1] || ' ' || p[2] || ' ' || p[3])) AS shingles
+      FROM docs),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    firstseen AS (SELECT s, MIN(doc_id) AS first_doc FROM ex GROUP BY s),
+    novelty AS (
+      SELECT ex.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM ex JOIN firstseen f ON f.s = ex.s
+      GROUP BY ex.doc_id)
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           ROUND(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+    FROM novelty
+    """,
+    doc=(
+        "Corpus novelty: per document, the fraction of its distinct "
+        "trigrams first seen in it (ingest-order first occurrence)."
+    ),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'How much NEW content does each document add' — the marginal-value
+    curve of a growing corpus. A crawl whose late documents trend toward
+    zero novelty has saturated its sources; dedup thresholds and crawl
+    budgets both read off this curve. First-seen is attributed by doc_id
+    (the ingest order), so the metric is the batch form of what an
+    incremental pipeline computes against its standing shingle index
+    (``dedup_incremental_lsh``'s exact-membership sibling).
+
+    Scale shape: one explode → (shingle → min doc_id) aggregation (the
+    first-occurrence index, map-side combined), then a shingle-keyed join
+    back — the same two-shuffle skeleton as TF-IDF, with the trigram
+    distinct done array-side before the explode."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.array_distinct(_trigram_arr()).alias("shingles"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    firstseen = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    nov = (
+        ex.join(firstseen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return nov.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias("novelty"),
+    )
+
+
+def _trigram_arr():
+    """Word trigrams 'a b c' from the text column (the dedup shingle form)."""
+    toks = _tokens()
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 2)
+    return F.when(n >= 3, F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
