@@ -205,3 +205,29 @@ def test_streaming_point_in_time_twin_matches_batch_face(spark, tmp_path):
         assert {tuple(r) for r in rows} == batch
     finally:
         q.stop()
+
+
+def test_streaming_trending_twin_matches_batch_face(spark, tmp_path):
+    from trike_spark.queries.events import TREND_TOPK, events_windowed_topk
+    from trike_spark.streaming.analytics import trending_rank_sink, trending_stream
+
+    sf_dir = _events_fixture(tmp_path)
+    batch = {tuple(r) for r in events_windowed_topk(spark, sf_dir).collect()}
+    assert batch
+
+    target = str(tmp_path / "trending_out")
+    stream = _read_events_stream(spark, sf_dir)
+    q = (
+        trending_stream(stream)
+        .writeStream.foreachBatch(trending_rank_sink(target, topk=TREND_TOPK))
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trending"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(90)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert got == batch

@@ -388,3 +388,40 @@ def streaming_anomaly_probe(
             "event_id", "event_type", "value", F.round(z, 6).alias("robust_z")
         )
     )
+
+
+def trending_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming leg of ``events_windowed_topk``: the watermarked hourly
+    windowed count. The per-window RANK deliberately does not run here —
+    rank-over-window is not incrementally maintainable inside the
+    streaming engine, so the trending twin splits exactly like the CDC
+    twin: the engine owns the windowed aggregation state, the foreachBatch
+    sink re-ranks the refreshed aggregate and publishes the serving table
+    (see :func:`trending_rank_sink`)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def trending_rank_sink(target_path: str, topk: int = 3):
+    """foreachBatch half of the trending twin: rank the refreshed windowed
+    aggregate per window and OVERWRITE the serving table — the classic
+    'recompute the leaderboard on every refresh' publish, idempotent by
+    construction (same aggregate state → same table)."""
+    from pyspark.sql import Window
+
+    def apply(bdf: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+        (
+            bdf.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= topk)
+            .write.mode("overwrite")
+            .parquet(target_path)
+        )
+
+    return apply
