@@ -76,6 +76,8 @@ HEADLINE = [
     # round-4 session-3 additions
     "text_bm25_topk",
     "curation_split_cluster_safe",
+    "dedup_lsh_band_sweep",
+    "graph_knn_components",
 ]
 
 

@@ -1429,3 +1429,92 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("n_events").cast("double") / F.col("total"), 6).alias("share"),
     )
+
+
+# --- A/B experiment readout ---------------------------------------------------
+
+
+@register(
+    "events_ab_lift",
+    f"""
+    WITH assigned AS (
+      SELECT CASE WHEN {{draw}} < 50 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted
+      FROM events),
+    arms AS (
+      SELECT variant,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(converted) AS DOUBLE) AS k
+      FROM assigned GROUP BY variant),
+    wide AS (
+      SELECT MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+             MAX(CASE WHEN variant = 'A' THEN k END) AS ka,
+             MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+             MAX(CASE WHEN variant = 'B' THEN k END) AS kb
+      FROM arms)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ka AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(kb AS BIGINT) AS conv_b,
+           ROUND(ka / na, 6) AS rate_a,
+           ROUND(kb / nb, 6) AS rate_b,
+           ROUND((kb / nb) - (ka / na), 6) AS abs_lift,
+           ROUND(((kb / nb) - (ka / na)) /
+                 SQRT(((ka + kb) / (na + nb)) * (1.0 - (ka + kb) / (na + nb))
+                      * (1.0 / na + 1.0 / nb)), 6) AS z_stat
+    FROM wide
+    """.replace("{draw}", "(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100)"),
+    doc=(
+        "A/B readout: md5-draw variant assignment per user, per-event "
+        "purchase share per arm, absolute lift, two-proportion z statistic."
+    ),
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment readout: deterministic 50/50 assignment (md5 draw on
+    user_id — the SAME mechanism a real experimentation system uses, so a
+    user keeps their arm across sessions and replays), per-arm PURCHASE
+    SHARE, and the pooled two-proportion z statistic. The metric is
+    per-event share because per-user conversion saturates to 1.0 on this
+    corpus (everyone purchases eventually), which zeroes the variance
+    term; user-level correlation is the documented caveat, immaterial for
+    the A/A plumbing check this face is. Assignment is orthogonal to
+    behavior, so z ≈ 0 is itself the correctness signal — an A/A test
+    reading null is how experiment plumbing is validated.
+
+    Determinism: counts are exact; every rate/lift/z is one pinned double
+    expression over exact counts (driver hash contract).
+
+    Scale shape: a narrow per-row map, ONE map-side-combined |arms|-row
+    aggregation, and a 1-row readout — the whole experiment readout costs
+    a two-row shuffle at any scale."""
+    from trike_spark.queries.dedup import _h60
+
+    e = load_table(spark, sf_dir, "events")
+    draw = _h60(F.col("user_id").cast("string")) % 100
+    assigned = e.select(
+        F.when(draw < 50, "A").otherwise("B").alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("converted"),
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("k"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("k"))).alias("ka"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("k"))).alias("kb"),
+    )
+    na, ka, nb, kb = F.col("na"), F.col("ka"), F.col("nb"), F.col("kb")
+    pooled = (ka + kb) / (na + nb)
+    z = ((kb / nb) - (ka / na)) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return wide.select(
+        na.cast("bigint").alias("n_a"),
+        ka.cast("bigint").alias("conv_a"),
+        nb.cast("bigint").alias("n_b"),
+        kb.cast("bigint").alias("conv_b"),
+        F.round(ka / na, 6).alias("rate_a"),
+        F.round(kb / nb, 6).alias("rate_b"),
+        F.round((kb / nb) - (ka / na), 6).alias("abs_lift"),
+        F.round(z, 6).alias("z_stat"),
+    )
