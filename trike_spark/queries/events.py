@@ -1518,3 +1518,118 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((kb / nb) - (ka / na), 6).alias("abs_lift"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+# --- retention decay fit ------------------------------------------------------
+
+
+@register(
+    "events_retention_fit",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(FLOOR(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) / 7.0)
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id),
+    pooled AS (
+      SELECT a.week_offset,
+             CAST(COUNT(*) AS DOUBLE) AS n_active,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM firsts) AS n_total
+      FROM active a
+      GROUP BY a.week_offset),
+    pts AS (
+      SELECT CAST(CAST(week_offset AS DOUBLE) AS DECIMAL(18,6)) AS x,
+             CAST(ROUND(LN(n_active / n_total), 6) AS DECIMAL(18,6)) AS y
+      FROM pooled WHERE week_offset >= 1),
+    s2 AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM pts),
+    fit AS (
+      SELECT n, sx, sy, sxx, sxy,
+             ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0), 6)
+               AS decay_slope
+      FROM s2)
+    SELECT CAST(n AS BIGINT) AS n_offsets, decay_slope,
+           ROUND((sy - decay_slope * sx) / n, 6) AS intercept,
+           ROUND(-0.693147 / NULLIF(decay_slope, 0.0), 6) AS half_life_weeks
+    FROM fit
+    """,
+    doc=(
+        "Retention decay fit: OLS of ln(pooled retention rate) vs week "
+        "offset — decay slope, intercept, half-life in weeks."
+    ),
+)
+def events_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compresses the retention matrix into the two numbers a growth model
+    consumes: the exponential decay rate of pooled week-over-week
+    retention and its half-life. Same pinned-OLS discipline as
+    text_zipf_slope (quantized points, exact DECIMAL moments, one double
+    expression); ln(2) enters as the literal 0.693147 so both engines
+    share the constant exactly.
+
+    Scale shape: reuses the cohort rollup's two user_id shuffles; the
+    regression runs over the WEEK-OFFSET dimension (a handful of rows) —
+    the fit itself is free at any scale."""
+    from pyspark.sql.functions import broadcast
+
+    e = load_table(spark, sf_dir, "events")
+    from trike_spark import cache
+
+    # consumed by the join AND the n_total count — materialize once
+    firsts = cache.checkpoint(
+        e.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        )
+    )
+    active = (
+        e.join(firsts, on="user_id")
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7.0)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    n_total = firsts.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    pooled = (
+        active.groupBy("week_offset")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_active"))
+        .crossJoin(broadcast(n_total))
+    )
+    pts = pooled.filter(F.col("week_offset") >= 1).select(
+        F.col("week_offset").cast("double").cast("decimal(18,6)").alias("x"),
+        F.round(F.log(F.col("n_active") / F.col("n_total")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    s2 = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    # NULLIF guards: a corpus spanning <2 retained week-offsets (tiny SFs)
+    # has no line to fit — slope/half-life go NULL instead of erroring.
+    fit = s2.select(
+        n, sx, sy, sxx, sxy,
+        F.round(
+            (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0)), 6
+        ).alias("decay_slope"),
+    )
+    return fit.select(
+        n.cast("bigint").alias("n_offsets"),
+        F.col("decay_slope"),
+        F.round((sy - F.col("decay_slope") * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.lit(-0.693147) / F.nullif(F.col("decay_slope"), F.lit(0.0)), 6
+        ).alias("half_life_weeks"),
+    )
