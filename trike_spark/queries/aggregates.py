@@ -566,3 +566,82 @@ def agg_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_customers"),
         )
     )
+
+
+# --- Benford first-digit audit ------------------------------------------------
+
+# expected Benford mass log10(1 + 1/d), rounded to 6 dp (shared literals)
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD.items()
+)
+
+
+@register(
+    "agg_benford_first_digit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS DOUBLE) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM obs)
+    SELECT digit, CAST(n AS BIGINT) AS n_orders,
+           ROUND(n / total, 6) AS observed,
+           CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE) AS expected,
+           ROUND((n / total - CASE digit {_BENFORD_CASE} END) /
+                 CASE digit {_BENFORD_CASE} END, 6) AS rel_deviation
+    FROM obs CROSS JOIN tot
+    """,
+    doc=(
+        "Benford first-digit audit on order totals: observed vs expected "
+        "log10(1+1/d) mass and relative deviation per digit."
+    ),
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fraud/data-quality screen: naturally-arising multiplicative
+    amounts follow Benford's law; fabricated or truncated columns don't.
+    TPC-H totalprice is uniform-ish, NOT Benford — large deviations here
+    are the correct reading, and that contrast is the point of shipping
+    the audit with pinned expected masses (rounded log10(1+1/d) literals
+    shared by both engines) rather than asserting conformance.
+
+    Scale shape: first digit is a narrow string map (truncate → first
+    char — no log/pow float path to disagree on); a 9-row aggregation
+    with map-side combine and a 1-row total broadcast."""
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders")
+    # explicit FLOOR: Spark's double->bigint cast truncates while
+    # DuckDB's rounds — floor is the one semantics both engines share.
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("double").alias("total"))
+    expected = F.col("digit")
+    exp_case = None
+    for d, p in _BENFORD.items():
+        exp_case = (
+            F.when(F.col("digit") == d, F.lit(p))
+            if exp_case is None
+            else exp_case.when(F.col("digit") == d, F.lit(p))
+        )
+    return obs.crossJoin(broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("n") / F.col("total"), 6).alias("observed"),
+        exp_case.alias("expected"),
+        F.round(
+            (F.col("n") / F.col("total") - exp_case) / exp_case, 6
+        ).alias("rel_deviation"),
+    )

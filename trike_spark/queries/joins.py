@@ -14,7 +14,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -515,5 +515,102 @@ def join_asof_forward_order_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
             F.col("mm.l_shipdate").alias("next_shipdate"),
             F.col("mm.asof_shipkey").alias("asof_shipkey"),
+        )
+    )
+
+
+@register(
+    "join_nearest_acctbal",
+    """
+    WITH s AS (SELECT s_suppkey AS id, s_acctbal AS bal, 1 AS is_s FROM supplier),
+    c AS (SELECT c_custkey AS id, c_acctbal AS bal, 0 AS is_s FROM customer),
+    u AS (SELECT * FROM s UNION ALL SELECT * FROM c),
+    ordered AS (
+      SELECT id, bal, is_s,
+             LAST_VALUE(CASE WHEN is_s = 0 THEN id END IGNORE NULLS)
+               OVER (ORDER BY bal, is_s, id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_c,
+             LAST_VALUE(CASE WHEN is_s = 0 THEN bal END IGNORE NULLS)
+               OVER (ORDER BY bal, is_s, id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_b,
+             FIRST_VALUE(CASE WHEN is_s = 0 THEN id END IGNORE NULLS)
+               OVER (ORDER BY bal, is_s, id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c,
+             FIRST_VALUE(CASE WHEN is_s = 0 THEN bal END IGNORE NULLS)
+               OVER (ORDER BY bal, is_s, id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b
+      FROM u)
+    SELECT id AS s_suppkey, bal AS s_acctbal,
+           CASE WHEN next_c IS NULL THEN prev_c
+                WHEN prev_c IS NULL THEN next_c
+                WHEN ABS(bal - prev_b) < ABS(next_b - bal) THEN prev_c
+                WHEN ABS(next_b - bal) < ABS(bal - prev_b) THEN next_c
+                ELSE LEAST(prev_c, next_c) END AS nearest_custkey,
+           ROUND(LEAST(COALESCE(ABS(bal - prev_b), 1e18),
+                       COALESCE(ABS(next_b - bal), 1e18)), 2) AS distance
+    FROM ordered WHERE is_s = 1
+    """,
+    doc=(
+        "Nearest-value (1-NN) join via sort-merge adjacency: each supplier "
+        "matched to the customer with the closest account balance — one "
+        "sort, zero band joins."
+    ),
+)
+def join_nearest_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar 1-nearest-neighbor join done the distributed-sort way: tag
+    and UNION both sides, sort once on the value, and each probe row's
+    nearest match is whichever of its closest build-side predecessor /
+    successor is nearer. A naive formulation is a band join with a
+    per-row argmin (quadratic in band occupancy); the sort-merge form is
+    ONE range-partitioned sort plus two running IGNORE NULLS window
+    fills — the same trick that scales as-of joins, applied to an
+    unordered value domain. Ties break toward the smaller customer key,
+    so the match is total-order deterministic.
+
+    Scale shape: sort is Spark's scalable range-exchange; the window
+    frames are running (incrementally maintained, no re-scan per row).
+    The single global ordering is over BOTH dimensions' union — at fact
+    scale, range-partition the window by value band with boundary
+    overlap, the standard distributed-window split."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_acctbal").alias("bal"), F.lit(1).alias("is_s")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("bal"), F.lit(0).alias("is_s")
+    )
+    u = s.unionAll(c)
+    order = [F.col("bal"), F.col("is_s"), F.col("id")]
+    w_prev = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.orderBy(*order).rowsBetween(1, Window.unboundedFollowing)
+    cust_id = F.when(F.col("is_s") == 0, F.col("id"))
+    cust_bal = F.when(F.col("is_s") == 0, F.col("bal"))
+    ordered = u.select(
+        "id",
+        "bal",
+        "is_s",
+        F.last(cust_id, ignorenulls=True).over(w_prev).alias("prev_c"),
+        F.last(cust_bal, ignorenulls=True).over(w_prev).alias("prev_b"),
+        F.first(cust_id, ignorenulls=True).over(w_next).alias("next_c"),
+        F.first(cust_bal, ignorenulls=True).over(w_next).alias("next_b"),
+    )
+    prev_d = F.abs(F.col("bal") - F.col("prev_b"))
+    next_d = F.abs(F.col("next_b") - F.col("bal"))
+    nearest = (
+        F.when(F.col("next_c").isNull(), F.col("prev_c"))
+        .when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(prev_d < next_d, F.col("prev_c"))
+        .when(next_d < prev_d, F.col("next_c"))
+        .otherwise(F.least("prev_c", "next_c"))
+    )
+    dist = F.least(
+        F.coalesce(prev_d, F.lit(1e18)), F.coalesce(next_d, F.lit(1e18))
+    )
+    return (
+        ordered.filter(F.col("is_s") == 1)
+        .select(
+            F.col("id").alias("s_suppkey"),
+            F.col("bal").alias("s_acctbal"),
+            nearest.alias("nearest_custkey"),
+            F.round(dist, 2).alias("distance"),
         )
     )
