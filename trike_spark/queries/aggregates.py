@@ -645,3 +645,63 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") / F.col("total") - exp_case) / exp_case, 6
         ).alias("rel_deviation"),
     )
+
+
+# --- Gini concentration -------------------------------------------------------
+
+
+@register(
+    "agg_gini_spend",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS spend
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT spend,
+             ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS i
+      FROM spend),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(spend) AS DOUBLE) AS total,
+             CAST(SUM(i * spend) AS DOUBLE) AS weighted
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND((2.0 * weighted) / (n * total) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+    doc=(
+        "Gini coefficient of customer spend (exact rank-weighted form) — "
+        "the concentration companion to the Pareto 80/20 report."
+    ),
+)
+def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-number concentration metric next to the Pareto crossing:
+    G = 2·Σ(i·x_(i)) / (n·Σx) − (n+1)/n over ascending-sorted spend.
+    Rank i comes from a total order (spend, custkey), i·x folds in exact
+    DECIMAL (rank × decimal is exact), and the Gini formula is one pinned
+    double expression — same discipline as the OLS faces.
+
+    Scale shape: one o_custkey shuffle, then a dimension-sized ranking
+    window (customers, not facts) and a 1-row reduce; at 100 TB the
+    ranking becomes a two-pass range-partitioned sort with per-partition
+    offset fixup — the standard distributed rank, same output."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("spend"))
+    ranked = spend.select(
+        "spend",
+        F.row_number().over(Window.orderBy(F.col("spend"), F.col("o_custkey"))).alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("spend").cast("double").alias("total"),
+        F.sum(F.col("i") * F.col("spend")).cast("double").alias("weighted"),
+    )
+    n, total, weighted = F.col("n"), F.col("total"), F.col("weighted")
+    return s.select(
+        n.cast("bigint").alias("n_customers"),
+        F.round((F.lit(2.0) * weighted) / (n * total) - (n + F.lit(1.0)) / n, 6).alias(
+            "gini"
+        ),
+    )

@@ -1633,3 +1633,57 @@ def events_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-0.693147) / F.nullif(F.col("decay_slope"), F.lit(0.0)), 6
         ).alias("half_life_weeks"),
     )
+
+
+# --- activity streaks ---------------------------------------------------------
+
+
+@register(
+    "events_active_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    grp AS (
+      SELECT user_id, d,
+             CAST(d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                           AS INT) AS DATE) AS anchor
+      FROM days),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS streak_len FROM grp GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(streak_len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id
+    """,
+    doc=(
+        "Longest consecutive-active-day streak per user (gaps-and-islands "
+        "on the calendar), plus streak count and total active days."
+    ),
+)
+def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement-streak report (daily-habit metrics, anomaly ground
+    truth for retention work): consecutive active days share the anchor
+    date − row_number() island key — integer date arithmetic only, no
+    interval/float semantics to disagree on.
+
+    Scale shape: ONE user_id exchange carries the distinct-day set, the
+    island window, and both rollups (all partition on user_id, so AQE
+    reuses the exchange); per-user state is that user's active-day count,
+    never their event count."""
+    w = Window.partitionBy("user_id").orderBy("d")
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("streak_len").cast("bigint").alias("active_days"),
+    )
