@@ -441,3 +441,54 @@ def test_streaming_anomaly_probe_matches_batch(spark, tmp_path):
     key = lambda r: (r["event_id"], r["robust_z"])
     assert sorted(map(key, got)) == sorted(map(key, static))
     assert {r["event_id"] for r in got} == {2, 4}
+
+
+def test_streaming_bm25_score_matches_python_fold(spark, tmp_path):
+    from pyspark.sql.types import LongType
+
+    from trike_spark.streaming.analytics import streaming_bm25_score
+
+    idf = [("hash", 1.2), ("join", 0.9)]
+    avgdl = 4.0
+    docs = [
+        {"doc_id": 1, "text": "hash join hash scan"},
+        {"doc_id": 2, "text": "scan filter merge"},
+        {"doc_id": 3, "text": "join join join"},
+    ]
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "bm25_in"
+    src.mkdir()
+    _write(src, "b1.json", docs)
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    q = (
+        streaming_bm25_score(stream, idf, avgdl)
+        .writeStream.format("memory")
+        .queryName("bm25_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bm25_ckpt"))
+        .start()
+    )
+    try:
+        got = _poll(spark, q, "bm25_out", lambda rows: len(rows) == len(docs))
+    finally:
+        q.stop()
+    lut = dict(idf)
+    by_id = {r["doc_id"]: r for r in got}
+    k1, b = 1.2, 0.75
+    for d in docs:
+        toks = d["text"].split(" ")
+        dl = len(toks)
+        norm = (1.0 - b) + b * (float(dl) / avgdl)
+        seen = []
+        for t in toks:  # distinct, first-occurrence order (array_distinct)
+            if t not in seen:
+                seen.append(t)
+        acc = 0.0
+        for t in seen:
+            if t in lut:
+                tf = float(toks.count(t))
+                acc += round(lut[t] * ((tf * (k1 + 1.0)) / (tf + k1 * norm)), 6)
+        assert by_id[d["doc_id"]]["bm25"] == round(acc, 6), (d, got)
+        assert by_id[d["doc_id"]]["n_tokens"] == dl

@@ -425,3 +425,47 @@ def trending_rank_sink(target_path: str, topk: int = 3):
         )
 
     return apply
+
+
+def streaming_bm25_score(
+    doc_stream: DataFrame,
+    idf_entries: list[tuple[str, float]],
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Streaming twin of ``text_bm25_topk``'s scoring stage: arriving
+    documents are BM25-scored against a FROZEN index model (per-term idf
+    + corpus avgdl — the artifacts the batch index build publishes).
+
+    Same stateless broadcast-model shape as :func:`streaming_dsir_score`:
+    the idf table ships as one literal map (|Q|-to-vocabulary sized), the
+    per-row score is computed from the row's own token array, so there is
+    no shuffle, no state, no watermark. This is how query-scoring a
+    firehose against a fixed retrieval index actually deploys; rebuilding
+    idf/avgdl stays a batch job. Term frequency within the row uses the
+    array filter+size form (no explode), and per-term scores are rounded
+    then summed in array order — deterministic and replay-stable."""
+    keys = [t for t, _ in idf_entries]
+    vals = [v for _, v in idf_entries]
+    idf_map = F.map_from_arrays(
+        F.lit(keys).cast("array<string>"), F.lit(vals).cast("array<double>")
+    )
+    toks = F.split(F.col("text"), " ")
+    dl = F.size(toks)
+    norm = F.lit(1.0 - b) + F.lit(b) * (dl.cast("double") / F.lit(float(avgdl)))
+
+    def term_score(t: Column) -> Column:
+        tf = F.size(F.filter(toks, lambda x: x == t)).cast("double")
+        idf = F.element_at(idf_map, t)
+        return F.round(idf * ((tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm)), 6)
+
+    # score only the model's terms present in the row: fold over the
+    # DISTINCT tokens that hit the idf map (unseen terms contribute 0).
+    hits = F.filter(F.array_distinct(toks), lambda t: F.element_at(idf_map, t).isNotNull())
+    total = F.aggregate(
+        F.transform(hits, term_score), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return doc_stream.select(
+        "doc_id", dl.alias("n_tokens"), F.round(total, 6).alias("bm25")
+    )
