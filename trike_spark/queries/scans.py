@@ -539,3 +539,57 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("day")
     )
+
+
+@register(
+    "scan_versioned_time_travel",
+    """
+    SELECT 'v1_snapshot' AS leg,
+           (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS n_rows
+    UNION ALL
+    SELECT 'v2_snapshot', (SELECT COUNT(*) FROM documents)
+    UNION ALL
+    SELECT 'incremental_v1_to_v2',
+           (SELECT COUNT(*) FROM documents WHERE lang <> 'en')
+    """,
+    doc=(
+        "Versioned-table face: commit v1 (en docs), append v2 (the rest), "
+        "then time-travel-read both snapshots and the v1→v2 incremental "
+        "delta — counts must reconcile with the source exactly."
+    ),
+)
+def scan_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Puts the lakehouse layer (trike_spark/versioned.py: manifest
+    commits, snapshot isolation, incremental consumption) under the
+    driver's oracle gate, not just pytest: v1 = the English docs, v2
+    appends the rest; reading v1 AFTER v2 exists must still see only v1's
+    rows (snapshot isolation), latest sees all, and the incremental
+    reader picks up exactly the appended delta. The scratch table is
+    rebuilt from zero each run (manifests are append-only state — a stale
+    chain would shift version numbers and break determinism).
+
+    Scale note: the versioned reads plan from the manifest's file list —
+    O(manifest) planning, no directory listing — and the incremental leg
+    reads ONLY the delta directories; the counts here are the smallest
+    faithful observation of those properties."""
+    import shutil
+
+    from trike_spark import versioned
+
+    path = _scan_tmp(spark, "versioned_tt")
+    shutil.rmtree(path, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    v1 = versioned.commit(d.filter(F.col("lang") == "en"), path, mode="append")
+    versioned.commit(d.filter(F.col("lang") != "en"), path, mode="append")
+    n_v1 = versioned.read_version(spark, path, v1).count()
+    n_v2 = versioned.read_version(spark, path).count()
+    inc_df, _hw = versioned.read_incremental(spark, path, since_version=v1)
+    n_inc = 0 if inc_df is None else inc_df.count()
+    return spark.createDataFrame(
+        [
+            ("v1_snapshot", n_v1),
+            ("v2_snapshot", n_v2),
+            ("incremental_v1_to_v2", n_inc),
+        ],
+        "leg string, n_rows long",
+    )
