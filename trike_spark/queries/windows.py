@@ -489,3 +489,81 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         roll.filter(n == CORR_WIN)
         .select("d", n.cast("bigint").alias("n_days"), F.round(corr, 6).alias("rolling_corr"))
     )
+
+
+# --- CUSUM drawdown (change detection) ---------------------------------------
+
+
+@register(
+    "window_cusum_drawdown",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS rev
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(SUM(rev) AS DOUBLE) AS total,
+                   CAST(COUNT(*) AS DOUBLE) AS n FROM monthly),
+    series AS (
+      SELECT m,
+             CAST(SUM(rev) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS cum_rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY m) AS DOUBLE) AS t,
+             tot.total, tot.n
+      FROM monthly CROSS JOIN tot),
+    cusum AS (SELECT m, cum_rev - t * (total / n) AS s FROM series),
+    dd AS (
+      SELECT m, s,
+             MAX(s) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS peak
+      FROM cusum)
+    SELECT m, ROUND(s, 2) AS cusum, ROUND(peak - s, 2) AS drawdown
+    FROM dd
+    """,
+    doc=(
+        "CUSUM control chart over monthly revenue: cumulative deviation "
+        "from the mean-rate line, running peak, and drawdown per month — "
+        "the classic change-point/regime-shift detector."
+    ),
+)
+def window_cusum_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM, the change-detection chart: S_t = Σrev − t·mean
+    drifts near zero while the process is stationary and runs away when
+    the rate shifts; peak − S_t (the drawdown) is the evidence of a
+    downshift since the best point. The same statistic monitors corpus
+    ingest rates or per-source token mix at 100 TB.
+
+    Determinism: the cumulative is an EXACT decimal window sum cast to
+    double once per row; the drift line t·(total/n) and every subtraction
+    are pinned double expressions; peak is a running MAX (no re-fold).
+
+    Scale shape: one map-side-combined monthly rollup; all windows run
+    over the MONTH dimension (calendar-bounded — the sanctioned
+    dimension-sized global window)."""
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    tot = monthly.agg(
+        F.sum("rev").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    w_cum = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    series = monthly.crossJoin(broadcast(tot)).select(
+        "m",
+        F.sum("rev").over(w_cum).cast("double").alias("cum_rev"),
+        F.row_number().over(Window.orderBy("m")).cast("double").alias("t"),
+        "total",
+        "n",
+    )
+    s = F.col("cum_rev") - F.col("t") * (F.col("total") / F.col("n"))
+    dd = series.select("m", s.alias("s")).select(
+        "m",
+        "s",
+        F.max("s").over(w_cum.orderBy("m")).alias("peak"),
+    )
+    return dd.select(
+        "m",
+        F.round(F.col("s"), 2).alias("cusum"),
+        F.round(F.col("peak") - F.col("s"), 2).alias("drawdown"),
+    )
