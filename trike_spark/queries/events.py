@@ -1687,3 +1687,76 @@ def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.sum("streak_len").cast("bigint").alias("active_days"),
     )
+
+
+# --- bot / automation detection via timing regularity -------------------------
+
+BOT_MIN_EVENTS = 20
+
+
+@register(
+    "events_bot_regularity",
+    f"""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(date_diff('microsecond',
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts) // 1000 AS BIGINT) AS gap_ms
+      FROM events),
+    g AS (SELECT user_id, gap_ms FROM gaps WHERE gap_ms IS NOT NULL),
+    stats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(gap_ms) AS DOUBLE) AS s1,
+             CAST(SUM(gap_ms * gap_ms) AS DOUBLE) AS s2
+      FROM g GROUP BY user_id HAVING COUNT(*) >= {BOT_MIN_EVENTS})
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           ROUND(s1 / n / 1000.0, 6) AS mean_gap_s,
+           ROUND(SQRT((s2 - (s1 * s1) / n) / n) / (s1 / n), 6) AS gap_cv
+    FROM stats
+    """,
+    doc=(
+        "Timing-regularity screen: per-user coefficient of variation of "
+        "inter-event gaps (human traffic is bursty, CV ~ 1; automation is "
+        f"metronomic, CV << 1); users with >= {BOT_MIN_EVENTS} gaps."
+    ),
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The abuse/automation screen that needs no labels: humans emit
+    bursty traffic (inter-event gaps near-exponential, CV ≈ 1), scripted
+    clients are metronomic (CV ≪ 1) or retry-storm-shaped (CV ≫ 1). Gaps
+    are exact integer microsecond differences over the (ts, event_id)
+    total order; mean and CV come from the exact Σ and Σ² through one
+    pinned double expression (population variance — same moment algebra
+    as the rolling-correlation face).
+
+    Scale shape: ONE user_id exchange serves the lag window and the
+    moment rollup; state per user is three numbers. The screen composes
+    with the MAD face: regularity flags the WHO, value outliers the
+    WHAT."""
+    e = load_table(spark, sf_dir, "events")
+    # millisecond gaps: µs squares overflow BIGINT (hours² of µs² > 2^63);
+    # integer-div to ms keeps Σ(gap²) exact in long at any realistic span.
+    gaps = e.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) over "
+            "(partition by user_id order by ts, event_id))) div 1000"
+        ).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("gap_ms").cast("double").alias("s1"),
+            F.sum(F.col("gap_ms") * F.col("gap_ms")).cast("double").alias("s2"),
+        )
+        .filter(F.col("n") >= BOT_MIN_EVENTS)
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return stats.select(
+        "user_id",
+        n.cast("bigint").alias("n_gaps"),
+        F.round(s1 / n / 1000.0, 6).alias("mean_gap_s"),
+        F.round(F.sqrt((s2 - (s1 * s1) / n) / n) / (s1 / n), 6).alias("gap_cv"),
+    )

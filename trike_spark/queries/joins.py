@@ -614,3 +614,61 @@ def join_nearest_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dist, 2).alias("distance"),
         )
     )
+
+
+@register(
+    "join_skyline_suppliers",
+    """
+    WITH m AS (
+      SELECT s.s_suppkey, s.s_acctbal,
+             COUNT(DISTINCT l.l_partkey) AS n_parts
+      FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_suppkey, s.s_acctbal),
+    ranked AS (
+      SELECT s_suppkey, s_acctbal, n_parts,
+             MAX(n_parts) OVER (ORDER BY s_acctbal DESC, s_suppkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_parts_above
+      FROM m)
+    SELECT s_suppkey, s_acctbal, CAST(n_parts AS BIGINT) AS n_parts
+    FROM ranked
+    WHERE best_parts_above IS NULL OR n_parts > best_parts_above
+    """,
+    doc=(
+        "2-D skyline (Pareto frontier): suppliers not dominated on "
+        "(acctbal, distinct parts supplied) — sort one dim, running-max "
+        "the other."
+    ),
+)
+def join_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline/Pareto-frontier operator (multi-criteria shortlisting:
+    'no other supplier is at least as rich AND supplies more parts').
+    The textbook nested-loop dominance test is O(n²); the sort-based form
+    is the classic O(n log n) reduction — order by dim-1 descending, keep
+    a row iff its dim-2 beats the running max of everything ranked above
+    it. Strictly-dominated rows drop; ties on acctbal resolve through the
+    total order (suppkey), matching the window frame exactly in both
+    engines.
+
+    Scale shape: the metric build is one keyed aggregation; the frontier
+    pass is a dimension-sized sort + running max (suppliers, not facts).
+    At fact scale the same pass range-partitions on dim-1 with per-
+    partition max fixup — the standard distributed-skyline split."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .groupBy("s_suppkey", "s_acctbal")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = m.withColumn("best_parts_above", F.max("n_parts").over(w))
+    return (
+        ranked.filter(
+            F.col("best_parts_above").isNull()
+            | (F.col("n_parts") > F.col("best_parts_above"))
+        )
+        .select("s_suppkey", "s_acctbal", F.col("n_parts").cast("bigint").alias("n_parts"))
+    )
