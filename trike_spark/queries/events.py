@@ -1760,3 +1760,160 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s1 / n / 1000.0, 6).alias("mean_gap_s"),
         F.round(F.sqrt((s2 - (s1 * s1) / n) / n) / (s1 / n), 6).alias("gap_cv"),
     )
+
+
+# --- conversion latency distribution ------------------------------------------
+
+
+@register(
+    "events_conversion_latency",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_us
+      FROM events),
+    lat AS (
+      SELECT (epoch_us(ts) - last_view_us) / 1000000.0 AS latency_s
+      FROM marked
+      WHERE event_type = 'purchase' AND last_view_us IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_s,
+           ROUND(quantile_cont(latency_s, 0.99), 6) AS p99_s
+    FROM lat
+    """,
+    doc=(
+        "Conversion latency: view -> next purchase delay per conversion, "
+        "summarized as exact p50/p90/p99 seconds."
+    ),
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'How long from seeing to buying' — the latency distribution that
+    sizes attribution windows (the 1 h cutoff in the last-touch face
+    should sit in this distribution's tail, not its body). Latency uses
+    the same running-conditional-MAX trick as attribution (window, not
+    self-join); the integer-µs difference converts through one pinned
+    division and the percentiles are the engines' shared exact
+    interpolation (agg_percentiles contract).
+
+    Scale shape: one user_id window pass, then a global exact percentile
+    over CONVERSIONS (a tiny fraction of events); at 100 TB swap
+    percentile_approx, same output contract."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    e = load_table(spark, sf_dir, "events")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).over(w).alias("last_view_us"),
+    )
+    lat = marked.filter(
+        (F.col("event_type") == "purchase") & F.col("last_view_us").isNotNull()
+    ).select(
+        ((F.unix_micros("ts") - F.col("last_view_us")) / 1000000.0).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.round(F.percentile("latency_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("latency_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.round(F.percentile("latency_s", F.lit(0.99)), 6).alias("p99_s"),
+    )
+
+
+# --- attribution model comparison ---------------------------------------------
+
+
+@register(
+    "events_attribution_models",
+    """
+    WITH touches AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('click', 'view')),
+    purch AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT p.event_id AS pid, t.event_type AS channel, t.ts AS tts,
+             t.event_id AS tid
+      FROM purch p JOIN touches t ON t.user_id = p.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL '1 hour'),
+    per AS (SELECT pid, COUNT(*) AS n_touches FROM pairs GROUP BY pid),
+    ranked AS (
+      SELECT pairs.pid, channel,
+             ROW_NUMBER() OVER (PARTITION BY pairs.pid ORDER BY tts, tid) AS rk_first,
+             ROW_NUMBER() OVER (PARTITION BY pairs.pid ORDER BY tts DESC, tid DESC)
+               AS rk_last,
+             CAST(ROUND(1.0 / per.n_touches, 6) AS DECIMAL(18,6)) AS lin
+      FROM pairs JOIN per ON per.pid = pairs.pid)
+    SELECT channel,
+           CAST(SUM(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch,
+           CAST(SUM(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch,
+           CAST(SUM(lin) AS DOUBLE) AS linear_credit
+    FROM ranked GROUP BY channel
+    """,
+    doc=(
+        "Attribution-model comparison: per channel, conversions credited "
+        "under first-touch, last-touch, and linear models (1 h window)."
+    ),
+)
+def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report marketing actually argues over — the SAME conversions
+    credited three ways, side by side, so the model choice's skew is
+    visible (first-touch rewards discovery channels, last-touch closers,
+    linear splits the difference). Linear credits are rounded per pair
+    then summed in exact DECIMAL so the fractional 1/n shares fold
+    order-independently.
+
+    Scale shape: the purchase⨝touch pair join is an equi-join on user_id
+    with a 1 h band predicate — candidates bounded by per-user touch rate
+    × window, never all-pairs; both window ranks and the per-purchase
+    count share the pid partitioning. The two window passes and final
+    rollup reuse one exchange."""
+    from pyspark.sql.functions import broadcast  # noqa: F401
+
+    e = load_table(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    pairs = purch.join(
+        touches,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+    ).select("pid", "channel", "tts", "tid")
+    per = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("n_touches"))
+    w_first = Window.partitionBy("pid").orderBy("tts", "tid")
+    w_last = Window.partitionBy("pid").orderBy(F.col("tts").desc(), F.col("tid").desc())
+    ranked = (
+        pairs.join(per, "pid")
+        .withColumn("rk_first", F.row_number().over(w_first))
+        .withColumn("rk_last", F.row_number().over(w_last))
+        .withColumn(
+            "lin", F.round(F.lit(1.0) / F.col("n_touches"), 6).cast("decimal(18,6)")
+        )
+    )
+    return ranked.groupBy("channel").agg(
+        F.sum(F.when(F.col("rk_first") == 1, 1).otherwise(0)).cast("bigint").alias(
+            "first_touch"
+        ),
+        F.sum(F.when(F.col("rk_last") == 1, 1).otherwise(0)).cast("bigint").alias(
+            "last_touch"
+        ),
+        F.sum("lin").cast("double").alias("linear_credit"),
+    )
