@@ -1917,3 +1917,92 @@ def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("lin").cast("double").alias("linear_credit"),
     )
+
+
+# --- market-basket lift --------------------------------------------------------
+
+
+@register(
+    "events_market_basket_lift",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      FROM events),
+    nb AS (SELECT CAST(COUNT(DISTINCT (user_id, d)) AS DOUBLE) AS n_baskets
+           FROM baskets),
+    item AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n FROM baskets
+      GROUP BY event_type),
+    pair AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             CAST(COUNT(*) AS DOUBLE) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.d = b.d AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT item_a, item_b,
+           CAST(n_ab AS BIGINT) AS n_cooccur,
+           ROUND(n_ab / nb.n_baskets, 6) AS support,
+           ROUND((n_ab / nb.n_baskets) /
+                 ((ia.n / nb.n_baskets) * (ib.n / nb.n_baskets)), 6) AS lift
+    FROM pair JOIN item ia ON ia.event_type = pair.item_a
+              JOIN item ib ON ib.event_type = pair.item_b
+              CROSS JOIN nb
+    """,
+    doc=(
+        "Market-basket association: per event-type pair, co-occurrence "
+        "support within (user, day) baskets and lift vs independence."
+    ),
+)
+def events_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules' first rung: which behaviors co-occur in a
+    basket beyond what independence predicts (lift > 1 → bundle, < 1 →
+    substitution). Baskets are (user, day); items the event types — the
+    same shape as product-SKU baskets at retail scale.
+
+    Scale shape: the basket build is one distinct over (user, day, type);
+    the pair join keys on the BASKET id, so candidates are per-basket
+    |items|² (bounded by the type vocabulary, not events); item and
+    basket totals are broadcastable dimension tables; every probability
+    is exact counts through pinned doubles."""
+    from pyspark.sql.functions import broadcast
+
+    e = load_table(spark, sf_dir, "events")
+    baskets = e.select(
+        "user_id", F.col("ts").cast("date").alias("d"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "d").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_baskets")
+    )
+    item = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"), F.col("b.event_type").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    )
+    ia = item.select(F.col("event_type").alias("item_a"), F.col("n").alias("na"))
+    ib = item.select(F.col("event_type").alias("item_b"), F.col("n").alias("nb_"))
+    out = (
+        pair.join(broadcast(ia), "item_a")
+        .join(broadcast(ib), "item_b")
+        .crossJoin(broadcast(nb))
+    )
+    supp = F.col("n_ab") / F.col("n_baskets")
+    lift = supp / ((F.col("na") / F.col("n_baskets")) * (F.col("nb_") / F.col("n_baskets")))
+    return out.select(
+        "item_a",
+        "item_b",
+        F.col("n_ab").cast("bigint").alias("n_cooccur"),
+        F.round(supp, 6).alias("support"),
+        F.round(lift, 6).alias("lift"),
+    )

@@ -545,3 +545,94 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.groupBy("dist").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+# --- degree assortativity ------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    f"""
+    WITH {_sql_edges()},
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    ed AS (
+      SELECT CAST(ds.d AS DECIMAL(18,6)) AS x, CAST(dd.d AS DECIMAL(18,6)) AS y
+      FROM edges e JOIN deg ds ON ds.node = e.src
+                   JOIN deg dd ON dd.node = e.dst),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM ed)
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           ROUND((n * sxy - sx * sy) /
+                 (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+             AS assortativity
+    FROM s
+    """,
+    doc=(
+        "Degree assortativity of the purchase graph: Pearson correlation "
+        "of endpoint degrees over directed edges (negative = hubs link to "
+        "leaves, the disassortative web-graph signature)."
+    ),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman's assortativity coefficient — one number separating
+    social-network-like graphs (positive: hubs befriend hubs) from
+    web/crawl-like graphs (negative: hubs link to leaves). For a crawl
+    corpus it predicts whether PageRank mass concentrates; bipartite
+    purchase graphs skew disassortative, and the sign here is the check.
+
+    Determinism: degrees are exact counts, quantized to DECIMAL before
+    the moment sums (same pinned-Pearson recipe as the rolling-corr
+    face); the symmetric edge list makes the directed-edge correlation
+    equal the undirected definition.
+
+    Scale shape: degree table = one keyed count; the edge⨝degree joins
+    key on node id (degree table broadcastable at |V| ≪ |E|); moments
+    reduce to one row."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = cache.checkpoint(
+        e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
+            e0.select(snode.alias("src"), cnode.alias("dst"))
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ds = deg.select(F.col("src").alias("s_node"), F.col("d").alias("xd"))
+    dd = deg.select(F.col("src").alias("d_node"), F.col("d").alias("yd"))
+    ed = (
+        edges.join(broadcast(ds), edges.src == F.col("s_node"))
+        .join(broadcast(dd), edges.dst == F.col("d_node"))
+        .select(
+            F.col("xd").cast("decimal(18,6)").alias("x"),
+            F.col("yd").cast("decimal(18,6)").alias("y"),
+        )
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        n.cast("bigint").alias("n_directed_edges"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("assortativity"),
+    )
