@@ -12,9 +12,9 @@ The sets below are transcribed from the committed correctness reports
 the export order cannot change any query's semantics, and every rotated
 query still carries the same oracle SQL. See docs/QUERY_ORDER.md.
 
-Round-4 state: registry = 251 names (124 round-4 additions); DRIVER_VERIFIED
-= 83 (r2's 50 minus 11 stale entries, union r3's 44). 168 names are fresh —
-118 more than the 50-entry window, so 118 round-4 additions
+Round-4 state: registry = 253 names (126 round-4 additions); DRIVER_VERIFIED
+= 83 (r2's 50 minus 11 stale entries, union r3's 44). 170 names are fresh —
+120 more than the 50-entry window, so 120 round-4 additions
 (pytest/oracle-green locally, never driver-red) overflow to round 5; every
 WINDOW_PRIORITY name fits (tests/test_queries_smoke.py asserts this).
 """

@@ -672,3 +672,35 @@ def join_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_acctbal", F.col("n_parts").cast("bigint").alias("n_parts"))
     )
+
+
+@register(
+    "join_top_order_max_by",
+    """
+    SELECT o_custkey AS custkey,
+           MAX(struct_pack(p := o_totalprice, k := o_orderkey)).k AS top_orderkey,
+           MAX(o_totalprice) AS top_price
+    FROM orders GROUP BY o_custkey
+    """,
+    doc=(
+        "Top-1-per-group via arg_max/max_by — the single-pass aggregate "
+        "form of the row_number()=1 window (one shuffle, no sort)."
+    ),
+)
+def join_top_order_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheaper plan for 'each customer's biggest order': max_by folds
+    to one (key, argmax) pair per group with map-side combine — one
+    shuffle of group-sized state and NO per-group sort, where the
+    row_number()=1 window shuffles all rows and sorts each partition. At
+    100 TB this is the difference between an agg and a sort-heavy window
+    for the most common top-1 question. Ties break toward the larger
+    orderkey via the (price, key) comparison struct — pinned identically
+    in Spark's max_by struct ordering and DuckDB's lexicographic struct
+    MAX."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+        ).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )

@@ -1462,3 +1462,65 @@ def _trigram_arr():
             " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
         ),
     )).otherwise(F.array().cast("array<string>"))
+
+
+# --- word burstiness -----------------------------------------------------------
+
+BURST_TOPN = 20
+
+
+@register(
+    "text_burstiness",
+    f"""
+    WITH per_doc AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token),
+    stats AS (
+      SELECT token,
+             COUNT(*) AS df1,
+             SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS df2,
+             CAST(SUM(tf) AS BIGINT) AS total_tf
+      FROM per_doc GROUP BY token)
+    SELECT token, CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
+           ROUND(CAST(df2 AS DOUBLE) / df1, 6) AS burstiness
+    FROM stats
+    ORDER BY total_tf DESC, token LIMIT {BURST_TOPN}
+    """,
+    doc=(
+        f"Word burstiness (Church-Gale): P(token repeats in a doc | it "
+        f"appears), for the top-{BURST_TOPN} corpus terms — topical words "
+        "burst, function words spread."
+    ),
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-linguistics signal TF-IDF quietly relies on: content
+    words are BURSTY (once a document mentions them, it mentions them
+    again — df2/df1 high), function words distribute evenly (low). The
+    ratio flags template/boilerplate vocabularies in a crawl and
+    calibrates the repetition-quality filters.
+
+    Scale shape: one (doc, token) rollup (the shared tf shuffle every
+    text face starts from), one token-keyed reduce to |V| rows, top-N =
+    TakeOrderedAndProject. Exact integer counts, one pinned division."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df1"),
+        F.sum(F.when(F.col("tf") >= 2, 1).otherwise(0)).alias("df2"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    return (
+        stats.orderBy(F.col("total_tf").desc(), "token")
+        .limit(BURST_TOPN)
+        .select(
+            "token",
+            F.col("df1").cast("bigint").alias("df1"),
+            F.col("df2").cast("bigint").alias("df2"),
+            F.round(F.col("df2").cast("double") / F.col("df1"), 6).alias("burstiness"),
+        )
+    )
