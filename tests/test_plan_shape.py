@@ -474,3 +474,56 @@ def test_weighted_sample_topk_no_global_sort(spark):
     df = curation_weighted_sample(spark, SF_DIR)
     tree = plans.plan_tree(df)
     assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_max_by_top1_partial_agg_no_window(spark):
+    """The whole point of the max_by form: top-1-per-group as ONE
+    aggregation with a PARTIAL stage before the exchange — the shuffle
+    carries one (key, argmax-state) row per group per task, never the
+    raw rows, and no Window appears (the row_number form shuffles and
+    sorts every row). Spark picks SortAggregate for the struct-ordered
+    buffer; its sorts are on the group key over partial state, which is
+    exactly the cheap side of the trade."""
+    from trike_spark.queries.joins import join_top_order_max_by
+
+    df = join_top_order_max_by(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert "Window" not in tree, tree
+    assert "partial_max_by" in plans.formatted_plan(df), plans.formatted_plan(df)
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_nearest_join_is_sort_not_join(spark):
+    """The sort-merge 1-NN form must contain NO join operator at all —
+    the union + ordered window IS the algorithm; a SortMergeJoin or
+    BroadcastHashJoin would mean the band-join formulation snuck back."""
+    from trike_spark.queries.joins import join_nearest_acctbal
+
+    df = join_nearest_acctbal(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert "SortMergeJoin" not in tree, tree
+    assert "BroadcastHashJoin" not in tree, tree
+    assert "Window" in tree, tree
+
+
+def test_bm25_topk_is_take_ordered_with_broadcasts(spark):
+    """BM25's scale contract: df/stats broadcast (no shuffle of the hit
+    stream for scoring) and the final top-k is TakeOrderedAndProject,
+    never a global Exchange+Sort."""
+    from trike_spark.queries.text import text_bm25_topk
+
+    df = text_bm25_topk(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    assert "TakeOrderedAndProject" in tree, tree
+    assert tree.count("BroadcastExchange") >= 2, tree
+
+
+def test_ab_lift_two_aggregations_no_join(spark):
+    """The experiment readout is aggregation-only: a narrow map, the
+    per-arm rollup, and the 1-row pivot — no join of any kind."""
+    from trike_spark.queries.events import events_ab_lift
+
+    df = events_ab_lift(spark, SF_DIR)
+    tree = plans.plan_tree(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert node not in tree, tree

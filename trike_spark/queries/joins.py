@@ -689,10 +689,13 @@ def join_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_top_order_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cheaper plan for 'each customer's biggest order': max_by folds
-    to one (key, argmax) pair per group with map-side combine — one
-    shuffle of group-sized state and NO per-group sort, where the
-    row_number()=1 window shuffles all rows and sorts each partition. At
-    100 TB this is the difference between an agg and a sort-heavy window
+    to one (key, argmax-state) pair per group BEFORE the exchange
+    (partial_max_by, plan-asserted), so the shuffle carries group-sized
+    state where the row_number()=1 window shuffles every raw row and
+    sorts it by (key, price). Spark executes the struct-ordered buffer as
+    SortAggregate — its group-key sorts run over the already-reduced
+    partial state, the cheap side of the trade. At 100 TB this is the
+    difference between a combine-style agg and a full-data sort window
     for the most common top-1 question. Ties break toward the larger
     orderkey via the (price, key) comparison struct — pinned identically
     in Spark's max_by struct ordering and DuckDB's lexicographic struct
