@@ -705,3 +705,71 @@ def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini"
         ),
     )
+
+
+@register(
+    "agg_regression_closed_form",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s ORDER BY l_returnflag
+    """,
+    doc=(
+        "Closed-form OLS (price ~ quantity per returnflag) from five exact "
+        "decimal sums — regression as pure map-side-combined aggregation."
+    ),
+)
+def agg_regression_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear regression without ML machinery: slope, intercept and R² per
+    group from the normal equations over five sufficient statistics
+    (Σx, Σy, Σxy, Σx², Σy²). The statistics fold in EXACT decimal
+    arithmetic (order-independent, so Spark's partial aggregation and the
+    oracle's serial fold agree bit-for-bit), are cast to double ONCE, and
+    the closed form is a pinned double expression — the decimal-exactness
+    discipline the fleet's float-regression functions (regr_slope & co.)
+    can't give.
+
+    Scale shape: ONE pass over lineitem with full map-side combine (the
+    sufficient statistics are classic commutative monoids), a 3-row
+    result. At 100 TB this is the cheapest possible regression — no
+    iteration, no driver round-trips, no ML library."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(mdec("l_quantity") * mdec("l_extendedprice")).cast("double").alias("sxy"),
+        F.sum(mdec("l_quantity") * mdec("l_quantity")).cast("double").alias("sxx"),
+        F.sum(mdec("l_extendedprice") * mdec("l_extendedprice")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -119,3 +119,21 @@ def sort_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .drop("rn")
     )
+
+
+@register(
+    "setop_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT ALL (bag intersection: min of per-side multiplicities).",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection — each nationkey appears min(count_left,
+    count_right) times. Spark's ``intersectAll`` compiles to one
+    hash-partitioned exchange per side on the projected key plus a
+    multiplicity-matching aggregate — like DISTINCT, the 100 TB rule is
+    to intersect narrow key projections, never whole rows."""
+    return _cust_nk(spark, sf_dir).intersectAll(_supp_nk(spark, sf_dir))

@@ -567,3 +567,61 @@ def window_cusum_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s"), 2).alias("cusum"),
         F.round(F.col("peak") - F.col("s"), 2).alias("drawdown"),
     )
+
+
+@register(
+    "window_rolling_median",
+    """
+    WITH fr AS (
+      SELECT o_orderkey, o_custkey,
+             list_sort(list_filter(
+               [LAG(o_totalprice, 3) OVER w, LAG(o_totalprice, 2) OVER w,
+                LAG(o_totalprice, 1) OVER w, o_totalprice],
+               x -> x IS NOT NULL)) AS frame
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+    SELECT o_orderkey, o_custkey,
+           ROUND((frame[CAST(FLOOR((len(frame) + 1) / 2) AS INT)]
+                  + frame[CAST(FLOOR(len(frame) / 2 + 1) AS INT)]) / 2,
+                 3) AS med4
+    FROM fr
+    """,
+    doc=(
+        "Exact rolling median of order value over the trailing 4 orders "
+        "per customer — the robust-smoothing companion to the EWMA face."
+    ),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over the trailing-4 row frame — the robust
+    alternative to a trailing mean (one outlier order can't drag it).
+    Median is a selection statistic, so unlike float sums it carries no
+    accumulation-order hazard: odd frames pick one value, even frames
+    average the two middle values with a single (a+b)/2 that both engines
+    evaluate identically in IEEE double.
+
+    Spark's ``median`` aggregate rejects window frames, so the frame is
+    materialized explicitly: three LAGs + the current value into an
+    array, null-compacted (partition head rows have short frames),
+    sorted, and indexed — all JVM-side array expressions inside one
+    Window over (custkey, date). Constant per-row state (≤ 4 doubles);
+    one shuffle on o_custkey; the frame never grows with data volume."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load_table(spark, sf_dir, "orders")
+    frame = F.array_sort(
+        F.array_compact(
+            F.array(
+                F.lag("o_totalprice", 3).over(w),
+                F.lag("o_totalprice", 2).over(w),
+                F.lag("o_totalprice", 1).over(w),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    n = F.size(frame)
+    lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round((lo + hi) / 2.0, 3).alias("med4"),
+    )
