@@ -1259,3 +1259,54 @@ def curation_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_merged") > 1)
     )
+
+
+@register(
+    "curation_quality_lr_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             list_sum(list_transform(string_split(text, ' '),
+               tok -> ({_sql_h60('tok')} % 1024) % 13 - 6)) AS w_sum
+      FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           ROUND(CAST(w_sum AS DOUBLE) / (10.0 * n_tokens), 6) AS logit,
+           (w_sum > 0) AS keep
+    FROM t
+    """,
+    doc=(
+        "Hashed-feature linear quality scorer (fastText-style): md5 token "
+        "buckets -> fixed integer weights -> per-doc mean logit + keep flag, "
+        "entirely JVM-side with zero shuffles."
+    ),
+)
+def curation_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shape of a learned quality filter (hash tokens into a small
+    weight table, average the weights, threshold) with deterministic
+    stand-in weights: bucket = md5_60(token) % 1024, weight 10× an
+    integer in [-6, 6] derived from the bucket. A real model would
+    broadcast its weight vector; the execution shape is identical.
+
+    Engine notes: the whole scorer is ONE narrow projection —
+    split → transform (per-token bucket+weight) → aggregate (BIGINT fold)
+    — no explode, no shuffle, no Python. Integer weight sums are
+    order-independent, and the single final division is a pinned double
+    expression, so the oracle hash matches exactly. At 100 TB this is
+    scan-speed document scoring, the cheapest possible quality gate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    weights = F.transform(
+        toks,
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % 1024
+        ) % 13 - 6,
+    )
+    w_sum = F.aggregate(weights, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.round(w_sum.cast("double") / (F.lit(10.0) * F.size(toks)), 6).alias("logit"),
+        (w_sum > 0).alias("keep"),
+    )

@@ -636,3 +636,78 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    cdeg AS (SELECT c, COUNT(*) AS d FROM e0 GROUP BY c),
+    kept AS (SELECT e0.c, e0.s FROM e0 JOIN cdeg ON e0.c = cdeg.c
+             WHERE cdeg.d <= {CN_DEG_CAP}),
+    sdeg AS (SELECT s, COUNT(*) AS d FROM kept GROUP BY s),
+    pairs AS (
+      SELECT a.s AS supp_a, b.s AS supp_b, COUNT(*) AS cn
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s),
+    scored AS (
+      SELECT supp_a, supp_b, cn,
+             ROUND(CAST(cn AS DOUBLE) / (da.d + db.d - cn), 6) AS jaccard
+      FROM pairs
+      JOIN sdeg da ON supp_a = da.s
+      JOIN sdeg db ON supp_b = db.s
+      WHERE cn >= 3)
+    SELECT supp_a, supp_b, cn AS common_customers, jaccard
+    FROM scored ORDER BY jaccard DESC, supp_a, supp_b LIMIT {CN_TOP_K}
+    """,
+    doc=(
+        "Jaccard-normalized link prediction: common customers over the "
+        "union of the two suppliers' customer sets — the degree-corrected "
+        "upgrade of the raw common-neighbors score."
+    ),
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity over neighbor sets, J = |A∩B| / (|A|+|B|−|A∩B|)
+    — normalizes the common-neighbors count so two mid-degree suppliers
+    with near-identical customer bases outrank a mega-supplier pair that
+    shares customers only by volume. Same degree-capped two-hop join as
+    the raw face, plus one broadcast of the supplier-degree dimension
+    (node-sized, tiny next to the pair set at any scale); the cn >= 3
+    floor keeps noise pairs out of the ranking. One keyed shuffle for
+    pairs, TakeOrdered top-k."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e0 = cache.checkpoint(e0)
+    cdeg = e0.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    kept = e0.join(cdeg.filter(F.col("d") <= CN_DEG_CAP), "c").select("c", "s")
+    sdeg = kept.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= 3)
+    )
+    da = sdeg.select(F.col("s").alias("supp_a"), F.col("d").alias("da"))
+    db = sdeg.select(F.col("s").alias("supp_b"), F.col("d").alias("db"))
+    scored = (
+        pairs.join(broadcast(da), "supp_a")
+        .join(broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            F.col("cn").alias("common_customers"),
+            F.round(
+                F.col("cn").cast("double") / (F.col("da") + F.col("db") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard"), "supp_a", "supp_b").limit(CN_TOP_K)
