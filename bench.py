@@ -75,6 +75,7 @@ HEADLINE = [
     "events_sessionization_dynamic_gap",
     # round-4 session-3 additions
     "text_bm25_topk",
+    "sim_mmr_rerank",
     "curation_split_cluster_safe",
     "dedup_lsh_band_sweep",
     "graph_knn_components",

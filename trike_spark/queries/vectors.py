@@ -1891,3 +1891,172 @@ def emb_norms_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     n2 = dot(F.col("embedding"), F.col("embedding"))
     return e.agg(F.max(n2).alias("m2"))
+
+
+# --- MMR diversified rerank ---------------------------------------------------
+
+MMR_CANDIDATES = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7  # relevance weight; (1 - λ) penalizes redundancy
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy MMR in plain SQL: pick1 is argmax relevance; each
+    later pick maximizes λ·rel − (1−λ)·max-sim-to-chosen over the not-yet-
+    chosen candidates. Unrolling (k−1 chained CTEs) sidesteps recursive-CTE
+    restrictions and keeps every step a vanilla window query."""
+    head = f"""
+    WITH cand AS (
+      SELECT q_vec_id, vec_id, embedding, rel FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id, b.embedding,
+               ROUND({_SQL_COS}, 6) AS rel,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_SQL_COS}, 6) DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES})
+      WHERE rk <= {MMR_CANDIDATES}),
+    psim AS (
+      SELECT a.q_vec_id, a.vec_id AS i, b.vec_id AS j, {_SQL_COS} AS sim
+      FROM cand a JOIN cand b
+        ON a.q_vec_id = b.q_vec_id AND a.vec_id <> b.vec_id),
+    pick1 AS (
+      SELECT q_vec_id, vec_id, {MMR_LAMBDA} * rel AS mmr FROM (
+        SELECT q_vec_id, vec_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM cand) WHERE rn = 1),
+    chosen1 AS (SELECT q_vec_id, vec_id FROM pick1)"""
+    steps = []
+    for n in range(2, MMR_K + 1):
+        steps.append(f""",
+    pick{n} AS (
+      SELECT q_vec_id, vec_id, mmr FROM (
+        SELECT c.q_vec_id, c.vec_id,
+               {MMR_LAMBDA} * c.rel - {round(1 - MMR_LAMBDA, 6)} * m.msim AS mmr,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.q_vec_id
+                 ORDER BY {MMR_LAMBDA} * c.rel - {round(1 - MMR_LAMBDA, 6)} * m.msim DESC,
+                          c.vec_id) AS rn
+        FROM cand c
+        JOIN (SELECT p.q_vec_id, p.i AS vec_id, MAX(p.sim) AS msim
+              FROM psim p JOIN chosen{n - 1} ch
+                ON ch.q_vec_id = p.q_vec_id AND ch.vec_id = p.j
+              GROUP BY p.q_vec_id, p.i) m
+          ON m.q_vec_id = c.q_vec_id AND m.vec_id = c.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM chosen{n - 1} ch2
+                          WHERE ch2.q_vec_id = c.q_vec_id
+                            AND ch2.vec_id = c.vec_id)
+      ) WHERE rn = 1),
+    chosen{n} AS (SELECT q_vec_id, vec_id FROM chosen{n - 1}
+                  UNION ALL SELECT q_vec_id, vec_id FROM pick{n})""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT q_vec_id, {n} AS step, vec_id, mmr FROM pick{n}"
+        for n in range(1, MMR_K + 1)
+    )
+    return head + "".join(steps) + f"\n    {unions}"
+
+
+@register(
+    "sim_mmr_rerank",
+    _mmr_oracle_sql(),
+    doc=(
+        f"Maximal-marginal-relevance rerank: greedy top-{MMR_K} from "
+        f"{MMR_CANDIDATES} candidates per query, trading relevance against "
+        "redundancy (λ=0.7) — the diversity-aware second stage of retrieval."
+    ),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with a diversity-aware second stage (Carbonell &
+    Goldstein's MMR): stage 1 fetches each query's top candidates by
+    cosine; stage 2 greedily picks k, each pick maximizing
+    λ·rel(d) − (1−λ)·max_{s∈chosen} sim(d, s) — near-duplicates of an
+    already-chosen result are penalized out, which is exactly the
+    redundancy control a training-data retrieval loop needs.
+
+    Execution shape: candidate generation is the broadcast brute-force
+    pass (swap in the LSH/IVF faces at scale — the rerank is agnostic to
+    how candidates arrived); the greedy stage is ``applyInPandas`` over
+    q_vec_id groups of ≤ {MMR_CANDIDATES} rows — per-query work is O(k·C)
+    on a C-row group, embarrassingly parallel across queries, and the
+    only shuffle is the candidate regroup.
+
+    Cross-engine determinism: rel is rounded-6 by BOTH engines before the
+    greedy stage; candidate-candidate similarity folds left-to-right in
+    float64 in BOTH engines (Python loop ↔ DuckDB list_aggregate — same
+    IEEE op order as the JVM ``aggregate`` fold, proven by the brute-force
+    faces); the MMR score is the same pinned double expression; argmax
+    ties break on vec_id. Output mmr is raw double — identical bits on
+    both sides, no rounding needed."""
+    import math
+
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    rel = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("rel").desc(), F.col("vec_id"))
+    cand = (
+        c.crossJoin(broadcast(q))
+        .select("q_vec_id", "vec_id", "embedding", rel.alias("rel"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_CANDIDATES)
+        .drop("rk")
+    )
+
+    def _fold_cos(x: list[float], y: list[float]) -> float:
+        dxy = 0.0
+        dxx = 0.0
+        dyy = 0.0
+        for a, b in zip(x, y):
+            dxy = dxy + a * b
+        for a in x:
+            dxx = dxx + a * a
+        for b in y:
+            dyy = dyy + b * b
+        return dxy / (math.sqrt(dxx) * math.sqrt(dyy))
+
+    def _mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qid = int(pdf["q_vec_id"].iloc[0])
+        cands = sorted(
+            (
+                (-float(r.rel), int(r.vec_id), [float(v) for v in r.embedding])
+                for r in pdf.itertuples()
+            ),
+        )
+        # (−rel, vec_id) sort order = the oracle's (rel DESC, vec_id) pick1
+        ids = [t[1] for t in cands]
+        rels = {t[1]: -t[0] for t in cands}
+        embs = {t[1]: t[2] for t in cands}
+        lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 6)
+        first = ids[0]
+        out = [(qid, 1, first, lam * rels[first])]
+        chosen = [first]
+        remaining = [i for i in ids if i != first]
+        simcache: dict[tuple[int, int], float] = {}
+
+        def sim(i: int, j: int) -> float:
+            k = (i, j) if i < j else (j, i)
+            if k not in simcache:
+                simcache[k] = _fold_cos(embs[i], embs[j])
+            return simcache[k]
+
+        for step in range(2, MMR_K + 1):
+            best = None
+            for i in remaining:
+                msim = max(sim(i, j) for j in chosen)
+                score = lam * rels[i] - mu * msim
+                key = (score, -i)
+                if best is None or key > best[0]:
+                    best = (key, i, score)
+            _, pick, score = best
+            out.append((qid, step, pick, score))
+            chosen.append(pick)
+            remaining.remove(pick)
+        return pd.DataFrame(out, columns=["q_vec_id", "step", "vec_id", "mmr"])
+
+    return cand.groupBy("q_vec_id").applyInPandas(
+        _mmr, schema="q_vec_id long, step int, vec_id long, mmr double"
+    )
