@@ -1260,6 +1260,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤|Q|-element fold is order-independent (driver hash contract,
     queries/_util.py).
     """
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document hitting the fixed query — the
+    shared scoring core of the BM25 face and the hybrid-RRF face."""
     from pyspark.sql.functions import broadcast
 
     d = load_table(spark, sf_dir, "documents")
@@ -1284,12 +1294,138 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(broadcast(stats))
         .select("doc_id", F.round(idf_part * tf_part, 6).alias("s"))
     )
-    return (
-        term.groupBy("doc_id")
-        .agg(F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(BM25_TOPK)
+    return term.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("bm25")
     )
+
+
+# --- Hybrid retrieval (RRF fusion) --------------------------------------------
+
+RRF_POOL = 30  # per-leg candidate pool
+RRF_C = 60  # the standard RRF dampening constant
+RRF_TOPK = 10
+
+# Shared BM25-scoring CTE chain (documents → (doc_id, bm25)), reused verbatim
+# by the hybrid oracle below.
+_SQL_BM25_CTES = f"""
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           WHERE token IN ({_BM25_IN}) GROUP BY doc_id, token),
+    idf AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+            WHERE token IN ({_BM25_IN}) GROUP BY token),
+    term AS (
+      SELECT tf.doc_id,
+             ROUND(LN(1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+                   * ((tf.tf * {BM25_K1 + 1.0}) /
+                      (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * (dl.dl / stats.avgdl)))),
+                   6) AS s
+      FROM tf JOIN idf ON tf.token = idf.token
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats),
+    bm25s AS (
+      SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      FROM term GROUP BY doc_id)
+"""
+
+_SQL_VCOS = (
+    "(list_aggregate(list_transform(list_zip(b.embedding, qv.q_emb), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / "
+    "(SQRT(list_aggregate(list_transform(b.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * "
+    "SQRT(list_aggregate(list_transform(qv.q_emb, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))"
+)
+
+
+@register(
+    "sim_hybrid_rrf",
+    f"""
+    WITH {_SQL_BM25_CTES},
+    lexr AS (
+      SELECT doc_id, rl FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+        FROM bm25s WHERE doc_id <> 0)
+      WHERE rl <= {RRF_POOL}),
+    qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    vecr AS (
+      SELECT doc_id, rv FROM (
+        SELECT b.vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY ROUND({_SQL_VCOS}, 6) DESC, b.vec_id) AS rv
+        FROM embeddings b CROSS JOIN qv WHERE b.vec_id <> 0)
+      WHERE rv <= {RRF_POOL})
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           l.rl AS lex_rank, v.rv AS vec_rank,
+           COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_C} + l.rl), 0.0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_C} + v.rv), 0.0) AS rrf
+    FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+    """,
+    doc=(
+        f"Hybrid retrieval: BM25 and cosine top-{RRF_POOL} pools fused by "
+        f"reciprocal-rank fusion (1/({RRF_C}+rank)), top-{RRF_TOPK} — the "
+        "standard lexical+semantic search combiner."
+    ),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of a lexical and a
+    semantic leg: each leg independently ranks its top pool (BM25 for the
+    fixed term query; cosine against the vec_id=0 query embedding), and a
+    document's fused score is Σ 1/(C+rank) over the legs it appears in.
+    Rank-space fusion needs no score calibration between legs — exactly
+    why RRF is the default hybrid combiner.
+
+    Scale shape: each leg ends in TakeOrderedAndProject over its pool, so
+    the unpartitioned rank windows run over constant-size (pool) inputs,
+    never the corpus; the fusion is a full outer join of two {RRF_POOL}-row
+    sets on the driver-adjacent fast path. Determinism: ranks are integers
+    from tie-broken windows; the RRF score is a fixed-order sum of two
+    exact reciprocals — identical bits in both engines, no rounding."""
+    from pyspark.sql.functions import broadcast
+
+    lex_pool = (
+        _bm25_scores(spark, sf_dir)
+        .filter(F.col("doc_id") != 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    lexr = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("rl"),
+    )
+
+    from trike_spark.queries.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    vec_pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    vecr = vec_pool.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.col("cos").desc(), "doc_id")).alias("rv"),
+    )
+
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("rl").alias("lex_rank"),
+        F.col("rv").alias("vec_rank"),
+        (
+            F.coalesce(1.0 / (F.lit(RRF_C) + F.col("rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_C) + F.col("rv")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOPK)
 
 
 # --- Zipf-law fit -------------------------------------------------------------
