@@ -756,3 +756,140 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_error"
         ),
     )
+
+
+@register(
+    "sketch_hll_daily_merge",
+    f"""
+    WITH h AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             {_sql_h60('CAST(user_id AS VARCHAR)')} AS h
+      FROM events),
+    split AS (
+      SELECT event_type, day, h % {HLL_M} AS reg, h // {HLL_M} AS w FROM h),
+    rho AS (
+      SELECT event_type, day, reg,
+             CASE WHEN w = 0 THEN {_HLL_W_BITS + 1}
+                  ELSE bit_count((w & -w) - 1) + 1 END AS r
+      FROM split),
+    daily AS (
+      SELECT event_type, day, reg, MAX(r) AS m
+      FROM rho GROUP BY event_type, day, reg),
+    merged AS (
+      SELECT event_type, reg, MAX(m) AS m FROM daily GROUP BY event_type, reg),
+    days AS (SELECT event_type, COUNT(DISTINCT day) AS n_days
+             FROM daily GROUP BY event_type),
+    grid AS (
+      SELECT t.event_type, g.reg, COALESCE(merged.m, 0) AS m0
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M - 1})) AS reg) g
+      LEFT JOIN merged ON merged.event_type = t.event_type AND merged.reg = g.reg),
+    folded AS (
+      SELECT event_type,
+             SUM(CAST(1 AS BIGINT) << (55 - m0)) AS int_sum,
+             SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS v
+      FROM grid GROUP BY event_type),
+    est AS (
+      SELECT event_type, v,
+             (CAST({HLL_ALPHA} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+               * CAST({_HLL_POW} AS DOUBLE)) / CAST(int_sum AS DOUBLE) AS raw
+      FROM folded),
+    final AS (
+      SELECT event_type, CAST({HLL_M} - v AS BIGINT) AS n_registers_set,
+             ROUND(CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
+                        THEN {HLL_M} * LN({HLL_M}.0 / v) ELSE raw END, 3)
+               AS hll_estimate
+      FROM est),
+    exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+              FROM events GROUP BY event_type)
+    SELECT f.event_type, d.n_days, e.n_exact, f.n_registers_set, f.hll_estimate,
+           ROUND((f.hll_estimate - e.n_exact) / e.n_exact, 4) AS rel_err
+    FROM final f
+    JOIN days d ON d.event_type = f.event_type
+    JOIN exact e ON e.event_type = f.event_type
+    """,
+    doc=(
+        "Sketch reaggregation: per-day HLL register sketches merged to the "
+        "full-range estimate by register-wise MAX — the incremental rollup "
+        "pattern that avoids ever re-scanning history."
+    ),
+)
+def sketch_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches a storage format, not just a
+    query trick: HLL registers merge by element-wise MAX, so daily
+    sketches (64 BIGINTs per group per day) roll up to any coarser range
+    without touching the raw events again. This face materializes the
+    daily partials and derives the full-range distinct estimate purely
+    from them; `rel_err` against the exact count shows the merge lost
+    nothing (register-wise MAX of daily MAXes ≡ the direct build).
+
+    Scale shape: at 100 TB the daily build is the only pass over raw
+    events (map-side combined on (type, day, reg)); every later rollup
+    reads M-register partials — kilobytes per day — which is why
+    incremental distinct-count dashboards are cheap. All integer
+    arithmetic end to end; the oracle hash-verifies merged registers,
+    not just the estimate."""
+    e = load_table(spark, sf_dir, "events")
+    h = _h60(F.col("user_id").cast("string"))
+    split = e.select(
+        "event_type", F.col("ts").cast("date").alias("day"), h.alias("h")
+    ).select(
+        "event_type",
+        "day",
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    )
+    rho = split.select(
+        "event_type",
+        "day",
+        "reg",
+        F.expr(
+            f"CASE WHEN w = 0 THEN {_HLL_W_BITS + 1} "
+            "ELSE bit_count((w & -w) - 1) + 1 END"
+        ).alias("r"),
+    )
+    daily = rho.groupBy("event_type", "day", "reg").agg(F.max("r").alias("m"))
+    merged = daily.groupBy("event_type", "reg").agg(F.max("m").alias("m"))
+    days = daily.groupBy("event_type").agg(F.countDistinct("day").alias("n_days"))
+    types = e.select("event_type").distinct()
+    grid = (
+        types.select(
+            "event_type", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("reg")
+        )
+        .join(merged, on=["event_type", "reg"], how="left")
+        .select("event_type", F.coalesce(F.col("m"), F.lit(0)).alias("m0"))
+    )
+    folded = grid.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m0 AS INT))")).alias("int_sum"),
+        F.sum(F.when(F.col("m0") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = (F.lit(HLL_ALPHA * (HLL_M * HLL_M)) * F.lit(float(_HLL_POW))).cast(
+        "double"
+    ) / F.col("int_sum").cast("double")
+    est = folded.select("event_type", "v", raw.alias("raw"))
+    final = est.select(
+        "event_type",
+        (HLL_M - F.col("v")).cast("bigint").alias("n_registers_set"),
+        F.round(
+            F.when(
+                (F.col("raw") <= 2.5 * HLL_M) & (F.col("v") > 0),
+                HLL_M * F.log(float(HLL_M) / F.col("v")),
+            ).otherwise(F.col("raw")),
+            3,
+        ).alias("hll_estimate"),
+    )
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        final.join(days, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_exact",
+            "n_registers_set",
+            "hll_estimate",
+            F.round(
+                (F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+    )
