@@ -773,3 +773,76 @@ def agg_regression_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_chi2_independence",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             CAST(COUNT(*) AS DOUBLE) AS obs
+      FROM orders GROUP BY o_orderpriority, o_orderstatus),
+    tot AS (
+      SELECT pri, st, obs,
+             SUM(obs) OVER (PARTITION BY pri) AS row_tot,
+             SUM(obs) OVER (PARTITION BY st) AS col_tot,
+             SUM(obs) OVER () AS n
+      FROM cells),
+    contrib AS (
+      SELECT n,
+             ROUND((obs - row_tot * col_tot / n) * (obs - row_tot * col_tot / n)
+                   / (row_tot * col_tot / n), 6) AS c
+      FROM tot),
+    s AS (
+      SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n, COUNT(*) AS n_cells,
+             CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+      FROM contrib)
+    SELECT n, n_cells, (5 - 1) * (3 - 1) AS dof, chi2,
+           ROUND(SQRT(chi2 / (n * 2.0)), 6) AS cramers_v
+    FROM s
+    """,
+    doc=(
+        "Chi-square test of independence (order priority x status) with "
+        "Cramer's V — the categorical-drift / data-quality screen."
+    ),
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson's chi² over the priority×status contingency table, plus
+    Cramér's V (effect size, scale-free). Observed counts are exact;
+    expected counts and per-cell contributions are pinned double
+    expressions; the 15 contributions are rounded-then-DECIMAL-summed so
+    the fold is order-independent (the BM25 discipline).
+
+    Scale shape: one map-side-combined count per cell (|cells| ≈ 15 no
+    matter the row count), window totals over the cell table — the whole
+    statistic is computed on a dimension-sized intermediate. Cramér's V
+    denominator uses min(r−1, c−1) = 2 for this 5×3 table."""
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st"))
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    )
+    from pyspark.sql import Window
+
+    tot = cells.select(
+        "obs",
+        F.sum("obs").over(Window.partitionBy("pri")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("st")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    contrib = tot.select(
+        "n", F.round((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6).alias("c")
+    )
+    s = contrib.agg(
+        F.any_value("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("c").cast("decimal(18,6)")).cast("double").alias("chi2"),
+    )
+    return s.select(
+        "n",
+        "n_cells",
+        F.lit((5 - 1) * (3 - 1)).alias("dof"),
+        "chi2",
+        F.round(F.sqrt(F.col("chi2") / (F.col("n") * 2.0)), 6).alias("cramers_v"),
+    )

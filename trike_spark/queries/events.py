@@ -2006,3 +2006,67 @@ def events_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(supp, 6).alias("support"),
         F.round(lift, 6).alias("lift"),
     )
+
+
+@register(
+    "events_seasonal_naive_mape",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    fc AS (
+      SELECT event_type, day, n,
+             LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS fcast
+      FROM daily),
+    scored AS (
+      SELECT event_type,
+             ROUND(ABS(CAST(n AS DOUBLE) - fcast) / CAST(n AS DOUBLE), 6) AS ape,
+             CAST(n AS BIGINT) - fcast AS err
+      FROM fc WHERE fcast IS NOT NULL)
+    SELECT event_type, COUNT(*) AS n_days_scored,
+           ROUND(CAST(SUM(CAST(ape AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mape,
+           CAST(SUM(err) AS BIGINT) AS total_bias
+    FROM scored GROUP BY event_type
+    """,
+    doc=(
+        "Seasonal-naive forecast backtest: predict each day's event count "
+        "with the count 7 days prior; report per-type MAPE and total bias "
+        "— the baseline every forecasting model must beat."
+    ),
+)
+def events_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecasting floor: ŷ(d) = y(d−7) (same weekday last week), then
+    MAPE and signed bias over the backtest range. Any model that can't
+    beat seasonal-naive isn't learning the seasonality it claims to — at
+    100 TB this is the per-stream health check behind capacity forecasts.
+
+    Determinism: daily counts are exact; each APE is one pinned double
+    division rounded to 6, then DECIMAL-summed (order-independent);
+    bias folds as exact BIGINTs. Scale shape: one (type, day) rollup with
+    map-side combine, a LAG over the per-type CALENDAR dimension (days,
+    not events), and a |types|-row result."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    fc = daily.select(
+        "event_type", "n", F.lag("n", 7).over(w).alias("fcast")
+    ).filter(F.col("fcast").isNotNull())
+    scored = fc.select(
+        "event_type",
+        F.round(
+            F.abs(F.col("n").cast("double") - F.col("fcast")) / F.col("n").cast("double"),
+            6,
+        ).alias("ape"),
+        (F.col("n").cast("bigint") - F.col("fcast")).alias("err"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.round(
+            F.sum(F.col("ape").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mape"),
+        F.sum("err").cast("bigint").alias("total_bias"),
+    )

@@ -1660,3 +1660,43 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("df2").cast("double") / F.col("df1"), 6).alias("burstiness"),
         )
     )
+
+
+@register(
+    "text_lexical_diversity",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_types,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS ttr,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / SQRT(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS root_ttr
+    FROM documents
+    """,
+    doc=(
+        "Lexical diversity per document: type-token ratio and Guiraud's "
+        "root TTR — the vocabulary-richness quality signal."
+    ),
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio (distinct/total tokens) and its length-corrected
+    form (Guiraud's R = types/√tokens — raw TTR shrinks with document
+    length, so cross-length comparisons need the correction). Low
+    diversity flags boilerplate and generation loops; pairs with the
+    repetition-signals face in a quality funnel.
+
+    Scale shape: pure per-row array expressions (split → array_distinct →
+    size) — zero shuffles, zero explodes, whole-stage codegen; the two
+    ratios are single pinned double divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks)
+    n_typ = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        F.round(n_typ.cast("double") / n_tok, 6).alias("ttr"),
+        F.round(n_typ.cast("double") / F.sqrt(n_tok.cast("double")), 6).alias("root_ttr"),
+    )
