@@ -42,7 +42,9 @@ ARROW_PYTHON_OK = {
     "scalar_udtf_tokenize",
     "sim_knn_graph_lsh",  # LSH bucket kernel (Arrow) feeds the graph build
     "sim_lsh_bucket_topk",
+    "sim_lsh_ndcg_at_k",  # banded candidates come from the Arrow bucket kernel
     "sim_lsh_recall_at_k",
+    "sim_mmr_rerank",  # greedy rerank stage is applyInPandas per query group
     "sim_norms_pandas_udf",
 }
 

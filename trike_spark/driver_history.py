@@ -150,15 +150,29 @@ STALE_R02: frozenset[str] = frozenset(
     }
 )
 
+# Names whose SEMANTICS changed in round 4, invalidating earlier green rows:
+# the LSH query path moved from a single 12-bit table (measured recall@5 =
+# 0.00 at sf0.01 — the recall gate caught it) to 3×4-bit banded
+# OR-amplification (recall 0.48). New plans, new oracles, new hashes — they
+# must re-verify.
+STALE_R04: frozenset[str] = frozenset(
+    {
+        "sim_lsh_bucket_topk",
+        "sim_lsh_recall_at_k",
+    }
+)
+
 # Union of every name hard-verified by a past driver round and still valid.
-DRIVER_VERIFIED: frozenset[str] = (VERIFIED_R02 - STALE_R02) | VERIFIED_R03
+DRIVER_VERIFIED: frozenset[str] = (
+    (VERIFIED_R02 - STALE_R02) | VERIFIED_R03
+) - STALE_R04
 
 # Names the round-3 verdict asked to see driver-green in round 4: the
 # formerly-green-now-stale set above, the rest of the io-broken events
 # family, and the never-checked TPC-H classics. They rank FIRST within
 # their family's unverified bucket so a large family can't crowd them out
 # of the 50-entry window.
-WINDOW_PRIORITY: frozenset[str] = STALE_R02 | frozenset(
+WINDOW_PRIORITY: frozenset[str] = STALE_R02 | STALE_R04 | frozenset(
     {
         "events_sliding_1h_30m",
         "events_tumbling_hourly",
