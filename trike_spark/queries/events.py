@@ -2070,3 +2070,131 @@ def events_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mape"),
         F.sum("err").cast("bigint").alias("total_bias"),
     )
+
+
+@register(
+    "events_dau_wau_mau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    active_days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+      SELECT ud.user_id, ud.day + CAST(off AS INT) AS obs_day, off
+      FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 27)) AS off)),
+    rollup AS (
+      SELECT obs_day AS day,
+             COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END) AS dau,
+             COUNT(DISTINCT CASE WHEN off <= 6 THEN user_id END) AS wau,
+             COUNT(DISTINCT user_id) AS mau
+      FROM contrib GROUP BY obs_day)
+    SELECT r.day, CAST(r.dau AS BIGINT) AS dau, CAST(r.wau AS BIGINT) AS wau,
+           CAST(r.mau AS BIGINT) AS mau,
+           ROUND(CAST(r.dau AS DOUBLE) / r.mau, 6) AS stickiness
+    FROM rollup r JOIN active_days a ON a.day = r.day
+    """,
+    doc=(
+        "DAU / trailing-7d WAU / trailing-28d MAU per day plus the DAU/MAU "
+        "stickiness ratio — the product-health dashboard backbone."
+    ),
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-user rollups over sliding horizons without per-day rescans:
+    each (user, active-day) fact is exploded once into the ≤28
+    observation days it contributes to (off = 0..27), then one grouped
+    pass takes conditional distincts (off=0 → DAU, off≤6 → WAU, all →
+    MAU). Stickiness = DAU/MAU is the classic engagement ratio.
+
+    Scale shape: the (user, day) dedup is the only fact-sized pass; the
+    explode fans out a USER-DAY table (already collapsed) by a constant
+    28, and the rollup shuffles on day with map-side combine. Early days
+    carry partial trailing windows — reported as-is, the standard
+    dashboard convention. Output is restricted to days with actual
+    activity (the calendar dimension)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("off"),
+    ).select("user_id", F.expr("date_add(day, off)").alias("obs_day"), "off")
+    rollup = contrib.groupBy(F.col("obs_day").alias("day")).agg(
+        F.count_distinct(
+            F.when(F.col("off") == 0, F.col("user_id"))
+        ).cast("bigint").alias("dau"),
+        F.count_distinct(
+            F.when(F.col("off") <= 6, F.col("user_id"))
+        ).cast("bigint").alias("wau"),
+        F.count_distinct("user_id").cast("bigint").alias("mau"),
+    )
+    active = ud.select("day").distinct()
+    return rollup.join(active, "day").select(
+        "day",
+        "dau",
+        "wau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+@register(
+    "events_peak_concurrency_daily",
+    """
+    WITH sess AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    bounds AS (
+      SELECT day, s_start AS t, 1 AS delta, user_id FROM sess
+      UNION ALL
+      SELECT day, s_end AS t, -1 AS delta, user_id FROM sess),
+    swept AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day
+                              ORDER BY t, delta DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM bounds)
+    SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+    FROM swept GROUP BY day
+    """,
+    doc=(
+        "Peak concurrent sessions per day via the +1/-1 boundary sweep — "
+        "the interval-stabbing max that sizes connection pools and "
+        "stream-executor fleets."
+    ),
+)
+def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-overlap of session intervals, computed the O(n log n) way:
+    every session contributes a +1 at its start and a −1 at its end; the
+    running sum over time-ordered boundaries is the live-session count
+    and its MAX is the peak. Tie order is pinned (+1 sorts before −1 at
+    the same instant, then user_id), so back-to-back sessions touching at
+    one timestamp count as concurrent — deterministic in both engines.
+
+    Scale shape: sessions collapse per (user, day) in one map-side-
+    combined pass; the sweep window partitions by DAY (boundaries within
+    a day, never a global timeline), so state is one running integer per
+    partition. The same sweep sizes Kinesis shard fans and connection
+    pools — the reference proxy's capacity question (proxy.ex supervision
+    tree) answered from the event log."""
+    e = load_table(spark, sf_dir, "events")
+    sess = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    bounds = sess.select(
+        "day", F.col("s_start").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        sess.select(
+            "day", F.col("s_end").alias("t"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = bounds.select("day", F.sum("delta").over(w).alias("live"))
+    return swept.groupBy("day").agg(
+        F.max("live").cast("bigint").alias("peak_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
+    )
