@@ -1310,3 +1310,75 @@ def curation_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w_sum.cast("double") / (F.lit(10.0) * F.size(toks)), 6).alias("logit"),
         (w_sum > 0).alias("keep"),
     )
+
+
+@register(
+    "curation_winsorized_stats",
+    """
+    WITH cuts AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY lang),
+    clamped AS (
+      SELECT d.lang,
+             CAST(d.n_chars AS DOUBLE) AS raw,
+             ROUND(CASE WHEN d.n_chars < c.p05 THEN c.p05
+                        WHEN d.n_chars > c.p95 THEN c.p95
+                        ELSE CAST(d.n_chars AS DOUBLE) END, 6) AS w
+      FROM documents d JOIN cuts c ON c.lang = d.lang)
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(raw AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS raw_mean,
+           ROUND(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS winsorized_mean,
+           CAST(SUM(CASE WHEN w <> raw THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM clamped GROUP BY lang
+    """,
+    doc=(
+        "Winsorized per-language length stats: clamp n_chars to the exact "
+        "[p05, p95] band, compare robust vs raw mean — the outlier-"
+        "resistant corpus-shape report."
+    ),
+)
+def curation_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization, the data-cleaning middle ground between trusting
+    outliers and dropping them: values outside the exact per-language
+    [p05, p95] band are clamped to the boundary, so a handful of
+    megadocuments can't drag the mean a quality threshold is tuned on.
+    The raw-vs-winsorized gap plus the clamp count IS the outlier report.
+
+    Determinism: exact interpolated percentiles (Spark ``percentile`` ↔
+    DuckDB ``quantile_cont``, bit-identical); clamped values rounded to 6
+    then DECIMAL-summed so the mean folds order-independently. Scale
+    shape: one |langs|-row percentile pass broadcast back onto the scan,
+    one grouped rollup — the clamp itself is a narrow map."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    cuts = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    raw = F.col("n_chars").cast("double")
+    w = F.round(
+        F.when(F.col("n_chars") < F.col("p05"), F.col("p05"))
+        .when(F.col("n_chars") > F.col("p95"), F.col("p95"))
+        .otherwise(raw),
+        6,
+    )
+    clamped = d.join(broadcast(cuts), "lang").select(
+        "lang", raw.alias("raw"), w.alias("w")
+    )
+    return clamped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("raw").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("raw_mean"),
+        F.round(
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("winsorized_mean"),
+        F.sum(F.when(F.col("w") != F.col("raw"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clamped"),
+    )
