@@ -2198,3 +2198,63 @@ def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("live").cast("bigint").alias("peak_concurrent"),
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
     )
+
+
+@register(
+    "events_survival_curve",
+    """
+    WITH life AS (
+      SELECT user_id,
+             date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+               AS lifetime_days
+      FROM events GROUP BY user_id),
+    n AS (SELECT COUNT(*) AS n_users FROM life),
+    grid AS (SELECT unnest(generate_series(0, 30)) AS t)
+    SELECT g.t,
+           CAST(SUM(CASE WHEN l.lifetime_days >= g.t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_surviving,
+           ROUND(CAST(SUM(CASE WHEN l.lifetime_days >= g.t THEN 1 ELSE 0 END)
+                      AS DOUBLE) / ANY_VALUE(n.n_users), 6) AS survival
+    FROM grid g CROSS JOIN life l CROSS JOIN n
+    GROUP BY g.t
+    """,
+    doc=(
+        "Empirical survival curve: fraction of users whose observed "
+        "lifetime (first->last activity) reaches day t, for t = 0..30 — "
+        "the churn curve a retention model is fit against."
+    ),
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S(t) = P[lifetime ≥ t] from observed first→last activity spans —
+    the raw empirical curve (no censoring correction: the log has a hard
+    end, noted; Kaplan-Meier reduces to this when everyone's window
+    closed). Complements the cohort-retention matrix with a single
+    per-day curve.
+
+    Determinism: lifetimes and survivor counts are exact integers; the
+    one division per grid row is pinned. Scale shape: one user_id rollup
+    (map-side combined) produces a USER-sized lifetime table; the 31-row
+    grid cross join fans that dimension table, never raw events."""
+    e = load_table(spark, sf_dir, "events")
+    life = e.groupBy("user_id").agg(
+        F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))).alias(
+            "lifetime_days"
+        )
+    )
+    from pyspark.sql.functions import broadcast as _b
+
+    n = life.agg(F.count(F.lit(1)).alias("n_users"))
+    grid = spark.range(0, 31).select(F.col("id").cast("int").alias("t"))
+    joined = life.crossJoin(_b(grid)).crossJoin(_b(n))
+    return joined.groupBy("t").agg(
+        F.sum(F.when(F.col("lifetime_days") >= F.col("t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_surviving"),
+        F.round(
+            F.sum(F.when(F.col("lifetime_days") >= F.col("t"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.any_value("n_users"),
+            6,
+        ).alias("survival"),
+    )

@@ -1700,3 +1700,67 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_typ.cast("double") / n_tok, 6).alias("ttr"),
         F.round(n_typ.cast("double") / F.sqrt(n_tok.cast("double")), 6).alias("root_ttr"),
     )
+
+
+@register(
+    "text_hapax_legomena",
+    """
+    WITH freq AS (
+      SELECT token, COUNT(*) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token),
+    s AS (
+      SELECT COUNT(*) AS vocab_size,
+             CAST(SUM(f) AS BIGINT) AS n_tokens,
+             SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS n_hapax,
+             SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS n_dis
+      FROM freq)
+    SELECT CAST(vocab_size AS BIGINT) AS vocab_size, n_tokens,
+           CAST(n_hapax AS BIGINT) AS n_hapax, CAST(n_dis AS BIGINT) AS n_dis,
+           ROUND(CAST(n_hapax AS DOUBLE) / vocab_size, 6) AS hapax_ratio,
+           ROUND(LN(CAST(vocab_size AS DOUBLE))
+                 / LN(CAST(n_tokens AS DOUBLE)), 6) AS herdan_c
+    FROM s
+    """,
+    doc=(
+        "Hapax legomena census: once- and twice-seen vocabulary fractions "
+        "plus Herdan's C (log V / log N) — vocabulary-growth diagnostics."
+    ),
+)
+def text_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-tail diagnostics: natural corpora keep ~40-60 % of their
+    vocabulary as hapaxes at any size (Zipf's tail), so a collapsing
+    hapax ratio flags template/boilerplate floods and a ballooning one
+    flags OCR noise or tokenizer damage. Herdan's C (log-log vocabulary
+    growth rate) is the single-number version and feeds BPE vocab-size
+    planning.
+
+    Scale shape: ONE token-frequency rollup (the same shuffle TF-IDF
+    pays, map-side combined) reduced to a 1-row summary; all counts
+    exact, the two ratios pinned doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    s = freq.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).alias("n_dis"),
+    )
+    return s.select(
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        "n_tokens",
+        F.col("n_hapax").cast("bigint").alias("n_hapax"),
+        F.col("n_dis").cast("bigint").alias("n_dis"),
+        F.round(F.col("n_hapax").cast("double") / F.col("vocab_size"), 6).alias(
+            "hapax_ratio"
+        ),
+        F.round(
+            F.log(F.col("vocab_size").cast("double"))
+            / F.log(F.col("n_tokens").cast("double")),
+            6,
+        ).alias("herdan_c"),
+    )

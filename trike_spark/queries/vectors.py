@@ -2210,3 +2210,150 @@ def sim_lsh_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_graded"), F.lit(0)).alias("n_graded"),
         F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6).alias("ndcg"),
     )
+
+
+# --- pseudo-relevance feedback (Rocchio) ---------------------------------------
+
+PRF_SEED_K = 3  # neighbors folded into the expanded query
+
+
+@register(
+    "sim_prf_query_expansion",
+    f"""
+    WITH seed AS (
+      SELECT q_vec_id, n_vec_id FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_SQL_COS}, 6) DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES})
+      WHERE rk <= {PRF_SEED_K}),
+    members AS (
+      SELECT vec_id AS q_vec_id, embedding FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+      UNION ALL
+      SELECT s.q_vec_id, e.embedding FROM seed s
+      JOIN embeddings e ON e.vec_id = s.n_vec_id),
+    mex AS (
+      SELECT q_vec_id, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS x
+      FROM members),
+    expq AS (
+      SELECT q_vec_id, dim,
+             CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DECIMAL(12,10)) AS e
+      FROM mex GROUP BY q_vec_id, dim),
+    norme AS (
+      SELECT q_vec_id, CAST(SUM(e * e) AS DOUBLE) AS ne
+      FROM expq GROUP BY q_vec_id),
+    cex AS (
+      SELECT vec_id AS n_vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,10)) AS x
+      FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    normc AS (
+      SELECT n_vec_id, CAST(SUM(x * x) AS DOUBLE) AS nc
+      FROM cex GROUP BY n_vec_id),
+    dots AS (
+      SELECT q.q_vec_id, c.n_vec_id, CAST(SUM(q.e * c.x) AS DOUBLE) AS dp
+      FROM expq q JOIN cex c ON q.dim = c.dim
+      GROUP BY q.q_vec_id, c.n_vec_id),
+    ranked AS (
+      SELECT d.q_vec_id, d.n_vec_id,
+             ROUND(d.dp / (SQRT(ne.ne) * SQRT(nc.nc)), 6) AS cos_expanded,
+             ROW_NUMBER() OVER (PARTITION BY d.q_vec_id
+                                ORDER BY ROUND(d.dp / (SQRT(ne.ne) * SQRT(nc.nc)), 6)
+                                           DESC, d.n_vec_id) AS rk
+      FROM dots d JOIN norme ne ON ne.q_vec_id = d.q_vec_id
+                  JOIN normc nc ON nc.n_vec_id = d.n_vec_id)
+    SELECT r.q_vec_id, r.n_vec_id, r.rk, r.cos_expanded,
+           (s.n_vec_id IS NOT NULL) AS was_in_seed
+    FROM ranked r LEFT JOIN seed s
+      ON s.q_vec_id = r.q_vec_id AND s.n_vec_id = r.n_vec_id
+    WHERE r.rk <= {TOP_K}
+    """,
+    doc=(
+        f"Pseudo-relevance feedback (Rocchio): fold the top-{PRF_SEED_K} "
+        "neighbors into an expanded query centroid, re-rank the corpus "
+        f"against it, top-{TOP_K} — the zero-supervision recall booster."
+    ),
+)
+def sim_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio query expansion with uniform weights: the expanded query is
+    the exact-decimal mean of the original vector and its top-3 initial
+    neighbors, and the corpus is re-ranked against that centroid — the
+    classic zero-supervision recall booster (neighbors vote on what the
+    query 'meant'). ``was_in_seed`` marks which final hits are new versus
+    carried from the seed round.
+
+    Engine notes: scoring runs DIMENSION-EXPLODED — candidate components
+    quantized to DECIMAL(12,10) (both engines round the same double bits
+    the same way) and the expanded query kept as the exact decimal SUM of
+    its members (cosine is scale-invariant, so the unnormalized Rocchio
+    sum ranks identically to the mean and skips a lossy double
+    round-trip); dot products and norms are exact decimal SUMs, order-
+    independent with map-side combine, and the one cosine division is
+    pinned. This is the pure-relational formulation of vector scoring —
+    the shape a SQL warehouse without array folds would use, and at scale
+    it turns the similarity search into ordinary (dim)-keyed join/agg
+    traffic. Expanded-query build is a 4-member per-dimension mean on the
+    (queries×dim) dimension table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    rel = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    w0 = Window.partitionBy("q_vec_id").orderBy(F.col("rel").desc(), F.col("n_vec_id"))
+    seed = (
+        c.crossJoin(broadcast(q))
+        .select("q_vec_id", F.col("vec_id").alias("n_vec_id"), rel.alias("rel"))
+        .withColumn("rk", F.row_number().over(w0))
+        .filter(F.col("rk") <= PRF_SEED_K)
+        .select("q_vec_id", "n_vec_id")
+    )
+    members = q.select("q_vec_id", F.col("q_emb").alias("embedding")).unionByName(
+        seed.join(
+            emb.select(F.col("vec_id").alias("n_vec_id"), "embedding"), "n_vec_id"
+        ).select("q_vec_id", "embedding")
+    )
+    mex = members.select("q_vec_id", F.posexplode("embedding").alias("dim0", "x")).select(
+        "q_vec_id", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    expq = mex.groupBy("q_vec_id", "dim").agg(
+        F.sum(F.col("x").cast("decimal(20,10)")).cast("decimal(12,10)").alias("e")
+    )
+    norme = expq.groupBy("q_vec_id").agg(
+        F.sum(F.col("e") * F.col("e")).cast("double").alias("ne")
+    )
+    cex = c.select(
+        F.col("vec_id").alias("n_vec_id"), F.posexplode("embedding").alias("dim0", "x0")
+    ).select(
+        "n_vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("x0").cast("double").cast("decimal(12,10)").alias("x"),
+    )
+    normc = cex.groupBy("n_vec_id").agg(
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("nc")
+    )
+    dots = (
+        expq.join(cex, "dim")
+        .groupBy("q_vec_id", "n_vec_id")
+        .agg(F.sum(F.col("e") * F.col("x")).cast("double").alias("dp"))
+    )
+    cosx = F.round(F.col("dp") / (F.sqrt(F.col("ne")) * F.sqrt(F.col("nc"))), 6)
+    wr = Window.partitionBy("q_vec_id").orderBy(F.col("cos_expanded").desc(), "n_vec_id")
+    ranked = (
+        dots.join(broadcast(norme), "q_vec_id")
+        .join(normc, "n_vec_id")
+        .select("q_vec_id", "n_vec_id", cosx.alias("cos_expanded"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TOP_K)
+    )
+    return ranked.join(
+        seed.withColumn("was_in_seed", F.lit(True)), ["q_vec_id", "n_vec_id"], "left"
+    ).select(
+        "q_vec_id",
+        "n_vec_id",
+        "rk",
+        "cos_expanded",
+        F.coalesce(F.col("was_in_seed"), F.lit(False)).alias("was_in_seed"),
+    )
