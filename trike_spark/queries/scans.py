@@ -593,3 +593,71 @@ def scan_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "leg string, n_rows long",
     )
+
+
+@register(
+    "scan_mor_delete_read",
+    """
+    SELECT 'after_delete' AS leg,
+           (SELECT COUNT(*) FROM documents WHERE NOT (lang = 'en')) AS n_rows
+    UNION ALL
+    SELECT 'time_travel_pre_delete', (SELECT COUNT(*) FROM documents)
+    UNION ALL
+    SELECT 'after_reinsert',
+           (SELECT COUNT(*) FROM documents WHERE NOT (lang = 'en'))
+             + (SELECT COUNT(*) FROM documents WHERE lang = 'en' AND doc_id % 2 = 0)
+    UNION ALL
+    SELECT 'after_compaction',
+           (SELECT COUNT(*) FROM documents WHERE NOT (lang = 'en'))
+             + (SELECT COUNT(*) FROM documents WHERE lang = 'en' AND doc_id % 2 = 0)
+    """,
+    doc=(
+        "Merge-on-read delete vectors under the oracle gate: equality-"
+        "delete the English docs (a key-file commit, no rewrite), "
+        "time-travel past it, re-insert half of them (vector scoping must "
+        "not re-delete), then compact the vectors away — all four counts "
+        "reconcile with the source."
+    ),
+)
+def scan_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion-vector life cycle (versioned.py::delete_where_mor /
+    compact_deletes) observed through counts: (1) a MOR delete hides the
+    English docs at read time without touching data files; (2) the
+    pre-delete snapshot still time-travels intact; (3) an append AFTER
+    the delete re-inserts half the deleted keys and the vector's
+    directory scoping leaves them alive (Iceberg sequence semantics);
+    (4) compaction folds the vector into a clean snapshot with identical
+    visible rows. The scratch table rebuilds from zero each run.
+
+    Scale note: the delete commit writes |keys| rows, not the table —
+    at 100 TB that's the difference between a kilobyte PUT and a multi-
+    terabyte rewrite per erasure request; the read tax is one broadcast
+    anti-join per vector until compaction."""
+    import shutil
+
+    from trike_spark import versioned
+
+    path = _scan_tmp(spark, "versioned_mor")
+    shutil.rmtree(path, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    v1 = versioned.commit(d, path, mode="append")
+    versioned.delete_where_mor(spark, path, "lang = 'en'", key_cols=["doc_id"])
+    n_after_delete = versioned.read_version(spark, path).count()
+    n_tt = versioned.read_version(spark, path, v1).count()
+    versioned.commit(
+        d.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)),
+        path,
+        mode="append",
+    )
+    n_after_reinsert = versioned.read_version(spark, path).count()
+    versioned.compact_deletes(spark, path)
+    n_after_compact = versioned.read_version(spark, path).count()
+    return spark.createDataFrame(
+        [
+            ("after_delete", n_after_delete),
+            ("time_travel_pre_delete", n_tt),
+            ("after_reinsert", n_after_reinsert),
+            ("after_compaction", n_after_compact),
+        ],
+        "leg string, n_rows long",
+    )

@@ -88,9 +88,16 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
     df.write.mode("errorifexists").parquet(data_dir)
 
     dirs = [f"data-v{version:06d}"]
+    deletes: list[dict] = []
     if mode == "append" and prev > 0:
         with open(_manifest_path(path, prev)) as f:
-            dirs = json.load(f)["data_dirs"] + dirs
+            prev_manifest = json.load(f)
+        dirs = prev_manifest["data_dirs"] + dirs
+        # carry delete vectors forward: each still applies only to the data
+        # dirs it was scoped to at delete time, so the new append is
+        # untouched (re-inserting a deleted key works, Iceberg
+        # sequence-number semantics)
+        deletes = prev_manifest.get("deletes", [])
 
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     manifest = {
@@ -98,6 +105,7 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
         "parent": prev or None,
         "mode": mode,
         "data_dirs": dirs,
+        "deletes": deletes,
         "schema": df.schema.json(),
         "committed_at": time.time(),
     }
@@ -112,14 +120,43 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read a pinned snapshot (default: latest). The plan's file set comes
     from the manifest, so later commits cannot change this DataFrame —
-    snapshot isolation without locks."""
+    snapshot isolation without locks.
+
+    Merge-on-read: if the manifest carries delete vectors
+    (:func:`delete_where_mor`), each data directory is anti-joined against
+    exactly the vectors scoped to it — data dirs appended AFTER a delete
+    are untouched, so a deleted key can be legitimately re-inserted. The
+    anti-join keys are tiny (the vector holds keys, not rows), so the read
+    tax is one broadcast-sized join per vector until
+    :func:`compact_deletes` folds them away."""
     v = version if version is not None else current_version(path)
     if v < 1:
         raise FileNotFoundError(f"no committed version at {path}")
     with open(_manifest_path(path, v)) as f:
         manifest = json.load(f)
-    dirs = [os.path.join(path, d) for d in manifest["data_dirs"]]
-    return spark.read.parquet(*dirs)
+    deletes = manifest.get("deletes", [])
+    if not deletes:
+        dirs = [os.path.join(path, d) for d in manifest["data_dirs"]]
+        return spark.read.parquet(*dirs)
+    by_entry = {e["dir"]: e for e in deletes}
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for d in manifest["data_dirs"]:
+        applicable = tuple(
+            sorted(e["dir"] for e in deletes if d in e["applies_to"])
+        )
+        groups.setdefault(applicable, []).append(d)
+    parts = []
+    for applicable in sorted(groups):
+        df = spark.read.parquet(*[os.path.join(path, g) for g in groups[applicable]])
+        for ddir in applicable:
+            entry = by_entry[ddir]
+            keys = spark.read.parquet(os.path.join(path, ddir))
+            df = df.join(keys, on=entry["key_cols"], how="left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def history(path: str) -> list[dict]:
@@ -149,11 +186,12 @@ def read_incremental(
         with open(_manifest_path(path, v)) as f:
             m = json.load(f)
         if m["mode"] != "append":
-            # an overwrite rewrites history; incremental readers must
-            # resync from the full snapshot rather than silently miss it
+            # an overwrite rewrites history and a MOR delete removes rows;
+            # neither fits an append-only delta — consumers must resync
+            # from the full snapshot rather than silently miss changes
             raise ValueError(
-                f"version {v} is an overwrite; incremental read is not "
-                "well-defined across it — resync from read_version()"
+                f"version {v} is mode={m['mode']!r}; incremental read is "
+                "not well-defined across it — resync from read_version()"
             )
         new_dirs.append(os.path.join(path, f"data-v{v:06d}"))
     return spark.read.parquet(*new_dirs), latest
@@ -209,19 +247,25 @@ def expire_snapshots(path: str, keep_last_n: int = 2) -> dict:
         return {"kept_versions": [], "expired_versions": [], "deleted_dirs": []}
     cutoff = max(1, cur - keep_last_n + 1)
     kept = list(range(cutoff, cur + 1))
-    expired = list(range(1, cutoff))
+    # earlier expiries may already have removed low versions — rerunning
+    # the retention job must be idempotent
+    expired = [v for v in range(1, cutoff) if os.path.exists(_manifest_path(path, v))]
 
     referenced: set[str] = set()
     for v in kept:
         with open(_manifest_path(path, v)) as f:
-            referenced.update(json.load(f)["data_dirs"])
+            m = json.load(f)
+        referenced.update(m["data_dirs"])
+        referenced.update(e["dir"] for e in m.get("deletes", []))
 
     for v in expired:
         os.remove(_manifest_path(path, v))
 
     deleted = []
     for entry in sorted(os.listdir(path)):
-        if entry.startswith("data-v") and entry not in referenced:
+        if (
+            entry.startswith("data-v") or entry.startswith("delete-v")
+        ) and entry not in referenced:
             shutil.rmtree(os.path.join(path, entry))
             deleted.append(entry)
     return {
@@ -250,6 +294,67 @@ def delete_where(spark: SparkSession, path: str, condition) -> int:
     cond = F.expr(condition) if isinstance(condition, str) else condition
     cur = read_version(spark, path)
     return commit(cur.filter(~cond), path, mode="overwrite")
+
+
+def delete_where_mor(
+    spark: SparkSession, path: str, condition, key_cols: list[str]
+) -> int:
+    """Merge-on-read row deletion (Delta deletion vectors / Iceberg
+    equality deletes): instead of rewriting the snapshot (copy-on-write,
+    :func:`delete_where`), commit a small DELETE VECTOR — the matching
+    rows' keys — and let readers anti-join it at scan time. Write cost is
+    the size of the deleted-key set, not the table; the trade is a per-
+    vector read tax that :func:`compact_deletes` retires.
+
+    Scoping follows Iceberg sequence semantics: the vector applies only to
+    data directories present at delete time, so rows appended afterwards —
+    including re-inserts of a deleted key — are untouched. At 100 TB this
+    is the difference between a kilobyte PUT and a multi-terabyte rewrite
+    for every GDPR erasure request."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    prev = current_version(path)
+    if prev < 1:
+        raise FileNotFoundError(f"no committed version at {path}")
+    # keys visible NOW (prior vectors already applied), deduped
+    keys = read_version(spark, path).filter(cond).select(*key_cols).distinct()
+    version = prev + 1
+    delete_dir = f"delete-v{version:06d}"
+    keys.write.mode("errorifexists").parquet(os.path.join(path, delete_dir))
+    with open(_manifest_path(path, prev)) as f:
+        prev_manifest = json.load(f)
+    manifest = {
+        "version": version,
+        "parent": prev,
+        "mode": "delete",
+        "data_dirs": prev_manifest["data_dirs"],
+        "deletes": prev_manifest.get("deletes", [])
+        + [
+            {
+                "dir": delete_dir,
+                "key_cols": list(key_cols),
+                "applies_to": prev_manifest["data_dirs"],
+            }
+        ],
+        "schema": prev_manifest.get("schema"),
+        "committed_at": time.time(),
+    }
+    tmp = _manifest_path(path, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, _manifest_path(path, version))
+    return version
+
+
+def compact_deletes(spark: SparkSession, path: str) -> int:
+    """Fold accumulated delete vectors into a clean snapshot (the
+    maintenance half of merge-on-read): materialize the current resolved
+    state and commit it as an overwrite — subsequent reads pay zero
+    anti-joins, and :func:`expire_snapshots` can then retire the vectors
+    with the old generations. The MOR analog of small-file compaction."""
+    cur = read_version(spark, path)
+    return commit(cur, path, mode="overwrite")
 
 
 def commit_with_stats(
@@ -308,9 +413,35 @@ def read_version_pruned(
     for d in manifest["data_dirs"]:
         st = dir_stats.get(d, {}).get(col)
         if st is None or not (st[1] < lo or st[0] > hi):
-            keep.append(os.path.join(path, d))
+            keep.append(d)
     if not keep:
         # empty result with the right schema: read one dir's schema lazily
         any_dir = os.path.join(path, manifest["data_dirs"][0])
         return spark.read.parquet(any_dir).filter(F.lit(False))
-    return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+    deletes = manifest.get("deletes", [])
+    pred = F.col(col).between(lo, hi)
+    if not deletes:
+        return spark.read.parquet(*[os.path.join(path, d) for d in keep]).filter(pred)
+    # MOR delete vectors keep their per-directory scope after pruning —
+    # a vector must not touch rows re-inserted in later dirs (same
+    # grouping as read_version; pruning is an optimization, never a
+    # semantic filter).
+    by_entry = {e["dir"]: e for e in deletes}
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for d in keep:
+        applicable = tuple(sorted(e["dir"] for e in deletes if d in e["applies_to"]))
+        groups.setdefault(applicable, []).append(d)
+    parts = []
+    for applicable in sorted(groups):
+        df = spark.read.parquet(
+            *[os.path.join(path, g) for g in groups[applicable]]
+        ).filter(pred)
+        for ddir in applicable:
+            entry = by_entry[ddir]
+            keys = spark.read.parquet(os.path.join(path, ddir))
+            df = df.join(keys, on=entry["key_cols"], how="left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
