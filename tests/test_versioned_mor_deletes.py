@@ -97,3 +97,28 @@ def test_expire_snapshots_keeps_referenced_vectors(spark, tmp_path):
     summary2 = V.expire_snapshots(path, keep_last_n=1)
     assert "delete-v000002" in summary2["deleted_dirs"]
     assert _ids(V.read_version(spark, path)) == [1, 2, 3, 10]
+
+
+def test_foreach_batch_cdc_mor_applies_changes_without_rewrites(spark, tmp_path):
+    path = str(tmp_path / "cdc")
+    V.commit(_table(spark, [(1, "a", 1), (2, "a", 2), (3, "a", 3)]), path)
+    sink = V.foreach_batch_cdc_mor(path, key_cols=["id"])
+
+    def _chg(rows):
+        return spark.createDataFrame(rows, "op string, id long, grp string, val long")
+
+    # batch 0: delete id=2, insert id=4
+    sink(_chg([("delete", 2, None, None), ("insert", 4, "b", 4)]), 0)
+    assert _ids(V.read_version(spark, path)) == [1, 3, 4]
+    # batch 1: delete id=1 AND re-insert id=1 in the same batch — the
+    # delete is scoped before the append lands, so the new row survives
+    sink(_chg([("delete", 1, None, None), ("insert", 1, "b", 100)]), 1)
+    rows = {(r.id, r.grp) for r in V.read_version(spark, path).collect()}
+    assert rows == {(1, "b"), (3, "a"), (4, "b")}
+    # replay of batch 1 must be a no-op (batch_id ledger)
+    v_before = V.current_version(path)
+    sink(_chg([("delete", 1, None, None), ("insert", 1, "b", 100)]), 1)
+    assert V.current_version(path) == v_before
+    assert {(r.id, r.grp) for r in V.read_version(spark, path).collect()} == rows
+    # no data directory was ever rewritten: v1's file set is still intact
+    assert _ids(V.read_version(spark, path, version=1)) == [1, 2, 3]

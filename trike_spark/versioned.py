@@ -319,9 +319,22 @@ def delete_where_mor(
         raise FileNotFoundError(f"no committed version at {path}")
     # keys visible NOW (prior vectors already applied), deduped
     keys = read_version(spark, path).filter(cond).select(*key_cols).distinct()
+    return delete_keys_mor(path, keys, key_cols)
+
+
+def delete_keys_mor(path: str, keys: DataFrame, key_cols: list[str]) -> int:
+    """Commit an explicit key set as a delete vector (the primitive under
+    :func:`delete_where_mor`, and what a CDC sink calls directly with the
+    batch's delete keys). The vector is scoped to the data directories
+    present NOW."""
+    prev = current_version(path)
+    if prev < 1:
+        raise FileNotFoundError(f"no committed version at {path}")
     version = prev + 1
     delete_dir = f"delete-v{version:06d}"
-    keys.write.mode("errorifexists").parquet(os.path.join(path, delete_dir))
+    keys.select(*key_cols).distinct().write.mode("errorifexists").parquet(
+        os.path.join(path, delete_dir)
+    )
     with open(_manifest_path(path, prev)) as f:
         prev_manifest = json.load(f)
     manifest = {
@@ -345,6 +358,48 @@ def delete_where_mor(
         json.dump(manifest, f)
     os.rename(tmp, _manifest_path(path, version))
     return version
+
+
+def foreach_batch_cdc_mor(path: str, key_cols: list[str]):
+    """Streaming CDC sink with merge-on-read deletes: use as
+    ``writeStream.foreachBatch(foreach_batch_cdc_mor(path, keys))`` on a
+    change stream carrying an ``op`` column ('insert' | 'delete').
+
+    Per micro-batch, delete ops commit a vector against the PRE-batch
+    state and insert ops append a fresh data directory — no existing file
+    is ever rewritten, so the sink's write cost tracks the change volume,
+    not the table (the streaming face of :func:`delete_where_mor`). An
+    insert whose key was deleted in the same batch survives (deletes are
+    scoped before the append lands). Idempotence: the batch_id ledger
+    skips fully-committed batches; a crash between the delete and insert
+    commits replays into a duplicate delete vector, which is VISIBLY a
+    no-op (same keys, same scope) — the resolved state is exactly-once
+    even though version numbers may differ."""
+    from pyspark.sql import functions as F
+
+    def _apply(df: DataFrame, batch_id: int) -> None:
+        for m in history(path):
+            if m.get("batch_id") == batch_id:
+                return  # replay of an already-committed micro-batch
+        dels = df.filter(F.col("op") == "delete").select(*key_cols).distinct()
+        ins = df.filter(F.col("op") == "insert").drop("op")
+        last_v = None
+        if dels.limit(1).count() > 0 and current_version(path) >= 1:
+            last_v = delete_keys_mor(path, dels, key_cols)
+        if ins.limit(1).count() > 0:
+            last_v = commit(ins, path, mode="append")
+        if last_v is None:
+            return  # empty batch: nothing to stamp; replay is free
+        mp = _manifest_path(path, last_v)
+        with open(mp) as f:
+            manifest = json.load(f)
+        manifest["batch_id"] = batch_id
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, mp)
+
+    return _apply
 
 
 def compact_deletes(spark: SparkSession, path: str) -> int:
