@@ -283,3 +283,57 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         ).alias("energy"),
     )
+
+
+@register(
+    "multimodal_frame_dedup",
+    """
+    WITH frames AS (
+      SELECT doc_id, frame_idx,
+             md5(text || ':' || CAST(frame_idx % 4 AS VARCHAR)) AS frame_hash
+      FROM documents, (SELECT unnest(generate_series(0, 9)) AS frame_idx)
+      WHERE doc_id % 50 = 0)
+    SELECT frame_hash,
+           MIN(doc_id * 100 + frame_idx) AS survivor_key,
+           COUNT(*) AS n_copies
+    FROM frames GROUP BY frame_hash HAVING COUNT(*) > 1
+    """,
+    doc=(
+        "Frame-level exact dedup: hash sampled pseudo-frames (stubbed "
+        "codec; idx%4 collapses a repeating GOP) and keep one survivor per "
+        "duplicate group — the video analog of document exact-dedup."
+    ),
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-frame collapse, the first compression step of any video
+    ingest pipeline (static scenes repeat frames; here the deterministic
+    fake decoder emits a repeating 4-frame group-of-pictures so duplicate
+    structure exists to find). Survivor = lowest (doc, frame) key, the
+    same keep-min rule as document exact-dedup; in production the hash
+    would be a real perceptual/content hash of decoded pixels — the
+    Spark shape (narrow 1:N frame expansion → 16-byte-key groupBy) is
+    identical.
+
+    Scale note: the shuffle carries only (hash, key) pairs, never frame
+    bytes — at 100 TB of video the dedup exchange is measured in
+    gigabytes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    frames = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("frame_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.md5(
+            F.concat(F.col("text"), F.lit(":"), (F.col("frame_idx") % 4).cast("string"))
+        ).alias("frame_hash"),
+    )
+    return (
+        frames.groupBy("frame_hash")
+        .agg(
+            F.min(F.col("doc_id") * 100 + F.col("frame_idx")).alias("survivor_key"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

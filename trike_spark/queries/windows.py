@@ -625,3 +625,66 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round((lo + hi) / 2.0, 3).alias("med4"),
     )
+
+
+@register(
+    "window_mom_growth",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,4))), 2) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY date_trunc('month', o_orderdate)),
+    g AS (
+      SELECT m, revenue,
+             LAG(revenue) OVER (ORDER BY m) AS prev_rev,
+             ROUND((CAST(revenue AS DECIMAL(18,2))
+                    + COALESCE(LAG(CAST(revenue AS DECIMAL(18,2)), 1) OVER (ORDER BY m), CAST(0 AS DECIMAL(18,2)))
+                    + COALESCE(LAG(CAST(revenue AS DECIMAL(18,2)), 2) OVER (ORDER BY m), CAST(0 AS DECIMAL(18,2))))
+                   / LEAST(3, ROW_NUMBER() OVER (ORDER BY m)), 2) AS ma3
+      FROM monthly)
+    SELECT CAST(m AS DATE) AS m, revenue,
+           ROUND((revenue - prev_rev) / prev_rev, 6) AS mom_growth,
+           CAST(ma3 AS DOUBLE) AS ma3
+    FROM g
+    """,
+    doc=(
+        "Month-over-month revenue growth + 3-month moving average — the "
+        "boardroom trend report, decimal-exact."
+    ),
+)
+def window_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoM growth rate and a trailing 3-month moving average over the
+    monthly revenue rollup. The moving average is built from explicit
+    decimal LAGs (not an AVG frame) so partial leading windows divide an
+    EXACT decimal sum by the true member count — both engines fold
+    identical decimals, no float accumulation anywhere before the two
+    pinned final divisions.
+
+    Scale shape: one map-side-combined monthly rollup, then windows over
+    the MONTH dimension (calendar-bounded — the sanctioned global
+    window)."""
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy("m")
+    rev_dec = F.col("revenue").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    ma3 = F.round(
+        (
+            rev_dec
+            + F.coalesce(F.lag(rev_dec, 1).over(w), zero)
+            + F.coalesce(F.lag(rev_dec, 2).over(w), zero)
+        )
+        / F.least(F.lit(3), F.row_number().over(w)),
+        2,
+    )
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        F.col("m").cast("date").alias("m"),
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+        ma3.cast("double").alias("ma3"),
+    )
