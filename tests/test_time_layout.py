@@ -55,3 +55,38 @@ def test_archive_week_filter_prunes_partitions(spark, tmp_path):
     plan = formatted_plan(q)
     assert "PartitionFilters" in plan, plan
     assert q.count() == 7
+
+
+def test_backfill_rewrites_only_its_partitions(spark, tmp_path):
+    """backfill_time_partitioned: re-running one day replaces exactly that
+    day — no duplicates (append would), no archive wipe (static
+    overwrite would), and a second identical run converges (idempotent)."""
+    from trike_spark.io import backfill_time_partitioned
+
+    path = str(tmp_path / "archive")
+    rows = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}", i * 10) for i in range(9)],
+        "id long, d string, v long",
+    ).select("id", F.col("d").cast("timestamp").alias("ts"), "v")
+    write_time_partitioned(rows, path, "ts", "day")
+    assert spark.read.parquet(path).count() == 9
+
+    # backfill day 2 with a corrected, smaller row set
+    fixed = spark.createDataFrame(
+        [(100, "2024-01-02", 999), (101, "2024-01-02", 998)],
+        "id long, d string, v long",
+    ).select("id", F.col("d").cast("timestamp").alias("ts"), "v")
+    backfill_time_partitioned(fixed, path, "ts", "day")
+
+    back = spark.read.parquet(path)
+    assert back.filter("_part = '2024-01-02'").count() == 2  # replaced, not appended
+    assert back.filter("_part = '2024-01-01'").count() == 3  # untouched
+    assert back.filter("_part = '2024-01-03'").count() == 3  # untouched
+    ids_day2 = {r.id for r in back.filter("_part = '2024-01-02'").collect()}
+    assert ids_day2 == {100, 101}
+
+    # idempotence: the same backfill again changes nothing
+    backfill_time_partitioned(fixed, path, "ts", "day")
+    again = spark.read.parquet(path)
+    assert again.count() == 8
+    assert {r.id for r in again.filter("_part = '2024-01-02'").collect()} == {100, 101}

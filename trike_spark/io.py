@@ -109,6 +109,37 @@ def write_time_partitioned(
     )
 
 
+def backfill_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    granularity: str = "day",
+) -> None:
+    """Idempotent backfill into a :func:`write_time_partitioned` archive:
+    rewrite ONLY the time partitions present in ``df``, leaving every
+    other partition untouched (``partitionOverwriteMode=dynamic``).
+
+    This is the property a 100 TB archive operationally lives on: a
+    re-run of one day's pipeline — after a bug fix, a late-data top-up, a
+    crash — must replace exactly that day, never duplicate into it
+    (append would) and never wipe the rest of the archive (static
+    overwrite would). Running the same backfill twice converges to the
+    same bytes-on-disk state."""
+    from pyspark.sql import functions as F
+
+    fmt = {"month": "yyyy-MM", "day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH"}[granularity]
+    bucket = F.date_format(F.date_trunc(granularity, F.col(ts_col)), fmt).alias("_part")
+    (
+        df.withColumn("_part", bucket)
+        .repartition(F.col("_part"))
+        .sortWithinPartitions("_part", ts_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_part")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -2258,3 +2258,64 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
+
+
+RATE_WINDOW_S = 86400  # trailing window
+RATE_LIMIT = 5  # max events allowed inside it
+
+
+@register(
+    "events_rate_limit_violations",
+    f"""
+    WITH counted AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id
+                            ORDER BY CAST(epoch(ts) AS BIGINT)
+                            RANGE BETWEEN {RATE_WINDOW_S} PRECEDING AND CURRENT ROW)
+               AS n_in_window
+      FROM events)
+    SELECT user_id,
+           CAST(MAX(n_in_window) AS BIGINT) AS peak_rate,
+           CAST(SUM(CASE WHEN n_in_window > {RATE_LIMIT} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM counted GROUP BY user_id
+    HAVING SUM(CASE WHEN n_in_window > {RATE_LIMIT} THEN 1 ELSE 0 END) > 0
+    """,
+    doc=(
+        f"Retrospective rate-limit audit: events whose trailing-24h per-user "
+        f"count exceeds {RATE_LIMIT} — the batch forensics face of the "
+        "streaming token-bucket throttle."
+    ),
+)
+def events_rate_limit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit query behind every abuse investigation: for each event,
+    how many events did this user emit in the trailing day, and which
+    events breached the limit? The streaming token bucket
+    (streaming/throttle.py) ENFORCES admission in flight; this face
+    measures violations retrospectively over the archive — the pair every
+    rate-limit deployment needs (enforce online, audit offline, tune the
+    limit from the audit).
+
+    Scale shape: one shuffle on user_id, then an event-time RANGE frame
+    per user (frame state bounded by the window's event count, not
+    history) and a per-user rollup on the SAME partitioning — AQE reuses
+    the exchange. Counts are exact integers end to end."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-RATE_WINDOW_S, 0)
+    )
+    e = load_table(spark, sf_dir, "events")
+    counted = e.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("n_in_window")
+    )
+    return (
+        counted.groupBy("user_id")
+        .agg(
+            F.max("n_in_window").cast("bigint").alias("peak_rate"),
+            F.sum(F.when(F.col("n_in_window") > RATE_LIMIT, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+        .filter(F.col("n_violations") > 0)
+    )
