@@ -661,3 +661,95 @@ def scan_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "leg string, n_rows long",
     )
+
+
+@register(
+    "scan_data_quality_rules",
+    """
+    SELECT 'orders.o_custkey not_null' AS rule,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_violations
+    UNION ALL
+    SELECT 'orders.o_orderkey unique',
+           (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+             (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'orders.o_totalprice positive',
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'orders.o_orderstatus in_set',
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    UNION ALL
+    SELECT 'orders.o_custkey referential',
+           (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem.l_discount in_range',
+           (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey referential',
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+    """,
+    doc=(
+        "Declarative data-quality rule pack (not-null, uniqueness, range, "
+        "set membership, referential integrity): one violations row per "
+        "rule — the expectations gate a pipeline runs before publishing."
+    ),
+)
+def scan_data_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectations layer (Great-Expectations-shaped, engine-native):
+    each rule compiles to a violation COUNT over the scan, the report is
+    one row per rule, and a publish step gates on all-zeros. Rules
+    deliberately compile to DIFFERENT plan shapes — narrow predicates
+    (null/range/set), a keyed duplicate count, and two anti-join
+    referential probes — showing each constraint type takes its cheapest
+    plan, not a generic row-validator UDF.
+
+    Scale shape: predicate rules are scan-adjacent narrow filters with
+    pushdown; uniqueness is one map-side-combined groupBy on the key;
+    referential checks broadcast the dimension side (customer) or
+    equi-join on the fact key. At 100 TB you run the pack once per
+    ingest batch, not per query — violations land in the run report the
+    same way this face's rows do."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql.functions import broadcast
+
+    def one(rule: str, n) -> DataFrame:
+        return n.select(F.lit(rule).alias("rule"), F.col("n").alias("n_violations"))
+
+    cnt = lambda df: df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))  # noqa: E731
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("n"))
+    )
+    legs = [
+        one("orders.o_custkey not_null", cnt(o.filter(F.col("o_custkey").isNull()))),
+        one("orders.o_orderkey unique", dup),
+        one("orders.o_totalprice positive", cnt(o.filter(F.col("o_totalprice") <= 0))),
+        one(
+            "orders.o_orderstatus in_set",
+            cnt(o.filter(~F.col("o_orderstatus").isin("O", "F", "P"))),
+        ),
+        one(
+            "orders.o_custkey referential",
+            cnt(
+                o.join(broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+            ),
+        ),
+        one(
+            "lineitem.l_discount in_range",
+            cnt(li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1))),
+        ),
+        one(
+            "lineitem.l_orderkey referential",
+            cnt(li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")),
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
