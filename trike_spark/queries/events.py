@@ -2319,3 +2319,95 @@ def events_rate_limit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_violations") > 0)
     )
+
+
+@register(
+    "events_cohort_ltv_curve",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+                  AS INT) AS wk,
+             CAST(e.value AS DECIMAL(18,4)) AS v
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'),
+    cohort_n AS (
+      SELECT cohort_week, COUNT(*) AS n_users FROM first_seen GROUP BY cohort_week),
+    wk_rev AS (
+      SELECT cohort_week, wk, SUM(v) AS wrev
+      FROM rev WHERE wk BETWEEN 0 AND 8 GROUP BY cohort_week, wk),
+    cum AS (
+      SELECT cohort_week, wk,
+             SUM(wrev) OVER (PARTITION BY cohort_week ORDER BY wk
+                             ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM wk_rev)
+    SELECT CAST(c.cohort_week AS DATE) AS cohort_week, c.wk,
+           CAST(n.n_users AS BIGINT) AS n_users,
+           CAST(ROUND(c.cum_rev, 2) AS DOUBLE) AS cum_revenue,
+           ROUND(CAST(c.cum_rev AS DOUBLE) / n.n_users, 4) AS ltv_per_user
+    FROM cum c JOIN cohort_n n ON n.cohort_week = c.cohort_week
+    """,
+    doc=(
+        "Cohort LTV curve: cumulative purchase revenue per signup-week "
+        "cohort across week offsets 0-8, per-user normalized — the "
+        "lifetime-value fan chart under every growth model."
+    ),
+)
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue companion to the retention-cohort matrix: instead of
+    counting active users per (cohort, week-offset) cell, accumulate
+    purchase value — the curve whose plateau IS customer lifetime value,
+    and whose per-cohort divergence shows product changes moving the
+    economics (not just engagement).
+
+    Determinism: revenue folds in exact DECIMAL through the grouped sum
+    AND the cumulative window; the per-user division is pinned. Scale
+    shape: one user_id shuffle for first-activity, one join back keyed
+    the same way, a (cohort, wk) rollup, then windows over the ≤9-offset
+    COHORT dimension."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
+                )
+            )
+            .cast("int")
+            .alias("wk"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .filter((F.col("wk") >= 0) & (F.col("wk") <= 8))
+    )
+    cohort_n = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    wk_rev = rev.groupBy("cohort_week", "wk").agg(F.sum("v").alias("wrev"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = wk_rev.select(
+        "cohort_week", "wk", F.sum("wrev").over(w).alias("cum_rev")
+    )
+    from pyspark.sql.functions import broadcast
+
+    return cum.join(broadcast(cohort_n), "cohort_week").select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "wk",
+        "n_users",
+        F.round(F.col("cum_rev"), 2).cast("double").alias("cum_revenue"),
+        F.round(F.col("cum_rev").cast("double") / F.col("n_users"), 4).alias(
+            "ltv_per_user"
+        ),
+    )
