@@ -567,3 +567,47 @@ def scalar_ols_trend_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFram
     return e.groupBy("user_id").applyInPandas(
         _ols, schema="user_id long, n_events long, slope_per_day double"
     )
+
+
+@register(
+    "scalar_variant_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract(props, '$.absent') AS INT) AS k_missing,
+           CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                THEN 'OBJECT<k: BIGINT>' END AS vschema,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod
+    FROM events
+    """,
+    doc=(
+        "Spark 4 VARIANT path: parse_json once, typed try_variant_get "
+        "extraction, schema_of_variant introspection — the semi-structured "
+        "column type that replaces repeated get_json_object string parses."
+    ),
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT type (Spark 4): ``parse_json`` converts the JSON string
+    ONCE into a binary semi-structured value; every later field access is
+    a typed ``try_variant_get`` on that value — against N
+    ``get_json_object`` calls that each re-parse the string (the
+    scalar_json_funcs face shows that older path). ``schema_of_variant``
+    introspects the stored structure; absent paths come back NULL, not an
+    error. The oracle extracts the same typed values via DuckDB's native
+    JSON reader, and pins the introspected schema string to the expected
+    constant — a drifting variant layout would hash-fail.
+
+    Scale note: at 100 TB the parse-once/read-many difference is the
+    whole cost model of semi-structured columns; VARIANT also carries
+    binary-encoded shredding potential (columnar field extraction) that
+    string JSON never can."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        F.try_variant_get(v, "$.absent", "int").alias("k_missing"),
+        F.when(k.isNotNull(), F.schema_of_variant(v)).alias("vschema"),
+        (k % 10).alias("k_mod"),
+    )
