@@ -2411,3 +2411,149 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_per_user"
         ),
     )
+
+
+@register(
+    "events_decile_lift_table",
+    """
+    WITH usr AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+               AS engagement,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    scored AS (
+      SELECT engagement, converted,
+             NTILE(10) OVER (ORDER BY engagement DESC, user_id) AS decile
+      FROM usr),
+    base AS (
+      SELECT CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS base_rate FROM scored),
+    per AS (
+      SELECT decile, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted,
+             CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS rate
+      FROM scored GROUP BY decile)
+    SELECT p.decile, p.n_users, p.n_converted,
+           ROUND(p.rate, 6) AS conversion_rate,
+           ROUND(p.rate / b.base_rate, 4) AS lift,
+           ROUND(CAST(SUM(p.n_converted) OVER (ORDER BY p.decile
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / SUM(p.n_converted) OVER (), 6) AS cum_gains
+    FROM per p CROSS JOIN base b
+    """,
+    doc=(
+        "Decile lift & gains table: users ranked by engagement score, "
+        "per-decile conversion vs the base rate plus cumulative gains — "
+        "the standard propensity-model evaluation report."
+    ),
+)
+def events_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report every targeting model is judged by: rank the population
+    by a score (here the view+click engagement count — swap in any model
+    output), cut into deciles, and ask how concentrated conversion is at
+    the top. Lift = decile rate / base rate; cumulative gains = fraction
+    of all converters captured by deciles 1..d (the gains curve whose
+    area IS the ranking's value). A score with no signal shows lift ≈ 1
+    everywhere — making this face double as an A/A-style null check on
+    synthetic data.
+
+    Determinism: counts exact; the ntile carries a user_id tie-break;
+    rates/lift are pinned divisions. Scale shape: one user_id rollup,
+    then the ranking window over the USER dimension, a 10-row rollup,
+    and windows over the 10-row decile table."""
+    e = load_table(spark, sf_dir, "events")
+    usr = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        ).alias("engagement"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    scored = usr.select(
+        "engagement",
+        "converted",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("engagement").desc(), F.col("user_id")))
+        .alias("decile"),
+    )
+    base = scored.agg(
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("base_rate")
+    )
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("rate"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.crossJoin(broadcast(base)).select(
+        "decile",
+        "n_users",
+        "n_converted",
+        F.round(F.col("rate"), 6).alias("conversion_rate"),
+        F.round(F.col("rate") / F.col("base_rate"), 4).alias("lift"),
+        F.round(
+            F.sum("n_converted").over(wc).cast("double")
+            / F.sum("n_converted").over(wall),
+            6,
+        ).alias("cum_gains"),
+    )
+
+
+SLO_ERROR_BUDGET = 0.22  # tolerated error-event fraction
+
+
+@register(
+    "events_slo_burn_rate",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_events,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      FROM events GROUP BY CAST(ts AS DATE))
+    SELECT day, CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_errors AS BIGINT) AS n_errors,
+           ROUND(CAST(n_errors AS DOUBLE) / n_events, 6) AS error_rate,
+           ROUND(CAST(n_errors AS DOUBLE) / n_events / {SLO_ERROR_BUDGET}, 4)
+             AS burn_rate,
+           (CAST(n_errors AS DOUBLE) / n_events / {SLO_ERROR_BUDGET} > 1.0)
+             AS budget_exceeded
+    FROM daily
+    """,
+    doc=(
+        "SLO error-budget burn rate per day: error fraction over the "
+        f"budget ({SLO_ERROR_BUDGET}), with exceeded-flag — the SRE "
+        "alerting arithmetic over the event archive."
+    ),
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google-SRE error-budget accounting: burn rate = observed error
+    fraction / budgeted fraction; burn > 1 eats budget faster than the
+    SLO window replenishes it (multi-window burn alerts are this number
+    at two horizons). Batch face of the health aggregation the streaming
+    side publishes (streaming/health.py) — alert online, account offline.
+
+    Determinism: exact daily counts, two pinned divisions. Scale shape:
+    one map-side-combined (day) rollup; output is calendar-sized."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    rate = F.col("n_errors").cast("double") / F.col("n_events")
+    return daily.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.round(rate, 6).alias("error_rate"),
+        F.round(rate / SLO_ERROR_BUDGET, 4).alias("burn_rate"),
+        (rate / SLO_ERROR_BUDGET > 1.0).alias("budget_exceeded"),
+    )
