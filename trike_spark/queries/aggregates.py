@@ -846,3 +846,73 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2",
         F.round(F.sqrt(F.col("chi2") / (F.col("n") * 2.0)), 6).alias("cramers_v"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(l_quantity AS DECIMAL(18,4)) AS wt
+      FROM lineitem),
+    tot AS (SELECT l_returnflag, SUM(wt) AS total_wt FROM w GROUP BY l_returnflag),
+    cum AS (
+      SELECT l_returnflag, v,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v, wt
+                           ROWS UNBOUNDED PRECEDING) AS cum_wt
+      FROM w)
+    SELECT c.l_returnflag,
+           CAST(t.total_wt AS DOUBLE) AS total_weight,
+           MIN(c.v) AS weighted_median
+    FROM cum c JOIN tot t ON t.l_returnflag = c.l_returnflag
+    WHERE c.cum_wt * 2 >= t.total_wt
+    GROUP BY c.l_returnflag, t.total_wt
+    """,
+    doc=(
+        "Exact weighted median (lowest value whose cumulative weight "
+        "reaches half the total) of extended price weighted by quantity, "
+        "per returnflag — the quantity-aware 'typical price'."
+    ),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median by the textbook definition: sort by value, take the
+    first value whose CUMULATIVE weight reaches total/2 — here 'the price
+    below which half the shipped QUANTITY sits', which is the
+    inventory-weighted typical price an unweighted median misstates
+    whenever cheap items ship in bulk. No engine has a distributed exact
+    weighted-median aggregate; this derivation is three relational steps.
+
+    Determinism: weights fold in exact DECIMAL through both the total
+    and the cumulative window; the crossing test (2·cum ≥ total) is
+    integer-free decimal comparison — no float boundary to flap on (the
+    Pareto-crossing discipline). Scale shape: one returnflag shuffle
+    feeds both the total and the sorted cumulative window; the crossing
+    filter + MIN is map-side reducible."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("wt"),
+    )
+    tot = w.groupBy("l_returnflag").agg(F.sum("wt").alias("total_wt"))
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v", "wt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = w.select("l_returnflag", "v", F.sum("wt").over(wc).alias("cum_wt"))
+    from pyspark.sql.functions import broadcast
+
+    return (
+        cum.join(broadcast(tot), "l_returnflag")
+        .filter(F.col("cum_wt") * 2 >= F.col("total_wt"))
+        .groupBy("l_returnflag", "total_wt")
+        .agg(F.min("v").alias("weighted_median"))
+        .select(
+            "l_returnflag",
+            F.col("total_wt").cast("double").alias("total_weight"),
+            "weighted_median",
+        )
+    )

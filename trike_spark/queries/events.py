@@ -2557,3 +2557,56 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate / SLO_ERROR_BUDGET, 4).alias("burn_rate"),
         (rate / SLO_ERROR_BUDGET > 1.0).alias("budget_exceeded"),
     )
+
+
+@register(
+    "events_cumulative_unique_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    per_day AS (
+      SELECT first_day AS day, COUNT(*) AS n_new
+      FROM first_seen GROUP BY first_day),
+    cal AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT c.day,
+           CAST(COALESCE(p.n_new, 0) AS BIGINT) AS n_new_users,
+           CAST(SUM(COALESCE(p.n_new, 0)) OVER (ORDER BY c.day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_unique_users
+    FROM cal c LEFT JOIN per_day p ON p.day = c.day
+    """,
+    doc=(
+        "Cumulative distinct users per day via the first-seen reduction — "
+        "the expanding-window COUNT(DISTINCT) that would otherwise need a "
+        "rescan per day, in one pass."
+    ),
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth chart's denominator: total unique users ever seen, per
+    day. A naive expanding-window COUNT(DISTINCT) re-deduplicates all of
+    history for every day; the first-seen reduction observes that a user
+    contributes to the cumulative count exactly once — on their first
+    day — so one user_id rollup plus a running sum over the CALENDAR
+    dimension computes every prefix at once. The same reduction is how
+    the DAU/WAU/MAU face avoids per-day rescans.
+
+    Determinism: exact integer counts end to end. Scale shape: one
+    map-side-combined user rollup (the only fact-sized pass), a
+    |days|-row join, and a running sum over the calendar."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    cal = e.select(F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    joined = cal.join(per_day, "day", "left").select(
+        "day", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new")
+    )
+    return joined.select(
+        "day",
+        F.col("n_new").cast("bigint").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_unique_users"),
+    )
