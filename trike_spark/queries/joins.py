@@ -707,3 +707,60 @@ def join_top_order_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_orderkey"),
         F.max("o_totalprice").alias("top_price"),
     )
+
+
+ASOF_TOL_DAYS = 14
+
+
+@register(
+    "join_asof_tolerance",
+    f"""
+    WITH sd AS (SELECT l_shipdate, MIN(l_orderkey) AS asof_shipkey
+                FROM lineitem GROUP BY l_shipdate),
+    m AS (
+      SELECT o.o_orderkey, o.o_orderdate, sd.l_shipdate, sd.asof_shipkey
+      FROM orders o ASOF LEFT JOIN sd ON o.o_orderdate <= sd.l_shipdate)
+    SELECT o_orderkey, o_orderdate,
+           CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= {ASOF_TOL_DAYS}
+                THEN l_shipdate END AS next_shipdate,
+           CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= {ASOF_TOL_DAYS}
+                THEN asof_shipkey END AS asof_shipkey,
+           COALESCE(date_diff('day', o_orderdate, l_shipdate) <= {ASOF_TOL_DAYS},
+                    FALSE) AS matched
+    FROM m
+    """,
+    doc=(
+        f"As-of join with a staleness tolerance: nearest successor within "
+        f"{ASOF_TOL_DAYS} days or an explicit NULL row — LEFT semantics, "
+        "the bounded-lookup variant every feature join needs."
+    ),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of (pandas ``merge_asof(tolerance=...)``): a
+    match farther than {ASOF_TOL_DAYS} days is WORSE than no match — a
+    feature that stale would poison a training row, a 'next shipment'
+    that late means the answer is really 'none scheduled'. LEFT
+    semantics: every order keeps its row; beyond-tolerance matches null
+    out with an explicit matched=false flag (so downstream can count
+    coverage, the number that decides whether the tolerance is viable).
+
+    Execution: the inner as-of face provides nearest-successor matches
+    (same month-bucketed broadcast plan); a left join back to orders
+    restores unmatched rows; the tolerance test is exact integer date
+    arithmetic. Zero new shuffles beyond the as-of machinery itself."""
+    inner = join_asof_forward_order_ship(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    within = F.datediff(F.col("next_shipdate"), F.col("o_orderdate")) <= ASOF_TOL_DAYS
+    tol = inner.select(
+        "o_orderkey",
+        F.when(within, F.col("next_shipdate")).alias("m_shipdate"),
+        F.when(within, F.col("asof_shipkey")).alias("m_shipkey"),
+        within.alias("m_flag"),
+    )
+    return orders.join(tol, "o_orderkey", "left").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("m_shipdate").alias("next_shipdate"),
+        F.col("m_shipkey").alias("asof_shipkey"),
+        F.coalesce(F.col("m_flag"), F.lit(False)).alias("matched"),
+    )

@@ -611,3 +611,43 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k.isNotNull(), F.schema_of_variant(v)).alias("vschema"),
         (k % 10).alias("k_mod"),
     )
+
+
+@register(
+    "scalar_interval_funcs",
+    """
+    SELECT event_id,
+           ts + INTERVAL 3 DAY AS plus_3d,
+           ts - INTERVAL 90 MINUTE AS minus_90m,
+           CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo,
+           CAST(date_trunc('quarter', ts) AS DATE) AS quarter_start,
+           CAST(ts AS DATE)
+             + CAST(CASE WHEN (8 - isodow(CAST(ts AS DATE))) % 7 = 0 THEN 7
+                         ELSE (8 - isodow(CAST(ts AS DATE))) % 7 END AS INT)
+             AS next_monday
+    FROM events
+    """,
+    doc=(
+        "INTERVAL arithmetic family: timestamp +/- day/minute intervals, "
+        "calendar-clamped month addition, quarter truncation, next-weekday "
+        "— the date-math surface schedulers and retention policies use."
+    ),
+)
+def scalar_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic where the subtle parts are calendar, not math:
+    month addition clamps to month end (Jan 31 + 1 month = Feb 28 in both
+    engines — add_months ↔ DATE + INTERVAL agree on the clamp);
+    next-weekday is strictly-later (a Monday maps to NEXT Monday, the
+    next_day contract — the oracle derives it from isodow so the +7 wrap
+    is explicit); interval add/subtract on timestamps is exact
+    microsecond integer math. All narrow per-row expressions, pushdown-
+    transparent."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("plus_3d"),
+        (F.col("ts") - F.expr("INTERVAL 90 MINUTES")).alias("minus_90m"),
+        F.add_months(F.col("ts").cast("date"), 1).alias("plus_1mo"),
+        F.date_trunc("quarter", "ts").cast("date").alias("quarter_start"),
+        F.next_day(F.col("ts").cast("date"), "Mon").alias("next_monday"),
+    )
