@@ -2610,3 +2610,92 @@ def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n_new").cast("bigint").alias("n_new_users"),
         F.sum("n_new").over(w).cast("bigint").alias("cum_unique_users"),
     )
+
+
+@register(
+    "events_user_lifecycle_states",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    flagged AS (
+      SELECT user_id, wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      FROM uw),
+    states AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM flagged),
+    churn AS (
+      SELECT wk + INTERVAL 7 DAY AS wk, 'churned' AS state
+      FROM (
+        SELECT user_id, wk,
+               LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        FROM uw)
+      WHERE next_wk IS NULL OR next_wk > wk + INTERVAL 7 DAY),
+    all_states AS (
+      SELECT CAST(wk AS DATE) AS wk, state FROM states
+      UNION ALL
+      SELECT CAST(wk AS DATE), state FROM churn),
+    weeks AS (SELECT DISTINCT CAST(wk AS DATE) AS wk FROM uw)
+    SELECT a.wk, a.state, COUNT(*) AS n_users
+    FROM all_states a JOIN weeks w ON w.wk = a.wk
+    GROUP BY a.wk, a.state
+    """,
+    doc=(
+        "Growth accounting: each week's active users decomposed into "
+        "new / retained / resurrected, plus the churned count lost from "
+        "the prior week — the decomposition behind every MAU narrative."
+    ),
+)
+def events_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-accounting identity (active_t = new_t + retained_t +
+    resurrected_t; active_t − retained_{t+1} = churned_{t+1}): a flat MAU
+    can hide churn exactly offset by acquisition, and this decomposition
+    is how that's made visible. States from one (user, week) dedup:
+    new = first-ever week; retained = also active the immediately-prior
+    week; resurrected = returning after a gap; churned (attributed to
+    the FOLLOWING week) = active without activity in the next week.
+    Churn rows beyond the observed calendar are clipped (the last week's
+    churn is unknowable yet — honest right-censoring).
+
+    Determinism: exact integer counts; week arithmetic is calendar-exact
+    in both engines. Scale shape: one user_id dedup + two windows over
+    each user's WEEKS (not events), then a (week, state) rollup."""
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    wu = Window.partitionBy("user_id")
+    wo = wu.orderBy("wk")
+    flagged = uw.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(wu).alias("first_wk"),
+        F.lag("wk").over(wo).alias("prev_wk"),
+    )
+    states = flagged.select(
+        F.col("wk").cast("date").alias("wk"),
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(
+            F.col("prev_wk") == F.col("wk") - F.expr("INTERVAL 7 DAYS"), "retained"
+        )
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    churn = (
+        uw.select("user_id", "wk", F.lead("wk").over(wo).alias("next_wk"))
+        .filter(
+            F.col("next_wk").isNull()
+            | (F.col("next_wk") > F.col("wk") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select(
+            (F.col("wk") + F.expr("INTERVAL 7 DAYS")).cast("date").alias("wk"),
+            F.lit("churned").alias("state"),
+        )
+    )
+    weeks = uw.select(F.col("wk").cast("date").alias("wk")).distinct()
+    all_states = states.unionByName(churn).join(weeks, "wk")
+    return all_states.groupBy("wk", "state").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -764,3 +764,45 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_shipkey").alias("asof_shipkey"),
         F.coalesce(F.col("m_flag"), F.lit(False)).alias("matched"),
     )
+
+
+@register(
+    "join_exists_flag_mark",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                   AND o.o_totalprice > 200000) AS has_big_order
+    FROM customer c
+    """,
+    doc=(
+        "EXISTS as a projected flag (the MARK join): every customer keeps "
+        "a row, the subquery becomes a boolean column — not a semi/anti "
+        "filter."
+    ),
+)
+def join_exists_flag_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third EXISTS execution shape next to semi (keep matches) and
+    anti (keep non-matches): keep EVERYTHING and project the existence
+    test as a column — what DuckDB compiles to a MARK join. Spark has no
+    mark-join operator; the equivalent plan is a left join against the
+    DISTINCT matching key set with a null-test flag — same one shuffle a
+    semi join pays, and the distinct keeps the build side key-sized.
+    Feature engineering uses this constantly ('has the user ever X') —
+    as a filter it loses the negative rows a model needs.
+
+    Scale shape: the filtered orders scan reduces to distinct custkeys
+    (key-sized, broadcastable); customers left-join it; flag = key
+    found. Pushdown carries the price predicate into the orders scan."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        o.filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_big_order", F.lit(True))
+    )
+    return c.join(broadcast(big), "c_custkey", "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("has_big_order"), F.lit(False)).alias("has_big_order"),
+    )
