@@ -492,3 +492,33 @@ def test_streaming_bm25_score_matches_python_fold(spark, tmp_path):
                 acc += round(lut[t] * ((tf * (k1 + 1.0)) / (tf + k1 * norm)), 6)
         assert by_id[d["doc_id"]]["bm25"] == round(acc, 6), (d, got)
         assert by_id[d["doc_id"]]["n_tokens"] == dl
+
+
+def test_streaming_slo_burn_matches_batch_face(spark, tmp_path):
+    """The streaming burn-rate twin must reproduce the batch face's rows
+    exactly once windows finalize (complete-mode read of a bounded
+    stream)."""
+    from trike_spark.queries.events import events_slo_burn_rate
+    from trike_spark.streaming.analytics import streaming_slo_burn
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in events_slo_burn_rate(spark, sf_dir).collect()}
+
+    from trike_spark.io import load_table
+
+    src = tmp_path / "slo_events"
+    load_table(spark, sf_dir, "events").write.parquet(str(src))
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = streaming_slo_burn(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slo_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slo"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM slo_out").collect()}
+    assert got == batch

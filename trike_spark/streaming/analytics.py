@@ -469,3 +469,37 @@ def streaming_bm25_score(
     return doc_stream.select(
         "doc_id", dl.alias("n_tokens"), F.round(total, 6).alias("bm25")
     )
+
+
+def streaming_slo_burn(events: DataFrame, budget: float | None = None) -> DataFrame:
+    """Streaming twin of ``events_slo_burn_rate``: error-budget burn per
+    event-time day computed on the live stream (watermarked tumbling
+    windows), emitting the same (day, counts, rate, burn, exceeded)
+    shape the batch face derives from the archive — alert online,
+    account offline.
+
+    State is one (count, error-count) pair per open day window, bounded
+    by the 1-day watermark; the division happens per emitted row, so the
+    parity with the batch face is exact once a window finalizes."""
+    from trike_spark.queries.events import SLO_ERROR_BUDGET
+
+    b = SLO_ERROR_BUDGET if budget is None else budget
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+    )
+    rate = F.col("n_errors").cast("double") / F.col("n_events")
+    return agg.select(
+        F.col("w.start").cast("date").alias("day"),
+        "n_events",
+        "n_errors",
+        F.round(rate, 6).alias("error_rate"),
+        F.round(rate / b, 4).alias("burn_rate"),
+        (rate / b > 1.0).alias("budget_exceeded"),
+    )
