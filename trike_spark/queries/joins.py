@@ -806,3 +806,52 @@ def join_exists_flag_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.coalesce(F.col("has_big_order"), F.lit(False)).alias("has_big_order"),
     )
+
+
+@register(
+    "join_null_safe_eq",
+    """
+    WITH c AS (
+      SELECT c_custkey, nullif(c_nationkey % 5, 0) AS grp FROM customer),
+    s AS (
+      SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS grp FROM supplier)
+    SELECT c.grp, COUNT(*) AS n_pairs,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           CAST(MIN(s_suppkey) AS BIGINT) AS min_supp
+    FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+    GROUP BY c.grp
+    """,
+    doc=(
+        "Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match "
+        "each other instead of silently dropping — the join semantics "
+        "sentinel-free dimension keys need."
+    ),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equality drops every NULL-keyed row from a join (NULL = NULL
+    is NULL); null-safe equality (`<=>`, SQL's IS NOT DISTINCT FROM)
+    treats NULL as a value that matches itself — the correct semantics
+    when NULL means 'uncategorized bucket' rather than 'unknown'. Here a
+    fifth of each side's keys are nulled (nullif on key%5) and the
+    null-null pair group survives, countable next to the others.
+
+    Scale note: Spark executes `<=>` as an ordinary hash join (the
+    null-safe comparison is hashable), NOT a nested loop — the plan is
+    the same shuffled equi-join as `=`; all NULL keys land in one hash
+    bucket, so a null-heavy key column is a skew key like any other
+    (salt it if hot)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("grp")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("sgrp")
+    )
+    return (
+        c.join(s, c.grp.eqNullSafe(s.sgrp))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("c_custkey").cast("bigint").alias("min_cust"),
+            F.min("s_suppkey").cast("bigint").alias("min_supp"),
+        )
+    )

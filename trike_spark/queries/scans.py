@@ -753,3 +753,44 @@ def scan_data_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+@register(
+    "scan_orc_roundtrip_orders",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,4))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "ORC round-trip: write orders as ORC, read back, aggregate — the "
+        "third columnar format in the source/sink matrix (parquet, CSV, "
+        "JSON, ORC), with predicate pushdown intact."
+    ),
+)
+def scan_orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC is the other columnar format a lake inherits (Hive-era tables,
+    Trino deployments); Spark reads/writes it natively with the same
+    pushdown/pruning machinery as parquet. The face round-trips orders
+    through ORC and aggregates FROM THE ORC COPY — the oracle aggregates
+    the parquet source, so any loss, type drift, or row duplication in
+    the format conversion hash-fails.
+
+    Scale note: same columnar economics as parquet (stripe = row group,
+    min/max indexes, dictionary encoding); the conversion cost is one
+    scan + one write, which is why format migrations are routine
+    maintenance jobs, not rewrites of the query layer."""
+    import shutil
+
+    path = _scan_tmp(spark, "orc_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,4)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
