@@ -1382,3 +1382,87 @@ def curation_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_clamped"),
     )
+
+
+def _sql_diversify() -> str:
+    from trike_spark.registry import REGISTRY
+
+    return REGISTRY["curation_embedding_diversify"].oracle
+
+
+_SQL_COV_COS = (
+    "ROUND(list_aggregate(list_transform(list_zip(c.embedding, s.embedding), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / "
+    "(SQRT(list_aggregate(list_transform(c.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * "
+    "SQRT(list_aggregate(list_transform(s.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6)"
+)
+
+
+@register(
+    "curation_diversify_coverage",
+    f"""
+    WITH sel AS (
+      SELECT e.vec_id, e.embedding
+      FROM ({_sql_diversify()}) d JOIN embeddings e ON e.vec_id = d.vec_id),
+    cov AS (
+      SELECT c.vec_id, c.label, MAX({_SQL_COV_COS}) AS coverage
+      FROM embeddings c CROSS JOIN sel s
+      GROUP BY c.vec_id, c.label)
+    SELECT label, COUNT(*) AS n_members,
+           ROUND(CAST(SUM(CAST(coverage AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_coverage,
+           MIN(coverage) AS min_coverage
+    FROM cov GROUP BY label
+    """,
+    doc=(
+        "Facility-location coverage of the diversified coreset: per "
+        "cluster, the mean and worst max-similarity of members to the "
+        "selected set — the measure-the-curation gate for diversification."
+    ),
+)
+def curation_diversify_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation the diversify face needs (the same measure-before-
+    you-trust discipline as recall@k for ANN): facility-location
+    coverage f(S) = mean over the corpus of max-similarity to the kept
+    set S. High mean = the coreset represents the corpus; a low MIN
+    exposes the uncovered pocket a cluster-capped selection can leave.
+    Selecting FOR this objective greedily is the k-center/facility
+    route — measuring it is how you'd justify that extra work.
+
+    Scale shape: |S| is cluster-capped (≤5·K vectors), so the coverage
+    pass is a broadcast of S against one corpus scan — candidates scale
+    with |corpus|·|S|, the same budget the brute-force query faces pay;
+    per-vector max then a |labels|-row rollup. Coverages are rounded-6
+    then DECIMAL-summed for the mean (order-free)."""
+    from pyspark.sql.functions import broadcast
+
+    from trike_spark.queries.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sel = (
+        curation_embedding_diversify(spark, sf_dir)
+        .select("vec_id")
+        .join(emb.select("vec_id", F.col("embedding").alias("s_emb")), "vec_id")
+        .select(F.col("s_emb"))
+    )
+    cov = (
+        emb.crossJoin(broadcast(sel))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("s_emb")), 6).alias("cos"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("cos").alias("coverage"))
+    )
+    return cov.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(F.col("coverage").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_coverage"),
+        F.min("coverage").alias("min_coverage"),
+    )
