@@ -1466,3 +1466,65 @@ def curation_diversify_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_coverage"),
         F.min("coverage").alias("min_coverage"),
     )
+
+
+@register(
+    "curation_oversample_balance",
+    """
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    mx AS (SELECT MAX(n) AS max_n FROM counts),
+    factors AS (
+      SELECT c.lang, c.n, CAST(m.max_n // c.n AS INT) AS rep
+      FROM counts c CROSS JOIN mx m),
+    expanded AS (
+      SELECT d.lang, f.rep
+      FROM documents d
+      JOIN factors f ON f.lang = d.lang
+      CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) g
+      WHERE g.i <= f.rep)
+    SELECT f.lang, CAST(f.n AS BIGINT) AS n_before, f.rep,
+           CAST((SELECT COUNT(*) FROM expanded e WHERE e.lang = f.lang) AS BIGINT)
+             AS n_after
+    FROM factors f
+    """,
+    doc=(
+        "Class-balancing oversampling: minority languages replicated by "
+        "floor(max/n) — deterministic integer factors, counts before and "
+        "after; the epoch-weighting move for skewed training mixes."
+    ),
+)
+def curation_oversample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer oversampling toward the majority class: each language's
+    documents repeat floor(max_n/n) times — the 'see minority data more
+    epochs' recipe (Llama-style mixture up-weighting uses fractional
+    epochs; the integer floor is its deterministic batch form, and the
+    temperature-mix face is the probabilistic alternative). The face
+    reports the replication factors and the materialized post-balance
+    counts — n_after/n_before = rep exactly, which the hash proves.
+
+    Scale shape: replication is explode(sequence(1, rep)) — a narrow
+    1:rep expansion with NO shuffle (the expanded rows inherit their
+    input partition); factors are a |langs|-row broadcast. At 100 TB
+    you'd write the expanded set partitioned by epoch slice instead of
+    counting it, same plan."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.agg(F.max("n").alias("max_n"))
+    factors = counts.crossJoin(broadcast(mx)).select(
+        "lang", "n", F.floor(F.col("max_n") / F.col("n")).cast("int").alias("rep")
+    )
+    expanded = (
+        d.select("lang")
+        .join(broadcast(factors), "lang")
+        .select("lang", F.explode(F.sequence(F.lit(1), F.col("rep"))).alias("i"))
+    )
+    after = expanded.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after"))
+    return factors.join(after, "lang").select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_before"),
+        "rep",
+        F.col("n_after").cast("bigint").alias("n_after"),
+    )

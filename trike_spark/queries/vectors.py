@@ -2473,3 +2473,114 @@ def sim_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.coalesce(F.col("in_exact_topk"), F.lit(False)).alias("in_exact_topk"),
     )
+
+
+# --- out-of-distribution scoring ----------------------------------------------
+
+
+@register(
+    "sim_ood_mahalanobis_diag",
+    f"""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,10)) AS x
+      FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    sums AS (
+      SELECT label, dim, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM ex GROUP BY label, dim),
+    stats AS (
+      SELECT label, dim, sx / n AS mu,
+             sxx / n - (sx / n) * (sx / n) AS var
+      FROM sums),
+    q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE vec_id < {N_QUERIES}),
+    terms AS (
+      SELECT q.vec_id, s.label,
+             ROUND((q.x - s.mu) * (q.x - s.mu) / (s.var + 1e-6), 6) AS t
+      FROM q JOIN stats s ON s.dim = q.dim),
+    md AS (
+      SELECT vec_id, label,
+             CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS md2
+      FROM terms GROUP BY vec_id, label),
+    ranked AS (
+      SELECT vec_id, label, md2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY md2, label) AS rn,
+             MAX(md2) OVER (PARTITION BY vec_id) AS md2_max
+      FROM md)
+    SELECT vec_id, label AS nearest_label,
+           ROUND(md2, 4) AS md2_min, ROUND(md2_max, 4) AS md2_max
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "Out-of-distribution scoring: diagonal Mahalanobis distance to "
+        "each class's (mean, variance) profile; min over classes is the "
+        "OOD score, argmin the nearest class — the embedding-drift and "
+        "outlier gate in front of a training mix."
+    ),
+)
+def sim_ood_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic OOD detector (Lee et al. 2018, diagonal form): model
+    each class as an axis-aligned Gaussian over embedding dimensions;
+    a query's score is its minimum Mahalanobis distance across classes —
+    far from EVERY class means out-of-distribution, and the gap between
+    md2_min and md2_max shows how decisively a class claims the point.
+    In a data pipeline this gates new batches: a drifting source's
+    min-distance distribution shifts before downstream metrics do.
+
+    Engine notes: class stats come from exact DECIMAL sums (Σx, Σx² per
+    (label, dim)) with mean/variance as pinned double expressions;
+    per-dimension distance terms are rounded-6 then DECIMAL-summed, so
+    the 64-term fold is order-independent (the PRF discipline). Scale
+    shape: stats = one (label, dim)-keyed rollup (K·dim rows, map-side
+    combined); scoring joins queries to the broadcast stats on dim —
+    |Q|·K·dim narrow rows, then a (vec, label) rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "label", F.posexplode("embedding").alias("dim0", "x0")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("x0").cast("double").cast("decimal(12,10)").alias("x"),
+    )
+    sums = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    mu = F.col("sx") / F.col("n")
+    stats = sums.select(
+        "label", "dim", mu.alias("mu"), (F.col("sxx") / F.col("n") - mu * mu).alias("var")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x0")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), F.col("x0").cast("double").alias("x"))
+    terms = q.join(broadcast(stats), "dim").select(
+        "vec_id",
+        "label",
+        F.round(
+            (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+            / (F.col("var") + F.lit(1e-6)),
+            6,
+        ).alias("t"),
+    )
+    md = terms.groupBy("vec_id", "label").agg(
+        F.sum(F.col("t").cast("decimal(18,6)")).cast("double").alias("md2")
+    )
+    wv = Window.partitionBy("vec_id")
+    ranked = md.select(
+        "vec_id",
+        "label",
+        "md2",
+        F.row_number().over(wv.orderBy("md2", "label")).alias("rn"),
+        F.max("md2").over(wv).alias("md2_max"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "vec_id",
+        F.col("label").alias("nearest_label"),
+        F.round(F.col("md2"), 4).alias("md2_min"),
+        F.round(F.col("md2_max"), 4).alias("md2_max"),
+    )
