@@ -916,3 +916,83 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median",
         )
     )
+
+
+@register(
+    "agg_moments_skew_kurtosis",
+    """
+    WITH p AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(18,4)) AS x,
+             CAST(CAST(l_quantity AS DECIMAL(18,4))
+                  * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS x2
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS s1,
+             CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(x2 * x) AS DOUBLE) AS s3,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s4
+      FROM p GROUP BY l_returnflag),
+    m AS (
+      SELECT l_returnflag, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)
+               AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(mu, 6) AS mean,
+           ROUND(m3 / POW(m2, 1.5), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+    FROM m ORDER BY l_returnflag
+    """,
+    doc=(
+        "Exact skewness and excess kurtosis per group from four DECIMAL "
+        "power sums — the distribution-shape screen (symmetry, tail "
+        "weight) as pure map-side-combined aggregation."
+    ),
+)
+def agg_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher central moments via raw power sums (Σx..Σx⁴ fold in exact
+    DECIMAL — quantities are integers, so squares and fourth powers stay
+    exact within the 38-digit cap) with the central-moment expansion as
+    one pinned double expression tree. Spark's built-in skewness/kurtosis
+    aggregates accumulate in floats (partial-order-dependent bits, not
+    hash-verifiable) — the closed form over exact sums is the
+    deterministic route, same discipline as the regression face.
+
+    Why these numbers gate data: skew ≈ 0 and excess kurtosis ≈ −1.2
+    here (uniform-ish quantities); a quantity column suddenly
+    heavy-tailed (kurtosis ↑) or lopsided (skew ≠ 0) is a generator or
+    upstream-filter change the mean would miss. One pass, map-side
+    combined, 3-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    p = li.select(
+        "l_returnflag",
+        x.alias("x"),
+        (x * x).cast("decimal(18,4)").alias("x2"),
+    )
+    s = p.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x2") * F.col("x")).cast("double").alias("s3"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+    m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")

@@ -855,3 +855,46 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("s_suppkey").cast("bigint").alias("min_supp"),
         )
     )
+
+
+@register(
+    "join_lateral_top2_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    doc=(
+        "LATERAL correlated top-N: each customer's two largest orders via "
+        "a per-row subquery — the SQL-standard spelling Spark decorrelates "
+        "into a ranked window, not a nested loop."
+    ),
+)
+def join_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LATERAL join surface (SQL:1999 correlated derived table): 'for
+    each row, run this subquery' — the natural spelling of per-entity
+    top-N that application developers reach for first. Spark's optimizer
+    DECORRELATES it (DecorrelateInnerQuery): the per-customer ORDER BY
+    ... LIMIT 2 becomes a rank-filtered window over one orders shuffle,
+    so the executed plan is the same as the hand-written window face
+    (sort_topk_parts_per_brand) — the point being that the intuitive
+    spelling and the scalable plan are the same thing here.
+
+    Executed through ``spark.sql`` over the registered views — the SQL
+    entry path the DataFrame faces don't otherwise exercise."""
+    from trike_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
