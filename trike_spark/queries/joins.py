@@ -499,9 +499,13 @@ def join_asof_forward_order_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(broadcast(bounds.select("mn")))
         .withColumn("m", F.greatest("om", "mn"))
     )
+    # try_element_at: the filtered array is EMPTY (not null) when every
+    # entry in the month precedes the order date — plain element_at throws
+    # under ANSI; try_ returns NULL so the coalesce falls through to the
+    # later-months fill
     probe = F.coalesce(
-        F.element_at(
-            F.filter(F.col("entries"), lambda e: e["l_shipdate"] >= F.col("o_orderdate")), 1
+        F.try_element_at(
+            F.filter(F.col("entries"), lambda e: e["l_shipdate"] >= F.col("o_orderdate")), F.lit(1)
         ),
         F.col("next_cum"),
     )
