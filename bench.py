@@ -76,6 +76,10 @@ HEADLINE = [
     # round-4 session-3 additions
     "text_bm25_topk",
     "sim_mmr_rerank",
+    # round-4 session-4 additions
+    "sim_hybrid_rrf",
+    "sketch_hll_daily_merge",
+    "events_dau_wau_mau",
     "curation_split_cluster_safe",
     "dedup_lsh_band_sweep",
     "graph_knn_components",
