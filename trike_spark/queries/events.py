@@ -2699,3 +2699,85 @@ def events_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_states.groupBy("wk", "state").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+DEBOUNCE_COOLDOWN_MIN = 30
+
+
+@register(
+    "events_alert_debounce",
+    f"""
+    WITH RECURSIVE err AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    kept AS (
+      SELECT user_id, MIN(ts) AS ts FROM err GROUP BY user_id
+      UNION ALL
+      SELECT k.user_id,
+             (SELECT MIN(e.ts) FROM err e
+              WHERE e.user_id = k.user_id
+                AND e.ts > k.ts + INTERVAL {DEBOUNCE_COOLDOWN_MIN} MINUTE) AS ts
+      FROM kept k
+      WHERE (SELECT MIN(e.ts) FROM err e
+             WHERE e.user_id = k.user_id
+               AND e.ts > k.ts + INTERVAL {DEBOUNCE_COOLDOWN_MIN} MINUTE)
+            IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_alerts,
+           CAST((SELECT COUNT(*) FROM err e WHERE e.user_id = kept.user_id)
+                AS BIGINT) - COUNT(*) AS n_suppressed,
+           MIN(ts) AS first_alert, MAX(ts) AS last_alert
+    FROM kept GROUP BY user_id
+    """,
+    doc=(
+        f"Alert debounce: after an emitted error alert, suppress further "
+        f"errors for {DEBOUNCE_COOLDOWN_MIN} minutes; per user, alerts "
+        "kept vs suppressed — the pager-dedup every alerting system runs."
+    ),
+)
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cooldown debouncing is the canonical NOT-window-expressible
+    per-key computation: whether an event is kept depends on the kept/
+    suppressed status of the previous events (greedy chain), so no frame
+    or gaps-and-islands trick applies — session gaps reset on EVERY
+    event, a cooldown resets only on KEPT ones. Spark side: an
+    ``applyInPandas`` grouped kernel runs the O(n) greedy per user
+    (groups = one user's errors, small and uniform). Oracle side: a
+    recursive CTE walks the same chain — the cross-engine agreement IS
+    the evidence both implement the greedy faithfully.
+
+    Scale shape: one user_id shuffle of error events only (pre-filtered
+    at the scan); per-group state is one timestamp. The streaming
+    equivalent is the token-bucket face with capacity 1 and a time
+    refill; this is its batch/forensics twin."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("user_id", "ts")
+
+    cooldown = pd.Timedelta(minutes=DEBOUNCE_COOLDOWN_MIN)
+
+    def _debounce(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("ts")
+        kept = []
+        last = None
+        for t in pdf["ts"]:
+            if last is None or t > last + cooldown:
+                kept.append(t)
+                last = t
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_alerts": [len(kept)],
+                "n_suppressed": [len(pdf) - len(kept)],
+                "first_alert": [kept[0]],
+                "last_alert": [kept[-1]],
+            }
+        )
+
+    return err.groupBy("user_id").applyInPandas(
+        _debounce,
+        schema=(
+            "user_id long, n_alerts long, n_suppressed long, "
+            "first_alert timestamp, last_alert timestamp"
+        ),
+    )
