@@ -651,3 +651,59 @@ def scalar_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("quarter", "ts").cast("date").alias("quarter_start"),
         F.next_day(F.col("ts").cast("date"), "Mon").alias("next_monday"),
     )
+
+
+@register(
+    "scalar_lambda_funcs",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> length(t) > 5)) > 0
+             AS has_long_token,
+           len(list_filter(string_split(text, ' '), t -> NOT (length(t) > 0))) = 0
+             AS all_nonempty,
+           len(list_filter(string_split(text, ' '), t -> length(t) <= 3))
+             AS n_short,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                t -> CAST(length(t) AS BIGINT)), 'sum') AS BIGINT) AS total_chars,
+           list_transform(list_zip(string_split(text, ' '),
+                                   list_reverse(string_split(text, ' '))),
+                          p -> p[1] || '|' || p[2])[1] AS first_last
+    FROM documents
+    """,
+    doc=(
+        "Higher-order lambda surface: exists / forall / filter / "
+        "transform / aggregate / zip_with over token arrays — array "
+        "programming without a single explode or UDF."
+    ),
+)
+def scalar_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda toolkit that keeps array work inside whole-stage
+    codegen: ``exists``/``forall`` compile quantifiers, ``filter``/
+    ``transform`` map without exploding (no row-count blowup, no
+    re-aggregation), ``aggregate`` folds, ``zip_with`` pairs two arrays
+    positionally. Every heavy operator in this engine leans on these
+    (the cosine fold, BM25's filtered explode, the repetition filters);
+    this face pins the primitives themselves cross-engine, including the
+    quantifier↔filter-count equivalences the oracle uses where DuckDB
+    lacks a direct form.
+
+    Scale note: all narrow per-row expressions — the fastest possible
+    shape for per-document feature extraction; the alternative
+    (explode → groupBy) pays a shuffle per feature."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda t: F.length(t) > 5).alias("has_long_token"),
+        F.forall(toks, lambda t: F.length(t) > 0).alias("all_nonempty"),
+        F.size(F.filter(toks, lambda t: F.length(t) <= 3)).alias("n_short"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.element_at(
+            F.zip_with(toks, F.reverse(toks), lambda a, b: F.concat(a, F.lit("|"), b)),
+            1,
+        ).alias("first_last"),
+    )
