@@ -216,3 +216,66 @@ def pipeline_tokenizer_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFram
     for m in merge_rows[1:]:
         out = out.unionAll(m)
     return out
+
+
+@register(
+    "pipeline_dataset_datasheet",
+    """
+    WITH base AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT md5(text)) AS n_unique,
+             quantile_cont(n_chars, 0.5) AS p50_chars,
+             quantile_cont(n_chars, 0.95) AS p95_chars
+      FROM documents)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS exact_dup_rate,
+           p50_chars, p95_chars
+    FROM base
+    """,
+    doc=(
+        "Dataset datasheet: the one-row corpus summary (volume, token "
+        "count, language/source breadth, exact-dup rate, length "
+        "percentiles) every published training set ships with."
+    ),
+)
+def pipeline_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheets-for-datasets (Gebru et al.), the mechanical half: the
+    numbers a consumer checks before training — scale (docs/tokens),
+    composition breadth (languages, sources), hygiene (exact-duplicate
+    rate from content hashes), and shape (median/p95 length). Every
+    number here is recomputable downstream, which is what makes the
+    datasheet auditable rather than aspirational; the deeper per-family
+    reports (quality funnel, language stats, contamination) hang off the
+    same corpus scan in the other curation faces.
+
+    Scale shape: ONE pass over documents — counts and token sums combine
+    map-side; the distinct counts shuffle 16-byte hashes / short codes;
+    exact percentiles are the engines' shared interpolated form. Output
+    is one row regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95_chars"),
+    )
+    return base.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        F.round(
+            F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+        ).alias("exact_dup_rate"),
+        "p50_chars",
+        "p95_chars",
+    )
