@@ -38,6 +38,7 @@ ARROW_PYTHON_OK = {
     "multimodal_resize",
     "pipeline_chunk_dedup",
     "pipeline_training_data_prep",
+    "events_alert_debounce",  # greedy cooldown chain is applyInPandas per user
     "scalar_ols_trend_applyinpandas",
     "scalar_udtf_tokenize",
     "sim_knn_graph_lsh",  # LSH bucket kernel (Arrow) feeds the graph build
