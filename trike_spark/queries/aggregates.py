@@ -996,3 +996,114 @@ def agg_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
+
+
+BOOT_B = 32  # bootstrap replicas
+
+
+@register(
+    "agg_bootstrap_ci_halfsample",
+    f"""
+    WITH reps AS (
+      SELECT b.b,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,4))), 2) AS DOUBLE)
+               / COUNT(*) AS rep_mean
+      FROM orders
+      CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                  || CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 2 = 0
+      GROUP BY b.b),
+    point AS (
+      SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,4))), 2) AS DOUBLE)
+               / COUNT(*) AS mean_price,
+             COUNT(*) AS n
+      FROM orders)
+    SELECT CAST(p.n AS BIGINT) AS n,
+           ROUND(p.mean_price, 4) AS mean_price,
+           ROUND(quantile_cont(r.rep_mean, 0.025), 4) AS ci_lo,
+           ROUND(quantile_cont(r.rep_mean, 0.975), 4) AS ci_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_replicas
+    FROM reps r CROSS JOIN point p
+    GROUP BY p.n, p.mean_price
+    """,
+    doc=(
+        f"Deterministic half-sample bootstrap: {BOOT_B} md5-seeded 50% "
+        "subsamples of orders; the replica-mean 2.5/97.5 percentiles are "
+        "the CI around the point estimate — uncertainty without an RNG."
+    ),
+)
+def agg_bootstrap_ci_halfsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling-based uncertainty made replay-stable: each of the
+    {BOOT_B} replicas keeps the rows whose md5(key:replica) draw is even
+    (independent 50 % subsamples — the m-out-of-n bootstrap with m=n/2),
+    and the spread of replica means estimates the sampling distribution.
+    Same answer on every run, every partitioning, every engine — the
+    property `df.sample`-based bootstraps give up. Half-sample CIs are
+    conservative by ~√2 versus the full bootstrap; the point is the
+    SHAPE: uncertainty from the engine's own deterministic-draw
+    machinery (the md5 discipline every sampling face here uses).
+
+    Scale shape: the replica explode is a constant {BOOT_B}× narrow
+    expansion whose grouped means combine map-side (shuffle carries
+    {BOOT_B} partials per task, not rows); replica means are a
+    {BOOT_B}-row table; exact decimal sums keep each replica mean
+    hash-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    reps = (
+        o.select("o_orderkey", "o_totalprice")
+        .crossJoin(
+            spark.range(0, BOOT_B).select(F.col("id").cast("int").alias("b"))
+        )
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0
+        )
+        .groupBy("b")
+        .agg(
+            (
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(38,4)")), 2).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("rep_mean")
+        )
+    )
+    point = o.agg(
+        (
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,4)")), 2).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        reps.crossJoin(broadcast(point))
+        .groupBy("n", "mean_price")
+        .agg(
+            F.round(F.expr("percentile(rep_mean, 0.025)"), 4).alias("ci_lo"),
+            F.round(F.expr("percentile(rep_mean, 0.975)"), 4).alias("ci_hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("mean_price"), 4).alias("mean_price"),
+            "ci_lo",
+            "ci_hi",
+            "n_replicas",
+        )
+    )

@@ -688,3 +688,71 @@ def window_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
         ma3.cast("double").alias("ma3"),
     )
+
+
+@register(
+    "window_rolling_percentile_bands",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY CAST(ts AS DATE)),
+    fr AS (
+      SELECT day, n,
+             list_sort(list_filter(
+               [LAG(n, 6) OVER w, LAG(n, 5) OVER w, LAG(n, 4) OVER w,
+                LAG(n, 3) OVER w, LAG(n, 2) OVER w, LAG(n, 1) OVER w, n],
+               x -> x IS NOT NULL)) AS frame
+      FROM daily WINDOW w AS (ORDER BY day))
+    SELECT day, CAST(n AS BIGINT) AS n,
+           frame[1] AS band_min,
+           frame[CAST(FLOOR((len(frame) + 1) / 2) AS INT)] AS band_p50_lo,
+           frame[len(frame)] AS band_max,
+           n < frame[1] OR n > frame[len(frame)] AS outside_band
+    FROM fr
+    """,
+    doc=(
+        "Trailing-7-day control bands around the daily event count "
+        "(min / lower-median / max of the frame) with an outside-band "
+        "flag — the robust anomaly envelope for a metric series."
+    ),
+)
+def window_rolling_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic control bands: for each day, the trailing week's
+    min, lower median, and max bound the 'normal' range — a distribution-
+    free envelope (no Gaussian assumption like the z-score face, no
+    global baseline like the MAD face; the band adapts to local level
+    shifts within a week). The current day compares against a frame that
+    INCLUDES it, so outside_band only fires when today sets the week's
+    extreme — the conservative form that never flags a repeat of recent
+    behavior.
+
+    Engine notes: the frame materializes via the lag-array construction
+    (Spark's order-statistic aggregates reject window frames — the
+    rolling-median precedent), so both engines index the same sorted
+    array. Integer counts end to end. The window runs over the CALENDAR
+    dimension; per-row state is ≤ 7 integers."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    frame = F.array_sort(
+        F.array_compact(
+            F.array(
+                *[F.lag("n", i).over(w) for i in range(6, 0, -1)], F.col("n")
+            )
+        )
+    )
+    fr = daily.select("day", "n", frame.alias("frame"))
+    fl = F.size(F.col("frame"))
+    return fr.select(
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.element_at("frame", 1).alias("band_min"),
+        F.element_at("frame", ((fl + 1) / 2).cast("int")).alias("band_p50_lo"),
+        F.element_at("frame", fl).alias("band_max"),
+        (
+            (F.col("n") < F.element_at("frame", 1))
+            | (F.col("n") > F.element_at("frame", fl))
+        ).alias("outside_band"),
+    )
