@@ -1107,3 +1107,53 @@ def agg_bootstrap_ci_halfsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_replicas",
         )
     )
+
+
+@register(
+    "agg_geometric_harmonic_means",
+    """
+    WITH t AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(LN(o_totalprice), 9) AS DECIMAL(18,9)) AS lnx,
+             CAST(ROUND(1.0 / o_totalprice, 12) AS DECIMAL(18,12)) AS rx
+      FROM orders WHERE o_totalprice > 0)
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(EXP(CAST(SUM(lnx) AS DOUBLE) / COUNT(*)), 4) AS geometric_mean,
+           ROUND(COUNT(*) / CAST(SUM(rx) AS DOUBLE), 4) AS harmonic_mean
+    FROM t GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Geometric and harmonic means per priority — the multiplicative "
+        "and rate-correct alternatives to the arithmetic mean, with "
+        "order-free decimal folds of the transformed terms."
+    ),
+)
+def agg_geometric_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two means the arithmetic one silently misstates: geometric
+    (exp of mean log — the right center for multiplicative/skewed
+    quantities; always ≤ arithmetic, and the gap measures skew) and
+    harmonic (n over summed reciprocals — the right average for rates;
+    averaging prices per unit arithmetic-style overweights expensive
+    rows). Per-row transforms (ln, reciprocal) are rounded then folded
+    in exact DECIMAL, so the sums are order-independent and only the
+    final exp/division are pinned float steps — the same discipline as
+    every closed-form face.
+
+    Scale shape: one map-side-combined pass, |priorities|-row result."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    t = o.select(
+        "o_orderpriority",
+        F.round(F.log(F.col("o_totalprice")), 9).cast("decimal(18,9)").alias("lnx"),
+        F.round(F.lit(1.0) / F.col("o_totalprice"), 12)
+        .cast("decimal(18,12)")
+        .alias("rx"),
+    )
+    return t.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.exp(F.sum("lnx").cast("double") / F.count(F.lit(1))), 4).alias(
+            "geometric_mean"
+        ),
+        F.round(F.count(F.lit(1)) / F.sum("rx").cast("double"), 4).alias(
+            "harmonic_mean"
+        ),
+    )

@@ -2781,3 +2781,64 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_alert timestamp, last_alert timestamp"
         ),
     )
+
+
+@register(
+    "events_ab_power_mde",
+    """
+    WITH arms AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS p
+      FROM arms)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(p, 6) AS base_rate,
+           ROUND(2.80158 * SQRT(2.0 * p * (1.0 - p) / (n / 2.0)), 6)
+             AS mde_abs,
+           ROUND(2.80158 * SQRT(2.0 * p * (1.0 - p) / (n / 2.0)) / p, 4)
+             AS mde_rel,
+           ROUND(2.0 * 2.80158 * 2.80158 * p * (1.0 - p)
+                 / (0.01 * 0.01), 0) AS n_per_arm_for_1pt
+    FROM s
+    """,
+    doc=(
+        "A/B design arithmetic: minimum detectable effect at alpha=.05 / "
+        "power=.80 for a 50/50 split of the observed population, plus the "
+        "per-arm sample size a 1-point absolute lift would need."
+    ),
+)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The question to answer BEFORE running the experiment the ab_lift
+    face reads out: with this population and base conversion rate, what
+    lift is even detectable? MDE = (z_{α/2}+z_β)·√(2p(1−p)/n_arm) with
+    z_{.975}+z_{.80} = 1.95996 + 0.84162 = 2.80158 pinned as a literal
+    (no engine normal-quantile function needed); the inverse form gives
+    the n one point of absolute lift requires. An experiment whose
+    expected effect is below mde_abs is theater — this face is the
+    arithmetic that says so from the archive itself.
+
+    Determinism: exact counts, one pinned expression tree. Scale shape:
+    one user rollup + a 1-row reduce."""
+    e = load_table(spark, sf_dir, "events")
+    arms = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    )
+    s = arms.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("conv").cast("double") / F.count(F.lit(1))).alias("p"),
+    )
+    n, p = F.col("n"), F.col("p")
+    z = F.lit(2.80158)
+    mde = z * F.sqrt(F.lit(2.0) * p * (F.lit(1.0) - p) / (n / F.lit(2.0)))
+    return s.select(
+        n.cast("bigint").alias("n_users"),
+        F.round(p, 6).alias("base_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 4).alias("mde_rel"),
+        F.round(
+            F.lit(2.0) * z * z * p * (F.lit(1.0) - p) / F.lit(0.01 * 0.01), 0
+        ).alias("n_per_arm_for_1pt"),
+    )
