@@ -1625,3 +1625,78 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
         )
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""
+    WITH pairs AS (
+      SELECT doc_a, doc_b FROM ({_sql_jaccard_truth()})),
+    tagged AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b),
+    src_n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT t.source_a, t.source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (sa.n_docs * CAST(sb.n_docs AS DOUBLE)), 8) AS pair_density
+    FROM tagged t
+    JOIN src_n sa ON sa.source = t.source_a
+    JOIN src_n sb ON sb.source = t.source_b
+    GROUP BY t.source_a, t.source_b, sa.n_docs, sb.n_docs
+    """,
+    doc=(
+        "Near-duplicate mass by source pair: where the Jaccard pairs come "
+        "from, normalized by the source-pair size product — the diagnostic "
+        "that names the scraper double-ingesting a feed."
+    ),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The question after ANY dedup run: which sources produce the
+    duplication? Raw pair counts mislead (big sources pair more by
+    volume), so each (source, source) cell is normalized by its size
+    product — a cross-source cell with high density means one feed is
+    mirrored under two names; a hot diagonal means a source re-crawls
+    itself. This is the evidence that turns dedup from a cleanup cost
+    into an upstream fix.
+
+    Scale shape: the pair set (already bounded by the guarded shingle
+    join) joins the doc→source dimension twice on the doc key; the
+    rollup is |sources|²-bounded. Pair orientation is canonicalized
+    LEAST/GREATEST so the cell is direction-free."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    tagged = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    src_n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql.functions import broadcast
+
+    na = src_n.select(F.col("source").alias("source_a"), F.col("n_docs").alias("na"))
+    nb = src_n.select(F.col("source").alias("source_b"), F.col("n_docs").alias("nb"))
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .join(broadcast(na), "source_a")
+        .join(broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs").cast("double")
+                / (F.col("na") * F.col("nb").cast("double")),
+                8,
+            ).alias("pair_density"),
+        )
+    )

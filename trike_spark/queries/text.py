@@ -1764,3 +1764,88 @@ def text_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("herdan_c"),
     )
+
+
+LLR_TOP = 10
+
+
+@register(
+    "text_llr_distinctive_terms",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+    cell AS (SELECT lang, token, COUNT(*) AS a FROM tok GROUP BY lang, token),
+    lang_tot AS (SELECT lang, COUNT(*) AS nl FROM tok GROUP BY lang),
+    tok_tot AS (SELECT token, COUNT(*) AS nt FROM tok GROUP BY token),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    llr AS (
+      SELECT c.lang, c.token, c.a,
+             ROUND(2.0 * (
+               c.a * LN(CAST(c.a AS DOUBLE) * t.n / (lt.nl * CAST(tt.nt AS DOUBLE)))
+               + (tt.nt - c.a)
+                 * LN(CAST(tt.nt - c.a AS DOUBLE) * t.n
+                      / (CAST(t.n - lt.nl AS DOUBLE) * tt.nt))
+             ), 4) AS llr
+      FROM cell c
+      JOIN lang_tot lt ON lt.lang = c.lang
+      JOIN tok_tot tt ON tt.token = c.token
+      CROSS JOIN tot t
+      WHERE c.a * t.n > lt.nl * tt.nt AND tt.nt - c.a > 0)
+    SELECT lang, token, CAST(a AS BIGINT) AS n_in_lang, llr FROM (
+      SELECT lang, token, a, llr,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY llr DESC, token) AS rk
+      FROM llr) WHERE rk <= {LLR_TOP}
+    """,
+    doc=(
+        f"Distinctive vocabulary per language via a log-likelihood-ratio "
+        f"(Dunning-style) over-representation score — top-{LLR_TOP} terms "
+        "each language uses disproportionately."
+    ),
+)
+def text_llr_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus comparison done right (Dunning 1993): raw frequency ranks
+    common words everywhere; the likelihood-ratio score asks how
+    SURPRISING a token's in-language count is given its corpus-wide rate
+    — the statistic behind keyword extraction, register analysis, and
+    contamination forensics (a benchmark's distinctive vocabulary
+    bleeding into one source lights up here). The two-term form scores
+    over-represented cells only (the WHERE guard also keeps every log
+    argument positive and finite).
+
+    Determinism: all counts exact; each score is ONE pinned expression
+    (no variable-length float fold), rounded before the tie-broken
+    per-language rank. Scale shape: the (lang, token) cell table is the
+    TF-IDF shuffle; language totals broadcast; token totals join on the
+    token key; top-k per language is a bounded window."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(_tokens()).alias("token")
+    )
+    cell = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("a"))
+    lang_tot = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    tok_tot = tok.groupBy("token").agg(F.count(F.lit(1)).alias("nt"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.functions import broadcast
+
+    a, nl, nt, n = (F.col(c).cast("double") for c in ("a", "nl", "nt", "n"))
+    llr = F.round(
+        2.0
+        * (
+            a * F.log(a * n / (nl * nt))
+            + (nt - a) * F.log((nt - a) * n / ((n - nl) * nt))
+        ),
+        4,
+    )
+    scored = (
+        cell.join(broadcast(lang_tot), "lang")
+        .join(tok_tot, "token")
+        .crossJoin(broadcast(tot))
+        .filter((F.col("a") * F.col("n") > F.col("nl") * F.col("nt")) & (nt - a > 0))
+        .select("lang", "token", "a", llr.alias("llr"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("llr").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= LLR_TOP)
+        .select("lang", "token", F.col("a").cast("bigint").alias("n_in_lang"), "llr")
+    )
