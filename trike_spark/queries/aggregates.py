@@ -1157,3 +1157,53 @@ def agg_geometric_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "harmonic_mean"
         ),
     )
+
+
+@register(
+    "agg_new_vs_returning_revenue",
+    """
+    WITH first_m AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS fm
+      FROM orders GROUP BY o_custkey),
+    tagged AS (
+      SELECT date_trunc('month', o.o_orderdate) AS m,
+             CASE WHEN date_trunc('month', o.o_orderdate) = f.fm
+                  THEN 'new' ELSE 'returning' END AS cust_kind,
+             CAST(o.o_totalprice AS DECIMAL(38,4)) AS v
+      FROM orders o JOIN first_m f ON f.o_custkey = o.o_custkey)
+    SELECT CAST(m AS DATE) AS m, cust_kind,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(v), 2) AS DOUBLE) AS revenue
+    FROM tagged GROUP BY m, cust_kind
+    """,
+    doc=(
+        "Monthly revenue split into new-customer vs returning-customer "
+        "contributions — the acquisition-vs-retention revenue mix every "
+        "board deck shows."
+    ),
+)
+def agg_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue growth means nothing until it's attributed: the same
+    top-line supports 'acquisition engine working' (new-heavy) or
+    'compounding base' (returning-heavy), and the MIX — not the total —
+    is what changes strategy. A customer is 'new' only in their
+    first-order month; the first-month table comes from the same
+    o_custkey rollup the cohort faces use.
+
+    Determinism: exact decimal revenue folds; exact month arithmetic.
+    Scale shape: one custkey rollup, one join back on the same key (AQE
+    reuses the exchange), a (month, kind) map-side-combined rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    first_m = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("fm")
+    )
+    m = F.date_trunc("month", "o_orderdate")
+    tagged = o.join(first_m, "o_custkey").select(
+        m.alias("m"),
+        F.when(m == F.col("fm"), "new").otherwise("returning").alias("cust_kind"),
+        F.col("o_totalprice").cast("decimal(38,4)").alias("v"),
+    )
+    return tagged.groupBy(F.col("m").cast("date").alias("m"), "cust_kind").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("v"), 2).cast("double").alias("revenue"),
+    )

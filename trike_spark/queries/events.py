@@ -2842,3 +2842,60 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * z * z * p * (F.lit(1.0) - p) / F.lit(0.01 * 0.01), 0
         ).alias("n_per_arm_for_1pt"),
     )
+
+
+@register(
+    "events_ctr_wilson_bounds",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS DOUBLE) AS k
+      FROM events GROUP BY event_type),
+    w AS (
+      SELECT event_type, n, k, k / n AS p,
+             (k / n + 1.92072 / n) / (1.0 + 3.84144 / n) AS center,
+             (1.95996 / (1.0 + 3.84144 / n))
+               * SQRT((k / n) * (1.0 - k / n) / n + 0.96036 / (n * n)) AS hw
+      FROM s)
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           ROUND(p, 6) AS rate,
+           ROUND(center - hw, 6) AS wilson_lo,
+           ROUND(center + hw, 6) AS wilson_hi
+    FROM w
+    """,
+    doc=(
+        "Wilson score intervals for per-type high-value rates — the "
+        "small-n-safe bounds that make rate rankings honest (sort by "
+        "wilson_lo, not the raw rate)."
+    ),
+)
+def events_ctr_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval that fixes rate rankings: a 3/3 item beats a 480/520
+    item on raw rate and loses on the Wilson lower bound, which is the
+    correct call. Center (p + z²/2n)/(1 + z²/n) and half-width use
+    z=1.95996 with z²=3.84144 and z²/4=0.96036 pinned as literals — no
+    engine quantile function, one closed-form expression tree per group.
+    The same bound ranks heavy-hitter candidates, A/B cells, and any
+    success-rate leaderboard where exposure varies.
+
+    Scale shape: one map-side-combined rollup, |types|-row output."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("double").alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    p = k / n
+    center = (p + F.lit(1.92072) / n) / (F.lit(1.0) + F.lit(3.84144) / n)
+    hw = (F.lit(1.95996) / (F.lit(1.0) + F.lit(3.84144) / n)) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + F.lit(0.96036) / (n * n)
+    )
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        k.cast("bigint").alias("k"),
+        F.round(p, 6).alias("rate"),
+        F.round(center - hw, 6).alias("wilson_lo"),
+        F.round(center + hw, 6).alias("wilson_hi"),
+    )
