@@ -2899,3 +2899,81 @@ def events_ctr_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - hw, 6).alias("wilson_lo"),
         F.round(center + hw, 6).alias("wilson_hi"),
     )
+
+
+@register(
+    "events_daily_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY CAST(ts AS DATE)),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    paired AS (
+      SELECT l.lag, d1.n AS x, d2.n AS y
+      FROM lags l
+      JOIN daily d1 ON TRUE
+      JOIN daily d2 ON d2.day = d1.day - CAST(l.lag AS INT)),
+    s AS (
+      SELECT lag, CAST(COUNT(*) AS DOUBLE) AS m,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM paired GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+           ROUND((m * sxy - sx * sy)
+                 / (SQRT(m * sxx - sx * sx) * SQRT(m * syy - sy * sy)), 6)
+             AS autocorr
+    FROM s
+    """,
+    doc=(
+        "Autocorrelation of the daily event count at lags 1-7 — the "
+        "seasonality detector that says WHICH cycle (a lag-7 peak = the "
+        "weekly rhythm the heatmap face shows spatially)."
+    ),
+)
+def events_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlogram's first week: Pearson correlation between the
+    daily series and itself shifted by 1..7 days. A lag-7 peak confirms
+    weekly seasonality (and justifies the seasonal-naive face's y(d−7)
+    forecast); a lag-1 peak means momentum; all-flat means the volume is
+    memoryless. Daily counts are exact BIGINTs, each lag's moment sums
+    fold exactly, and the Pearson is one pinned expression per lag — the
+    rolling-corr discipline applied across the lag dimension.
+
+    Scale shape: the daily rollup is the only fact pass; lag pairing
+    self-joins the CALENDAR table (|days|·7 rows) and reduces to 7
+    rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from pyspark.sql.functions import broadcast
+
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    d1 = daily.select(F.col("day").alias("day1"), F.col("n").alias("x"))
+    d2 = daily.select(F.col("day").alias("day2"), F.col("n").alias("y"))
+    paired = (
+        d1.crossJoin(broadcast(lags))
+        .join(d2, F.expr("day2 = date_sub(day1, lag)"))
+        .select("lag", "x", "y")
+    )
+    s = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        F.col("lag").cast("int").alias("lag"),
+        m.cast("bigint").alias("n_pairs"),
+        F.round(
+            (m * sxy - sx * sy)
+            / (F.sqrt(m * sxx - sx * sx) * F.sqrt(m * syy - sy * sy)),
+            6,
+        ).alias("autocorr"),
+    )
