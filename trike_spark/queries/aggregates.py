@@ -1207,3 +1207,55 @@ def agg_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("v"), 2).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "agg_filter_clause_funcs",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                      FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE)
+             AS finished_revenue,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_jumbo,
+           CAST(MIN(o_orderkey) FILTER (WHERE o_totalprice > 400000)
+                AS BIGINT) AS first_jumbo_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "FILTER-clause aggregates + boolean quantifier aggregates "
+        "(bool_and / bool_or): per-aggregate predicates without CASE "
+        "scaffolding — the modern SQL surface for conditional rollups."
+    ),
+)
+def agg_filter_clause_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILTER clause (SQL:2003) attaches a predicate to ONE aggregate
+    instead of wrapping every input in CASE WHEN — clearer, and the
+    engine evaluates the predicate once per aggregate input. bool_and /
+    bool_or are the aggregate quantifiers (did EVERY row satisfy this;
+    did ANY) that otherwise hide in min/max-of-flags idioms. Executed
+    through ``spark.sql`` — the surface parity point is the SQL text
+    itself, identical in both engines down to the filtered decimal sum.
+
+    Scale note: FILTER compiles to the same partial-aggregate pipeline
+    as the CASE form — map-side combine intact, no extra pass."""
+    from trike_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                          FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE)
+                 AS finished_revenue,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_totalprice > 400000) AS any_jumbo,
+               CAST(MIN(o_orderkey) FILTER (WHERE o_totalprice > 400000)
+                    AS BIGINT) AS first_jumbo_key
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
