@@ -707,3 +707,44 @@ def scalar_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("first_last"),
     )
+
+
+@register(
+    "scalar_try_arithmetic",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE ROUND(o_totalprice / (o_orderkey % 7), 4) END AS safe_div,
+           CASE WHEN o_custkey = 0 THEN NULL
+                ELSE o_orderkey // o_custkey END AS safe_intdiv,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderkey % (o_orderkey % 7) END AS safe_mod
+    FROM orders
+    """,
+    doc=(
+        "try_divide / try_mod null-on-error arithmetic: division by a "
+        "sometimes-zero denominator yields NULL rows instead of a failed "
+        "job — ANSI safety without losing the strictness elsewhere."
+    ),
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Under ANSI mode (this engine's default, matching the oracle's
+    strictness) a single zero denominator fails the whole job; the
+    ``try_`` family turns exactly the failing rows into NULLs while every
+    other row stays strict — the right granularity for dirty-data
+    arithmetic (the blanket alternative, disabling ANSI, silently
+    corrupts overflow everywhere). Here a seventh of the keys produce a
+    zero denominator; those rows surface as NULLs the oracle reproduces
+    with explicit CASE guards.
+
+    Scale note: narrow per-row expressions; NULL propagation is free."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderkey") % 7
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), d), 4).alias("safe_div"),
+        F.try_divide(F.col("o_orderkey"), F.col("o_custkey")).cast("bigint").alias(
+            "safe_intdiv"
+        ),
+        F.try_mod(F.col("o_orderkey"), d).alias("safe_mod"),
+    )
