@@ -1259,3 +1259,79 @@ def agg_filter_clause_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "agg_lognormal_fit_check",
+    """
+    WITH t AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(LN(o_totalprice), 9) AS DECIMAL(18,9)) AS lx
+      FROM orders WHERE o_totalprice > 0),
+    s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(lx) AS DOUBLE) AS s1,
+             CAST(SUM(lx * lx) AS DOUBLE) AS s2
+      FROM t GROUP BY o_orderpriority),
+    fit AS (
+      SELECT o_orderpriority, n, s1 / n AS mu,
+             SQRT(s2 / n - (s1 / n) * (s1 / n)) AS sigma
+      FROM s),
+    emp AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.9) AS p90_emp
+      FROM orders WHERE o_totalprice > 0 GROUP BY o_orderpriority)
+    SELECT f.o_orderpriority, CAST(f.n AS BIGINT) AS n,
+           ROUND(f.mu, 6) AS mu, ROUND(f.sigma, 6) AS sigma,
+           ROUND(EXP(f.mu + 1.281552 * f.sigma), 2) AS p90_model,
+           ROUND(e.p90_emp, 2) AS p90_empirical,
+           ROUND(EXP(f.mu + 1.281552 * f.sigma) / e.p90_emp - 1.0, 4)
+             AS p90_rel_err
+    FROM fit f JOIN emp e ON e.o_orderpriority = f.o_orderpriority
+    """,
+    doc=(
+        "Lognormal fit check: (mu, sigma) of ln(price) per priority, the "
+        "model-implied p90 (z=1.281552 pinned) vs the exact empirical p90 "
+        "— a one-number goodness check on the standard heavy-tail model."
+    ),
+)
+def agg_lognormal_fit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-then-check in one pass: moment-match a lognormal on the log
+    scale (exact decimal folds of rounded ln terms — the geometric-mean
+    discipline) and compare its implied p90, exp(μ + z₀.₉·σ), against
+    the empirical exact percentile. A small rel_err licenses the closed
+    form for capacity math (tail probabilities, expected shortfall); a
+    large one says the tail is heavier than lognormal and percentile
+    queries must stay empirical. The check costs one extra quantile over
+    the same grouped scan — cheap insurance against a wrong parametric
+    assumption baked into downstream planning.
+
+    Scale shape: two map-side-combined rollups on the same key (AQE
+    reuses the exchange), |priorities|-row output."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    t = o.select(
+        "o_orderpriority",
+        F.round(F.log("o_totalprice"), 9).cast("decimal(18,9)").alias("lx"),
+    )
+    s = t.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").cast("double").alias("s1"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sigma = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
+    fit = s.select("o_orderpriority", "n", mu.alias("mu"), sigma.alias("sigma"))
+    emp = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_emp")
+    )
+    p90m = F.exp(F.col("mu") + F.lit(1.281552) * F.col("sigma"))
+    return fit.join(emp, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("mu"), 6).alias("mu"),
+        F.round(F.col("sigma"), 6).alias("sigma"),
+        F.round(p90m, 2).alias("p90_model"),
+        F.round(F.col("p90_emp"), 2).alias("p90_empirical"),
+        F.round(p90m / F.col("p90_emp") - 1.0, 4).alias("p90_rel_err"),
+    )
