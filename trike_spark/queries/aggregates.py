@@ -1335,3 +1335,110 @@ def agg_lognormal_fit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p90_emp"), 2).alias("p90_empirical"),
         F.round(p90m / F.col("p90_emp") - 1.0, 4).alias("p90_rel_err"),
     )
+
+
+MW_SEG_A = "AUTOMOBILE"
+MW_SEG_B = "FURNITURE"
+
+
+@register(
+    "agg_mann_whitney_u",
+    f"""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))), 2) AS DOUBLE)
+               AS x
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')
+      GROUP BY c.c_mktsegment, c.c_custkey),
+    ranked AS (
+      SELECT seg, x,
+             RANK() OVER (ORDER BY x) AS rk,
+             COUNT(*) OVER (PARTITION BY x) AS cnt
+      FROM spend),
+    mid AS (
+      SELECT seg, rk + (cnt - 1) / 2.0 AS midrank FROM ranked),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN seg = '{MW_SEG_A}' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n1,
+             CAST(SUM(CASE WHEN seg = '{MW_SEG_B}' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n2,
+             CAST(SUM(CASE WHEN seg = '{MW_SEG_A}' THEN
+                   CAST(midrank AS DECIMAL(18,1)) ELSE CAST(0 AS DECIMAL(18,1))
+                   END) AS DOUBLE) AS r1
+      FROM mid)
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           ROUND(r1 - n1 * (n1 + 1.0) / 2.0, 1) AS u_statistic,
+           ROUND((r1 - n1 * (n1 + 1.0) / 2.0 - n1 * n2 / 2.0)
+                 / SQRT(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 6) AS z,
+           ROUND((r1 - n1 * (n1 + 1.0) / 2.0) / (n1 * n2), 6) AS auc
+    FROM s
+    """,
+    doc=(
+        f"Mann-Whitney U between {MW_SEG_A} and {MW_SEG_B} customer spend "
+        "distributions: rank-sum U, normal-approx z, and the AUC "
+        "(P[A > B]) interpretation — the nonparametric two-sample test."
+    ),
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free A-vs-B: ranks replace values, so one whale
+    customer can't manufacture a difference the way it can in a t-test;
+    U/(n₁n₂) is exactly P[random A exceeds random B] — the AUC reading
+    that makes the number directly actionable. Tied values take midranks
+    ((rank + (cnt−1)/2), a rational from integer rank bounds — no float
+    ambiguity), midrank sums fold in exact DECIMAL (.0/.5 terms), and
+    the z approximation is one pinned expression.
+
+    Scale shape: the spend rollup shuffles on custkey; the ranking runs
+    over the CUSTOMER dimension (the sanctioned dimension-sized global
+    window, same as Gini); 1-row output."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,4)")), 2)
+            .cast("double")
+            .alias("x")
+        )
+        .select(F.col("c_mktsegment").alias("seg"), "x")
+    )
+    ranked = spend.select(
+        "seg",
+        F.rank().over(Window.orderBy("x")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("x")).alias("cnt"),
+    )
+    mid = ranked.select(
+        "seg", (F.col("rk") + (F.col("cnt") - 1) / 2.0).alias("midrank")
+    )
+    s = mid.agg(
+        F.sum(F.when(F.col("seg") == MW_SEG_A, 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("seg") == MW_SEG_B, 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+        F.sum(
+            F.when(
+                F.col("seg") == MW_SEG_A, F.col("midrank").cast("decimal(18,1)")
+            ).otherwise(F.lit(0).cast("decimal(18,1)"))
+        )
+        .cast("double")
+        .alias("r1"),
+    )
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    u = r1 - n1 * (n1 + 1.0) / 2.0
+    return s.select(
+        n1.cast("bigint").alias("n_a"),
+        n2.cast("bigint").alias("n_b"),
+        F.round(u, 1).alias("u_statistic"),
+        F.round(
+            (u - n1 * n2 / 2.0) / F.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 6
+        ).alias("z"),
+        F.round(u / (n1 * n2), 6).alias("auc"),
+    )
