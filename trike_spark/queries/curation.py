@@ -1528,3 +1528,100 @@ def curation_oversample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep",
         F.col("n_after").cast("bigint").alias("n_after"),
     )
+
+
+PSI_BUCKETS = 8
+
+
+@register(
+    "curation_psi_drift",
+    f"""
+    WITH cuts AS (
+      SELECT {', '.join(f'quantile_cont(n_chars, {(i + 1) / 8}) AS c{i}' for i in range(7))}
+      FROM documents),
+    tagged AS (
+      SELECT CASE WHEN {_sql_draw('doc_id')} < 50 THEN 'a' ELSE 'b' END AS half,
+             CASE WHEN n_chars <= c0 THEN 0 WHEN n_chars <= c1 THEN 1
+                  WHEN n_chars <= c2 THEN 2 WHEN n_chars <= c3 THEN 3
+                  WHEN n_chars <= c4 THEN 4 WHEN n_chars <= c5 THEN 5
+                  WHEN n_chars <= c6 THEN 6 ELSE 7 END AS bucket
+      FROM documents CROSS JOIN cuts),
+    dist AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+             CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS DOUBLE) AS nb
+      FROM tagged GROUP BY bucket),
+    tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM dist),
+    terms AS (
+      SELECT d.bucket, d.na, d.nb,
+             ROUND(((d.na + 0.5) / (t.ta + 4.0) - (d.nb + 0.5) / (t.tb + 4.0))
+                   * LN(((d.na + 0.5) / (t.ta + 4.0))
+                        / ((d.nb + 0.5) / (t.tb + 4.0))), 8) AS term
+      FROM dist d CROSS JOIN tot t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CAST(na AS BIGINT)) AS BIGINT) AS n_a,
+           CAST(SUM(CAST(nb AS BIGINT)) AS BIGINT) AS n_b,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(18,8))) AS DOUBLE), 6) AS psi
+    FROM terms
+    """,
+    doc=(
+        "Population stability index between two deterministic corpus "
+        "halves over octile length buckets (smoothed, DECIMAL-folded) — "
+        "the standard drift alarm, here wired as an A/A so near-zero PSI "
+        "is itself the plumbing check."
+    ),
+)
+def curation_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI, the industry drift metric (< 0.1 stable, 0.1–0.25 watch,
+    > 0.25 act): symmetric KL-style divergence between two populations'
+    bucket shares. Buckets are corpus octiles of n_chars (fixed
+    cutpoints from exact percentiles, so both populations are measured
+    against the SAME grid — the mistake PSI implementations make is
+    re-bucketing each side); shares are Laplace-smoothed so an empty
+    bucket can't produce ln(0). Split here is the md5 A/A — near-zero
+    PSI proves the harness; in production side B is the new batch and
+    side A the reference window.
+
+    Determinism: per-bucket terms are single pinned expressions rounded
+    then DECIMAL-summed (8 terms, order-free). Scale shape: one
+    percentile pass, one bucketed rollup with map-side combine, 1-row
+    output."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    cuts = d.agg(
+        *[
+            F.expr(f"percentile(n_chars, {(i + 1) / 8})").alias(f"c{i}")
+            for i in range(7)
+        ]
+    )
+    bucket = F.when(F.col("n_chars") <= F.col("c0"), 0)
+    for i in range(1, 7):
+        bucket = bucket.when(F.col("n_chars") <= F.col(f"c{i}"), i)
+    bucket = bucket.otherwise(7)
+    tagged = d.crossJoin(broadcast(cuts)).select(
+        F.when(_draw(F.col("doc_id")) < 50, "a").otherwise("b").alias("half"),
+        bucket.alias("bucket"),
+    )
+    dist = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+    )
+    tot = dist.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    pa = (F.col("na") + 0.5) / (F.col("ta") + 4.0)
+    pb = (F.col("nb") + 0.5) / (F.col("tb") + 4.0)
+    terms = dist.crossJoin(broadcast(tot)).select(
+        "na", "nb", F.round((pa - pb) * F.log(pa / pb), 8).alias("term")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.col("na").cast("bigint")).cast("bigint").alias("n_a"),
+        F.sum(F.col("nb").cast("bigint")).cast("bigint").alias("n_b"),
+        F.round(F.sum(F.col("term").cast("decimal(18,8)")).cast("double"), 6).alias(
+            "psi"
+        ),
+    )
