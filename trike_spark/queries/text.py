@@ -1849,3 +1849,102 @@ def text_llr_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= LLR_TOP)
         .select("lang", "token", F.col("a").cast("bigint").alias("n_in_lang"), "llr")
     )
+
+
+@register(
+    "text_unigram_holdout_perplexity",
+    f"""
+    WITH train_tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE {{DRAW}} < 50),
+    vocab AS (SELECT token, COUNT(*) AS freq FROM train_tok GROUP BY token),
+    vstats AS (SELECT CAST(SUM(freq) AS DOUBLE) AS n,
+                      CAST(COUNT(*) AS DOUBLE) AS v
+               FROM vocab),
+    eval_tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE {{DRAW}} >= 50),
+    scored AS (
+      SELECT e.doc_id, v.freq IS NULL AS oov,
+             ROUND(-LN((COALESCE(v.freq, 0) + 1.0) / (s.n + s.v + 1.0)), 9)
+               AS surprisal
+      FROM eval_tok e
+      LEFT JOIN vocab v ON v.token = e.token
+      CROSS JOIN vstats s)
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_eval_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_tokens,
+           ROUND(CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate,
+           ROUND(CAST(SUM(CAST(surprisal AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_surprisal,
+           ROUND(EXP(CAST(SUM(CAST(surprisal AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*)), 4) AS perplexity
+    FROM scored
+    """.replace(
+        "{DRAW}",
+        "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100)",
+    ),
+    doc=(
+        "Held-out unigram perplexity: Laplace-smoothed LM trained on the "
+        "md5 half of the corpus, evaluated on the other half with OOV "
+        "rate — the out-of-sample discipline the in-sample logprob face "
+        "deliberately lacks."
+    ),
+)
+def text_unigram_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train/test split applied to the LM quality filter itself: the
+    in-sample logprob face scores documents under a model fit on ALL of
+    them (fine for ranking, biased as a metric); this face fits on a
+    deterministic half and reports held-out perplexity + OOV rate —
+    the pair that tells you whether a perplexity threshold will transfer
+    to unseen data, and the harness you re-run per corpus snapshot to
+    watch drift (rising held-out PPL = the corpus is changing under the
+    model). Laplace add-one with a +1 unseen slot keeps OOV tokens
+    finite.
+
+    Determinism: the split is the md5 draw; surprisals are rounded then
+    DECIMAL-summed; EXP at the end is one pinned step. Scale shape:
+    vocab is the TF-IDF shuffle on the train half; eval tokens LEFT-join
+    the vocab on the token key; 1-row output."""
+    from trike_spark.queries.dedup import _h60
+
+    d = load_table(spark, sf_dir, "documents")
+    draw = _h60(F.col("doc_id").cast("string")) % 100
+    train = d.filter(draw < 50)
+    evald = d.filter(draw >= 50)
+    train_tok = train.select(F.explode(_tokens()).alias("token"))
+    vocab = train_tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    vstats = vocab.agg(
+        F.sum("freq").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    eval_tok = evald.select("doc_id", F.explode(_tokens()).alias("token"))
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        eval_tok.join(broadcast(vocab), "token", "left")
+        .crossJoin(broadcast(vstats))
+        .select(
+            "doc_id",
+            F.col("freq").isNull().alias("oov"),
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("freq"), F.lit(0)) + 1.0)
+                    / (F.col("n") + F.col("v") + 1.0)
+                ),
+                9,
+            ).alias("surprisal"),
+        )
+    )
+    ssum = F.sum(F.col("surprisal").cast("decimal(18,9)")).cast("double")
+    return scored.agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_eval_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_tokens"),
+        F.round(
+            F.sum(F.when(F.col("oov"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+        F.round(ssum / F.count(F.lit(1)), 6).alias("mean_surprisal"),
+        F.round(F.exp(ssum / F.count(F.lit(1))), 4).alias("perplexity"),
+    )
