@@ -1442,3 +1442,59 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
         F.round(u / (n1 * n2), 6).alias("auc"),
     )
+
+
+DECAY_HALF_LIFE_DAYS = 30.0
+
+
+@register(
+    "agg_time_decayed_value",
+    f"""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+    t AS (
+      SELECT o_custkey,
+             CAST(ROUND(o_totalprice
+                        * POW(0.5, date_diff('day', o_orderdate, an.a)
+                                   / {DECAY_HALF_LIFE_DAYS}), 6)
+                  AS DECIMAL(24,6)) AS dv
+      FROM orders CROSS JOIN anchor an)
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(dv), 2) AS DOUBLE) AS decayed_value
+    FROM t GROUP BY o_custkey
+    """,
+    doc=(
+        f"Exponential time-decayed customer value (half-life "
+        f"{DECAY_HALF_LIFE_DAYS:.0f} days, anchored at the data's last "
+        "date) — the recency-weighted LTV behind churn-risk ranking."
+    ),
+)
+def agg_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted monetary value: each order contributes
+    price · 0.5^(age/half-life), so a year-old whale order outranks
+    nothing — the decay is what makes the score a CHURN-RISK signal
+    rather than a lifetime ledger (RFM's R and M folded into one
+    number). Anchoring at the data's max date keeps the face
+    deterministic (wall-clock anchors would drift between runs).
+
+    Determinism: each per-row decayed term is one pinned pow/divide
+    expression rounded to 6, then folded in exact DECIMAL — the sum
+    can't depend on partitioning. Scale shape: a 1-row anchor broadcast,
+    a narrow per-row map, one map-side-combined custkey rollup."""
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("a"))
+    dv = F.round(
+        F.col("o_totalprice")
+        * F.pow(
+            F.lit(0.5),
+            F.datediff(F.col("a"), F.col("o_orderdate")) / DECAY_HALF_LIFE_DAYS,
+        ),
+        6,
+    ).cast("decimal(24,6)")
+    t = o.crossJoin(broadcast(anchor)).select("o_custkey", dv.alias("dv"))
+    return t.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("dv"), 2).cast("double").alias("decayed_value"),
+    )

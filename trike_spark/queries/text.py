@@ -1948,3 +1948,108 @@ def text_unigram_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(ssum / F.count(F.lit(1)), 6).alias("mean_surprisal"),
         F.round(F.exp(ssum / F.count(F.lit(1))), 4).alias("perplexity"),
     )
+
+
+SPEAR_SRC_A = "web"
+SPEAR_SRC_B = "wiki"
+
+
+@register(
+    "text_spearman_rank_sources",
+    f"""
+    WITH fa AS (
+      SELECT token, COUNT(*) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE source = '{SPEAR_SRC_A}')
+      GROUP BY token),
+    fb AS (
+      SELECT token, COUNT(*) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE source = '{SPEAR_SRC_B}')
+      GROUP BY token),
+    joined AS (
+      SELECT fa.token, fa.f AS x, fb.f AS y
+      FROM fa JOIN fb ON fb.token = fa.token),
+    ranked AS (
+      SELECT RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0
+               AS rx,
+             RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0
+               AS ry
+      FROM joined),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(rx AS DECIMAL(18,1))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry AS DECIMAL(18,1))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx AS DECIMAL(18,1)) * CAST(ry AS DECIMAL(18,1)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(rx AS DECIMAL(18,1)) * CAST(rx AS DECIMAL(18,1)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry AS DECIMAL(18,1)) * CAST(ry AS DECIMAL(18,1)))
+                  AS DOUBLE) AS syy
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_shared_tokens,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+             AS spearman_rho
+    FROM s
+    """,
+    doc=(
+        f"Spearman rank correlation between '{SPEAR_SRC_A}' and "
+        f"'{SPEAR_SRC_B}' token-frequency rankings over the shared "
+        "vocabulary — the scale-free register-similarity number."
+    ),
+)
+def text_spearman_rank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do two sources use language the same WAY? Raw frequency
+    correlation is dominated by the head; Spearman correlates the RANK
+    orders, so it measures whether the sources agree on which words
+    matter relative to each other — high ρ with divergent JS distance
+    means same register at different mixture rates; low ρ flags a
+    different genre entirely. Ties take midranks (rationals from integer
+    rank bounds), rank moments fold in exact DECIMAL (.0/.5 terms), and
+    ρ is the pinned-Pearson formula on the ranks — the Mann-Whitney
+    midrank machinery pointed at a correlation.
+
+    Scale shape: two filtered token rollups, an equi-join on the token
+    key, ranking windows over the shared-VOCABULARY dimension, 1-row
+    output."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def freqs(src: str, out: str) -> DataFrame:
+        return (
+            d.filter(F.col("source") == src)
+            .select(F.explode(_tokens()).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    joined = freqs(SPEAR_SRC_A, "x").join(freqs(SPEAR_SRC_B, "y"), "token")
+    rx = (
+        F.rank().over(Window.orderBy("x"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("x")) - 1) / 2.0
+    ).cast("decimal(18,1)")
+    ry = (
+        F.rank().over(Window.orderBy("y"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("y")) - 1) / 2.0
+    ).cast("decimal(18,1)")
+    ranked = joined.select(rx.alias("rx"), ry.alias("ry"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        n.cast("bigint").alias("n_shared_tokens"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("spearman_rho"),
+    )
