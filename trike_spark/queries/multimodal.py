@@ -337,3 +337,53 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "multimodal_corpus_report",
+    """
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS payload_bytes,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_embedding,
+           ROUND(CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS embedding_coverage,
+           CAST(COUNT(DISTINCT e.label) AS BIGINT) AS n_labels
+    FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY d.source
+    """,
+    doc=(
+        "Per-source multimodal inventory: payload volume, embedding "
+        "coverage, and label breadth — the join-health report for a "
+        "corpus whose modalities arrive on different pipelines."
+    ),
+)
+def multimodal_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modalities arrive on different pipelines (text from the crawler,
+    embeddings from a GPU batch job), so the first multimodal question
+    is ALIGNMENT: what fraction of each source's documents actually has
+    its companion modality? A coverage gap localized to one source means
+    that source's embedding backfill is behind — caught here before a
+    training run silently drops the uncovered slice (LEFT join, so the
+    denominator is the full corpus, not the covered part).
+
+    Scale shape: one doc-keyed LEFT join (the embedding side projects to
+    key+label), a |sources|-row rollup; payload bytes sum map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    joined = d.join(e, "doc_id", "left")
+    has = F.when(F.col("label").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length(F.encode("text", "utf-8"))).cast("bigint").alias(
+            "payload_bytes"
+        ),
+        F.sum(has).cast("bigint").alias("n_with_embedding"),
+        F.round(F.sum(has).cast("double") / F.count(F.lit(1)), 6).alias(
+            "embedding_coverage"
+        ),
+        F.count_distinct("label").cast("bigint").alias("n_labels"),
+    )
