@@ -1700,3 +1700,68 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_density"),
         )
     )
+
+
+DEDUP_SWEEP_TS = (0.3, 0.5, 0.7)
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""
+    WITH pairs AS (
+      SELECT doc_a, doc_b, jaccard FROM ({_sql_jaccard_truth()})),
+    sweep AS (
+      {" UNION ALL ".join(f"SELECT CAST({t} AS DOUBLE) AS threshold" for t in DEDUP_SWEEP_TS)}),
+    hits AS (
+      SELECT s.threshold, p.doc_a, p.doc_b
+      FROM sweep s JOIN pairs p ON p.jaccard >= s.threshold),
+    dropped AS (
+      SELECT threshold, doc_b AS doc_id FROM hits GROUP BY threshold, doc_b)
+    SELECT s.threshold,
+           CAST(COUNT(DISTINCT (h.doc_a, h.doc_b)) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs_dropped
+    FROM sweep s
+    LEFT JOIN hits h ON h.threshold = s.threshold
+    LEFT JOIN dropped d ON d.threshold = s.threshold
+    GROUP BY s.threshold
+    """,
+    doc=(
+        "Dedup aggressiveness sweep: near-dup pairs and keep-min docs "
+        "dropped at Jaccard thresholds 0.3/0.5/0.7 from ONE pair table — "
+        "the removal-rate curve that prices the threshold choice."
+    ),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold decision made visible: dedup at 0.3 removes
+    paraphrase-level matches, at 0.7 only boilerplate twins — and the
+    right setting depends on how steep THIS corpus's removal curve is,
+    which is exactly what the sweep measures (the band-sweep pattern
+    pointed at the threshold axis instead of the banding axis). Docs
+    dropped uses the keep-min survivor rule (a doc drops if it pairs
+    with any lower id at the threshold), matching the clustering faces'
+    convention.
+
+    Scale shape: the guarded pair table is computed ONCE (its jaccard
+    column already exists for the ≥ 0.3 floor); each threshold is a
+    filter + two distinct counts over the PAIR set — the sweep costs
+    |pairs|·|thresholds|, never another shingle join."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    pairs = cache.checkpoint(pairs)
+    from pyspark.sql.functions import broadcast
+
+    sweep = spark.createDataFrame(
+        [(t,) for t in DEDUP_SWEEP_TS], "threshold double"
+    )
+    hits = sweep.join(pairs, F.col("jaccard") >= F.col("threshold"))
+    agg = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count_distinct("doc_b").cast("bigint").alias("n_docs_dropped"),
+    )
+    return (
+        sweep.join(broadcast(agg), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("n_docs_dropped"), F.lit(0)).alias("n_docs_dropped"),
+        )
+    )
