@@ -1498,3 +1498,74 @@ def agg_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.round(F.sum("dv"), 2).cast("double").alias("decayed_value"),
     )
+
+
+@register(
+    "agg_counting_quantiles",
+    """
+    WITH freq AS (
+      SELECT l_quantity AS v, COUNT(*) AS f
+      FROM lineitem GROUP BY l_quantity),
+    cum AS (
+      SELECT v, f,
+             SUM(f) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cf,
+             SUM(f) OVER () AS n
+      FROM freq)
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cf >= CAST(CEIL(0.5 * n) AS BIGINT) THEN v END) AS p50,
+           MIN(CASE WHEN cf >= CAST(CEIL(0.9 * n) AS BIGINT) THEN v END) AS p90,
+           MIN(CASE WHEN cf >= CAST(CEIL(0.99 * n) AS BIGINT) THEN v END) AS p99
+    FROM cum
+    """,
+    doc=(
+        "Exact discrete quantiles by COUNTING (frequency table + "
+        "cumulative crossing) instead of sorting — O(distinct values) "
+        "state, the right algorithm when cardinality is small."
+    ),
+)
+def agg_counting_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles without a sort: when the value domain is small (here
+    l_quantity's ~50 integers; in practice star ratings, bucketed ages,
+    status codes), a frequency table plus a cumulative crossing gives
+    EXACT discrete quantiles with O(|domain|) state — at 100 TB that's a
+    50-row rollup versus a multi-terabyte range-partitioned sort, and
+    unlike a sketch the answer carries no error bar. The crossing rule
+    is quantile_disc's (first value whose cumulative count reaches
+    ⌈p·n⌉), all integer comparisons.
+
+    Scale shape: one map-side-combined rollup to the DOMAIN size, a
+    window over those ≤|domain| rows, a 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    freq = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    cum = freq.select(
+        "v",
+        F.sum("f")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cf"),
+        F.sum("f")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+
+    def q(p: float, name: str):
+        return F.min(
+            F.when(
+                F.col("cf") >= F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("v"),
+            )
+        ).alias(name)
+
+    return cum.agg(
+        F.any_value("n").cast("bigint").alias("n"),
+        q(0.5, "p50"),
+        q(0.9, "p90"),
+        q(0.99, "p99"),
+    )
