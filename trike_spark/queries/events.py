@@ -2977,3 +2977,71 @@ def events_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("autocorr"),
     )
+
+
+@register(
+    "events_weekday_seasonal_index",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY CAST(ts AS DATE)),
+    base AS (
+      SELECT isodow(day) AS dow, n,
+             CAST((SELECT SUM(n) FROM daily) AS DOUBLE)
+               / (SELECT COUNT(*) FROM daily) AS grand_mean
+      FROM daily)
+    SELECT CAST(dow AS INT) AS dow, COUNT(*) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 4) AS dow_mean,
+           ROUND((CAST(SUM(n) AS DOUBLE) / COUNT(*)) / ANY_VALUE(grand_mean), 6)
+             AS seasonal_index
+    FROM base GROUP BY dow
+    """,
+    doc=(
+        "Classical weekday seasonal indices: each ISO weekday's mean "
+        "daily volume over the grand mean — the multiplicative factors "
+        "that deseasonalize a series before trend analysis."
+    ),
+)
+def events_weekday_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of classical decomposition: index_d = mean volume
+    on weekday d / grand mean. Deseasonalizing (divide each day by its
+    index) is what makes a Monday-vs-Sunday comparison honest, turns the
+    CUSUM face's drift line flat across weeks, and converts the
+    autocorrelation face's lag-7 peak into explicit per-day factors a
+    capacity plan can multiply by.
+
+    Determinism: exact counts; the two divisions are pinned (grand mean
+    computed once from exact sums). Scale shape: one daily rollup, a
+    7-row output; weekday numbering is ISO in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from pyspark.sql.functions import broadcast
+
+    gm = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("grand_mean")
+    )
+    base = daily.select(
+        F.dayofweek("day").alias("dow_sun1"), "n"
+    ).select(
+        # Spark dayofweek is 1=Sunday; convert to ISO 1=Monday..7=Sunday
+        F.when(F.col("dow_sun1") == 1, 7).otherwise(F.col("dow_sun1") - 1).alias("dow"),
+        "n",
+    ).crossJoin(broadcast(gm))
+    return base.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 4).alias("dow_mean"),
+        F.round(
+            (F.sum("n").cast("double") / F.count(F.lit(1))) / F.any_value("grand_mean"),
+            6,
+        ).alias("seasonal_index"),
+    ).select(
+        F.col("dow").cast("int").alias("dow"),
+        "n_days",
+        "total_events",
+        "dow_mean",
+        "seasonal_index",
+    )
