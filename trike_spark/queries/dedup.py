@@ -1752,7 +1752,12 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep = spark.createDataFrame(
         [(t,) for t in DEDUP_SWEEP_TS], "threshold double"
     )
-    hits = sweep.join(pairs, F.col("jaccard") >= F.col("threshold"))
+    # broadcast-cross the 3-row literal sweep side (the repo's sanctioned
+    # tiny-side cross shape) instead of an inequality join, which Spark
+    # would plan as a CartesianProduct
+    hits = pairs.crossJoin(broadcast(sweep)).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
     agg = hits.groupBy("threshold").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.count_distinct("doc_b").cast("bigint").alias("n_docs_dropped"),
