@@ -1569,3 +1569,64 @@ def agg_counting_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.9, "p90"),
         q(0.99, "p99"),
     )
+
+
+EQW_BUCKETS = 12
+
+
+@register(
+    "agg_equiwidth_histogram",
+    f"""
+    WITH b AS (
+      SELECT CAST(LEAST(FLOOR((o_totalprice - 850.0)
+                              / ((600000.0 - 850.0) / {EQW_BUCKETS})),
+                        {EQW_BUCKETS - 1}) AS INT) AS bucket
+      FROM orders)
+    SELECT bucket,
+           ROUND(850.0 + bucket * ((600000.0 - 850.0) / {EQW_BUCKETS}), 2)
+             AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM orders), 6) AS share
+    FROM b GROUP BY bucket
+    """,
+    doc=(
+        f"Equi-width histogram of order value ({EQW_BUCKETS} fixed-width "
+        "buckets over a pinned range) — the shape view that pairs with "
+        "the equi-depth face (fixed mass, variable width)."
+    ),
+)
+def agg_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other histogram: equi-WIDTH shows where the mass lives on a
+    fixed grid (good for spotting spikes and gaps; terrible quantiles),
+    equi-DEPTH (the existing window face) shows quantile boundaries
+    (good tails; hides multimodality) — real profiling ships both. The
+    range is pinned to constants rather than derived from min/max so the
+    bucket GRID is stable across corpus snapshots — a drifting grid
+    makes histograms incomparable over time, the same one-grid rule the
+    PSI face enforces.
+
+    Determinism: one integer floor per row (clamped top bucket), exact
+    counts, one pinned share division. Scale shape: narrow per-row map,
+    one {EQW_BUCKETS}-cell map-side-combined rollup, a 1-row broadcast
+    total."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (600000.0 - 850.0) / EQW_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - 850.0) / w), F.lit(EQW_BUCKETS - 1)
+    ).cast("int")
+    from pyspark.sql.functions import broadcast
+
+    tot = o.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(broadcast(tot))
+        .select(
+            "bucket",
+            F.round(850.0 + F.col("bucket") * w, 2).alias("bucket_lo"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+        )
+    )
