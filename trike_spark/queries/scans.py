@@ -794,3 +794,67 @@ def scan_orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "scan_bucketed_join_rollup",
+    """
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    doc=(
+        "Bucketed co-located fact-to-fact join under the oracle gate: both "
+        "sides bucketed on the join key, the join runs with ZERO shuffle "
+        "exchanges, and the rollup reconciles with the plain-join oracle."
+    ),
+)
+def scan_bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring fact⋈fact join is THE shuffle a 100 TB deployment
+    pays daily until both tables are bucketed the same way — then the
+    join becomes a per-bucket zip with no exchange at all (the pytest
+    plan assertion; this face puts the RESULT under the driver's hash
+    gate so the layout provably changes nothing but the plan). Bucket
+    count is the a-priori shuffle-partition choice — pick
+    ~total_size/128 MB at deployment scale.
+
+    Side effects: rebuilds the two managed bucketed tables per run
+    (DROP + saveAsTable into the session warehouse — the scan-face
+    scratch convention applied to tables)."""
+    import shutil
+
+    from trike_spark.io import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS face_b_orders")
+    spark.sql("DROP TABLE IF EXISTS face_b_lineitem")
+    for t in ("face_b_orders", "face_b_lineitem"):
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "face_b_orders",
+        "o_orderkey",
+        4,
+        sort_col="o_orderkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "face_b_lineitem",
+        "l_orderkey",
+        4,
+        sort_col="l_orderkey",
+    )
+    o = spark.table("face_b_orders")
+    li = spark.table("face_b_lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
