@@ -1630,3 +1630,59 @@ def agg_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
         )
     )
+
+
+@register(
+    "agg_hhi_concentration",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS s
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT CAST(SUM(s) AS DOUBLE) AS t FROM spend),
+    shares AS (
+      SELECT ROUND((CAST(s AS DOUBLE) / t.t) * (CAST(s AS DOUBLE) / t.t), 12)
+               AS sh2
+      FROM spend CROSS JOIN tot t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(sh2 AS DECIMAL(18,12))) AS DOUBLE) * 10000.0, 4)
+             AS hhi,
+           ROUND(1.0 / CAST(SUM(CAST(sh2 AS DECIMAL(18,12))) AS DOUBLE), 2)
+             AS effective_n
+    FROM shares
+    """,
+    doc=(
+        "Herfindahl-Hirschman concentration of revenue across customers "
+        "(0-10000 scale) plus the effective-N reading (1/Σshare²) — the "
+        "antitrust-standard number next to Gini and Pareto."
+    ),
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third concentration lens: Gini ranks inequality, Pareto finds
+    the 80/20 crossing, HHI = Σ share² answers 'how many customers do we
+    EFFECTIVELY have' (1/HHI, the inverse-Simpson diversity) — the
+    number that prices key-account risk: effective-N of 40 means losing
+    one whale is 2.5 % of revenue no matter how many names are in the
+    ledger. The same statistic measures source concentration in a
+    training mix (a corpus with effective-N 3 sources is a 3-source
+    corpus, whatever the manifest says).
+
+    Determinism: spend folds in exact DECIMAL; each squared share is one
+    pinned expression rounded to 12 then DECIMAL-summed. Scale shape:
+    one custkey rollup, a 1-row total broadcast, a 1-row reduce."""
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("s")
+    )
+    tot = spend.agg(F.sum("s").cast("double").alias("t"))
+    share = F.col("s").cast("double") / F.col("t")
+    shares = spend.crossJoin(broadcast(tot)).select(
+        F.round(share * share, 12).alias("sh2")
+    )
+    ssum = F.sum(F.col("sh2").cast("decimal(18,12)")).cast("double")
+    return shares.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(ssum * 10000.0, 4).alias("hhi"),
+        F.round(1.0 / ssum, 2).alias("effective_n"),
+    )

@@ -1019,3 +1019,91 @@ def sketch_hll_register_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_rel_err"
         ),
     )
+
+
+@register(
+    "sketch_bitmap_setops",
+    """
+    WITH clicks AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    buys AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    wa AS (
+      SELECT user_id // 32 AS word, bit_or(CAST(1 AS BIGINT) << (user_id % 32))
+               AS bits
+      FROM clicks GROUP BY user_id // 32),
+    wb AS (
+      SELECT user_id // 32 AS word, bit_or(CAST(1 AS BIGINT) << (user_id % 32))
+               AS bits
+      FROM buys GROUP BY user_id // 32)
+    SELECT CAST((SELECT SUM(bit_count(bits)) FROM wa) AS BIGINT) AS n_click,
+           CAST((SELECT SUM(bit_count(bits)) FROM wb) AS BIGINT) AS n_buy,
+           CAST(COALESCE(SUM(bit_count(wa.bits & wb.bits)), 0) AS BIGINT)
+             AS n_both,
+           CAST((SELECT SUM(bit_count(bits)) FROM wa)
+                + (SELECT SUM(bit_count(bits)) FROM wb)
+                - COALESCE(SUM(bit_count(wa.bits & wb.bits)), 0) AS BIGINT)
+             AS n_either
+    FROM wa JOIN wb ON wb.word = wa.word
+    """,
+    doc=(
+        "Word-aligned bitmap set algebra (the Roaring pattern, "
+        "relationally): user sets packed 32/word via bit_or, intersection "
+        "and union cardinalities from AND + popcount — exact set ops at "
+        "1 bit per member."
+    ),
+)
+def sketch_bitmap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct set algebra at 1 bit per member: pack each user set
+    into bitmap words (word = id div 32, bit = id mod 32 — 32 ids per
+    BIGINT word because a checked engine rejects 1<<63; half the density,
+    identical algebra — OR-folded per word — bit_or is a commutative monoid, so the build is map-side
+    combined and order-free), then |A∩B| is popcount of ANDed words and
+    |A∪B| follows by inclusion-exclusion. This is the bitmap-index idea
+    Roaring productionizes: versus a distinct self-join, the set-op cost
+    collapses to a word-keyed join over |universe|/32 rows — and unlike
+    the HLL-intersection face, the answer is EXACT (bitmaps and sketches
+    bracket the same problem from opposite ends of the memory/accuracy
+    trade).
+
+    Scale shape: two word-keyed rollups (map-side bit_or combine), one
+    equi-join on the word key, a 1-row reduce. Dense ids suit the flat
+    layout; a sparse universe is what Roaring's container tiers fix."""
+    e = load_table(spark, sf_dir, "events")
+
+    def words(ev_type: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == ev_type)
+            .select("user_id")
+            .distinct()
+            .groupBy(F.expr("user_id div 32").alias("word"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+                ).alias("bits")
+            )
+        )
+
+    from pyspark.sql.functions import broadcast
+
+    wa = words("click").withColumnRenamed("bits", "a_bits")
+    wb = words("purchase").withColumnRenamed("bits", "b_bits")
+    na = wa.agg(F.sum(F.bit_count("a_bits")).alias("n_click"))
+    nb = wb.agg(F.sum(F.bit_count("b_bits")).alias("n_buy"))
+    both = wa.join(wb, "word").agg(
+        F.coalesce(
+            F.sum(F.bit_count(F.col("a_bits").bitwiseAND(F.col("b_bits")))), F.lit(0)
+        ).alias("n_both")
+    )
+    return (
+        both.crossJoin(broadcast(na))
+        .crossJoin(broadcast(nb))
+        .select(
+            F.col("n_click").cast("bigint").alias("n_click"),
+            F.col("n_buy").cast("bigint").alias("n_buy"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            (F.col("n_click") + F.col("n_buy") - F.col("n_both"))
+            .cast("bigint")
+            .alias("n_either"),
+        )
+    )
