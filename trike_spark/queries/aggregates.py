@@ -1686,3 +1686,98 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssum * 10000.0, 4).alias("hhi"),
         F.round(1.0 / ssum, 2).alias("effective_n"),
     )
+
+
+@register(
+    "agg_ratio_metric_delta_se",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS x,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4)))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4)))
+                  AS DOUBLE) AS sxy
+      FROM per_user),
+    d AS (
+      SELECT n, sx / sy AS r,
+             (sxx / n - (sx / n) * (sx / n)) AS vx,
+             (syy / n - (sy / n) * (sy / n)) AS vy,
+             (sxy / n - (sx / n) * (sy / n)) AS cxy,
+             sy / n AS ybar
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(r, 6) AS revenue_per_event,
+           ROUND(SQRT((vx - 2.0 * r * cxy + r * r * vy) / n) / ybar, 6)
+             AS delta_se,
+           ROUND(r - 1.95996 * SQRT((vx - 2.0 * r * cxy + r * r * vy) / n)
+                       / ybar, 6) AS ci_lo,
+           ROUND(r + 1.95996 * SQRT((vx - 2.0 * r * cxy + r * r * vy) / n)
+                       / ybar, 6) AS ci_hi
+    FROM d
+    """,
+    doc=(
+        "Delta-method CI for a ratio metric (revenue per event): the "
+        "correct SE when both numerator and denominator vary per user — "
+        "naive per-event variance understates it."
+    ),
+)
+def agg_ratio_metric_delta_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ratio-metric trap: revenue-per-event's randomization unit is
+    the USER, so treating events as independent samples understates the
+    variance whenever users differ in size (they always do). The delta
+    method linearizes r = X̄/Ȳ around the means:
+    var(r) ≈ (var_x − 2r·cov + r²·var_y) / (n·ȳ²) — the formula every
+    experimentation platform applies to ratio metrics before calling a
+    winner. Five exact-decimal moment sums over per-user totals feed one
+    pinned expression; z = 1.95996 as a literal.
+
+    Scale shape: one user_id rollup (map-side combined), a 1-row moment
+    reduce, closed-form output."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,4)"),
+            ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(18,4)")
+    yd = F.col("y").cast("decimal(18,4)")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r = sx / sy
+    vx = sxx / n - (sx / n) * (sx / n)
+    vy = syy / n - (sy / n) * (sy / n)
+    cxy = sxy / n - (sx / n) * (sy / n)
+    ybar = sy / n
+    se = F.sqrt((vx - 2.0 * r * cxy + r * r * vy) / n) / ybar
+    return m.select(
+        n.cast("bigint").alias("n_users"),
+        F.round(r, 6).alias("revenue_per_event"),
+        F.round(se, 6).alias("delta_se"),
+        F.round(r - 1.95996 * se, 6).alias("ci_lo"),
+        F.round(r + 1.95996 * se, 6).alias("ci_hi"),
+    )
