@@ -2053,3 +2053,110 @@ def text_spearman_rank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "text_heaps_law_fit",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    first_doc AS (
+      SELECT token, MIN(doc_id) AS fd FROM tok GROUP BY token),
+    news AS (
+      SELECT fd AS doc_id, COUNT(*) AS n_new FROM first_doc GROUP BY fd),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    series AS (
+      SELECT s.doc_id,
+             SUM(s.n_tok) OVER (ORDER BY s.doc_id ROWS UNBOUNDED PRECEDING)
+               AS big_n,
+             SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY s.doc_id
+               ROWS UNBOUNDED PRECEDING) AS v
+      FROM sizes s LEFT JOIN news nw ON nw.doc_id = s.doc_id),
+    pts AS (
+      SELECT CAST(ROUND(LN(CAST(big_n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+             CAST(ROUND(LN(CAST(v AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+      FROM series),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pts),
+    fit AS (
+      SELECT n, sx, sy, sxx, syy, sxy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n_checkpoints,
+           ROUND(beta, 6) AS heaps_beta,
+           ROUND(EXP((sy - beta * sx) / n), 4) AS heaps_k,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM fit
+    """,
+    doc=(
+        "Heaps'-law fit: vocabulary growth V(N) = K*N^beta from the "
+        "cumulative first-seen curve (log-log OLS) — Zipf's companion law "
+        "and the vocabulary-size forecaster."
+    ),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law: vocabulary grows as a power of tokens processed
+    (β ≈ 0.4–0.6 for natural text; a FIXED vocabulary yields β → 0 as
+    the curve saturates). The fitted (K, β) extrapolates: how many new
+    types will the next 10× of corpus bring — the number BPE vocabulary
+    sizing and OOV-budget planning extrapolate from, and the growth-side
+    complement of the hapax census (hapaxes are where the growth
+    happens). Curve built exactly: each token contributes to V at its
+    first-seen doc (min doc_id — the same first-seen reduction as
+    cumulative-unique-users), both cumulatives run over the DOC
+    dimension in one ingest order, and the log-log OLS folds rounded
+    decimal moments (the Zipf discipline).
+
+    Scale shape: one token rollup (TF-IDF shuffle) + one doc-sized
+    series; windows over the document dimension."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    first_doc = tok.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    news = first_doc.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    series = (
+        sizes.join(news, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).alias("big_n"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("v"),
+        )
+    )
+    pts = series.select(
+        F.round(F.log(F.col("big_n").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("v").cast("double")), 9).cast("decimal(18,9)").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_checkpoints"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp((sy - beta * sx) / n), 4).alias("heaps_k"),
+        F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
