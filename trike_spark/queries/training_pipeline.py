@@ -279,3 +279,62 @@ def pipeline_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_chars",
         "p95_chars",
     )
+
+
+def _sql_incremental_dedup() -> str:
+    from trike_spark.registry import REGISTRY
+
+    return REGISTRY["dedup_incremental_lsh"].oracle
+
+
+@register(
+    "pipeline_incremental_dedup_refresh",
+    _sql_incremental_dedup(),
+    doc=(
+        "Continuous corpus refresh end-to-end: base corpus committed to a "
+        "versioned table, a batch appended, read_incremental feeds the "
+        "LSH probe against the v1 standing index — the lakehouse plumbing "
+        "must reproduce the logical split's dedup decisions exactly."
+    ),
+)
+def pipeline_incremental_dedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production loop assembled from its audited parts: documents
+    land in the snapshot-versioned table (commit v1 = the standing
+    corpus, commit v2 = tonight's batch), the consumer picks up EXACTLY
+    the delta via ``read_incremental`` (no rescan, no overlap), and the
+    delta probes the v1 index with the same narrow minhash chain the
+    static and streaming faces use. The oracle is the LOGICAL
+    incremental-dedup face's SQL verbatim — hash equality proves the
+    lakehouse feed (manifest delta directories) is indistinguishable
+    from the logical split, which is the whole correctness claim of
+    incremental processing.
+
+    Scale shape: the versioned reads plan from manifests (O(1) listing);
+    the probe is the band-keyed join bounded by collisions; the index
+    side would be a materialized bucket table in production (the
+    incremental face's docstring covers that knob)."""
+    import shutil
+
+    from trike_spark import versioned
+    from trike_spark.queries.dedup import NEW_BATCH_PCT, _h60, minhash_buckets_df
+    from trike_spark.queries.scans import _scan_tmp
+
+    path = _scan_tmp(spark, "incr_dedup_corpus")
+    shutil.rmtree(path, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    draw = _h60(F.col("doc_id").cast("string")) % 100
+    v1 = versioned.commit(d.filter(draw >= NEW_BATCH_PCT), path, mode="append")
+    versioned.commit(d.filter(draw < NEW_BATCH_PCT), path, mode="append")
+    arriving, _hw = versioned.read_incremental(spark, path, since_version=v1)
+    index = minhash_buckets_df(versioned.read_version(spark, path, v1)).select(
+        F.col("doc_id").alias("idx_doc"), "band_idx", "band_hash"
+    )
+    probes = minhash_buckets_df(arriving).select(
+        F.col("doc_id").alias("new_doc"), "band_idx", "band_hash"
+    )
+    hits = probes.join(index, ["band_idx", "band_hash"])
+    return hits.groupBy(F.col("new_doc").alias("doc_id")).agg(
+        F.min("idx_doc").alias("dup_of"),
+        F.count_distinct("band_idx").alias("n_hit_bands"),
+    )
+
