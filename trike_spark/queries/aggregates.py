@@ -1781,3 +1781,119 @@ def agg_ratio_metric_delta_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r - 1.95996 * se, 6).alias("ci_lo"),
         F.round(r + 1.95996 * se, 6).alias("ci_hi"),
     )
+
+
+# --- Welch's unequal-variance t-test ------------------------------------------
+
+
+@register(
+    "agg_welch_ttest",
+    f"""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))), 2)
+                  AS DECIMAL(18,2)) AS x
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')
+      GROUP BY c.c_mktsegment, c.c_custkey),
+    m AS (
+      SELECT seg,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM spend GROUP BY seg),
+    wide AS (
+      SELECT MAX(CASE WHEN seg = '{MW_SEG_A}' THEN n END) AS na,
+             MAX(CASE WHEN seg = '{MW_SEG_A}' THEN sx END) AS sxa,
+             MAX(CASE WHEN seg = '{MW_SEG_A}' THEN sxx END) AS sxxa,
+             MAX(CASE WHEN seg = '{MW_SEG_B}' THEN n END) AS nb,
+             MAX(CASE WHEN seg = '{MW_SEG_B}' THEN sx END) AS sxb,
+             MAX(CASE WHEN seg = '{MW_SEG_B}' THEN sxx END) AS sxxb
+      FROM m),
+    terms AS (
+      SELECT na, nb, sxa / na AS ma, sxb / nb AS mb,
+             ((sxxa - (sxa / na) * sxa) / (na - 1.0)) / na AS ta,
+             ((sxxb - (sxb / nb) * sxb) / (nb - 1.0)) / nb AS tb
+      FROM wide)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b,
+           ROUND((mb - ma) / SQRT(ta + tb), 6) AS t_stat,
+           ROUND((ta + tb) * (ta + tb)
+                 / (ta * ta / (na - 1.0) + tb * tb / (nb - 1.0)), 4)
+             AS welch_df
+    FROM terms
+    """,
+    doc=(
+        f"Welch's unequal-variance t-test between {MW_SEG_A} and "
+        f"{MW_SEG_B} per-customer spend: means, t statistic, and the "
+        "Welch-Satterthwaite effective degrees of freedom."
+    ),
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parametric companion to the Mann-Whitney face: Welch's t-test,
+    the default two-sample test when arm variances differ (as real A/B
+    arms always do) — equal-variance Student's t is the textbook version
+    nobody should ship. t = (m_b − m_a) / √(s²_a/n_a + s²_b/n_b) with the
+    Welch-Satterthwaite df, which downweights the smaller/noisier arm.
+
+    Determinism: per-customer spend is an exact DECIMAL rollup quantized
+    to 2 dp; the Σx/Σx² moment sums fold in exact DECIMAL (same pinned
+    recipe as the assortativity and OLS faces), and every mean/variance/
+    t/df is one pinned double expression over those exact sums — both
+    engines compute identical bits.
+
+    Scale shape: the spend rollup shuffles once on custkey with map-side
+    partial aggregation; the moment sums reduce to |segments| rows; the
+    readout is a 1-row broadcast-free pivot. The whole test costs one
+    shuffle at any corpus size — this is why closed-form moment tests
+    stay viable at 100 TB while resampling tests need the bootstrap
+    face's half-sample trick."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,4)")), 2)
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+        .select(F.col("c_mktsegment").alias("seg"), "x")
+    )
+    m = spend.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    wide = m.agg(
+        F.max(F.when(F.col("seg") == MW_SEG_A, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("seg") == MW_SEG_A, F.col("sx"))).alias("sxa"),
+        F.max(F.when(F.col("seg") == MW_SEG_A, F.col("sxx"))).alias("sxxa"),
+        F.max(F.when(F.col("seg") == MW_SEG_B, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("seg") == MW_SEG_B, F.col("sx"))).alias("sxb"),
+        F.max(F.when(F.col("seg") == MW_SEG_B, F.col("sxx"))).alias("sxxb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ma, mb = F.col("sxa") / na, F.col("sxb") / nb
+    ta = ((F.col("sxxa") - (F.col("sxa") / na) * F.col("sxa")) / (na - 1.0)) / na
+    tb = ((F.col("sxxb") - (F.col("sxb") / nb) * F.col("sxb")) / (nb - 1.0)) / nb
+    terms = wide.select(
+        na.alias("na"), nb.alias("nb"),
+        ma.alias("ma"), mb.alias("mb"), ta.alias("ta"), tb.alias("tb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ta, tb = F.col("ta"), F.col("tb")
+    return terms.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(F.col("ma"), 4).alias("mean_a"),
+        F.round(F.col("mb"), 4).alias("mean_b"),
+        F.round((F.col("mb") - F.col("ma")) / F.sqrt(ta + tb), 6).alias("t_stat"),
+        F.round(
+            (ta + tb) * (ta + tb)
+            / (ta * ta / (na - 1.0) + tb * tb / (nb - 1.0)),
+            4,
+        ).alias("welch_df"),
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trike_spark import cache
 from trike_spark.io import load_table
 from trike_spark.queries.dedup import _h60, _sql_h60
 from trike_spark.registry import register
@@ -1105,5 +1106,118 @@ def sketch_bitmap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_click") + F.col("n_buy") - F.col("n_both"))
             .cast("bigint")
             .alias("n_either"),
+        )
+    )
+
+
+# --- threshold-pruned exact top-k (TPUT-style certificate) ----------------------
+
+TPUT_P = 32  # logical summary buckets (stand-in for per-executor summaries)
+TPUT_C = 8  # per-bucket capacity kept after truncation
+TPUT_K = 20
+
+_SQL_BIGRAMS = """
+      SELECT unnest(list_transform(
+               list_zip(l[1:len(l)-1], l[2:len(l)]),
+               p -> p[1] || ' ' || p[2])) AS bigram
+      FROM (SELECT string_split(text, ' ') AS l FROM documents)
+"""
+
+
+@register(
+    "sketch_threshold_topk",
+    f"""
+    WITH bg AS ({_SQL_BIGRAMS}),
+    cnt AS (
+      SELECT bigram, COUNT(*) AS cnt,
+             {_sql_h60('bigram')} % {TPUT_P} AS bkt
+      FROM bg GROUP BY bigram),
+    rk AS (
+      SELECT bigram, cnt, bkt,
+             ROW_NUMBER() OVER (PARTITION BY bkt
+                                ORDER BY cnt DESC, bigram) AS rn
+      FROM cnt),
+    thr AS (
+      SELECT CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS thr_max
+      FROM rk WHERE rn > {TPUT_C}),
+    topk AS (
+      SELECT bigram, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rank
+      FROM rk WHERE rn <= {TPUT_C}
+      ORDER BY cnt DESC, bigram LIMIT {TPUT_K}),
+    kth AS (SELECT MIN(cnt) AS kth_cnt FROM topk)
+    SELECT t.rank, t.bigram, t.cnt, thr.thr_max,
+           (kth.kth_cnt > thr.thr_max) AS proven_exact
+    FROM topk t CROSS JOIN thr CROSS JOIN kth
+    """,
+    doc=(
+        f"Threshold-pruned exact top-{TPUT_K} bigrams: {TPUT_P} hash "
+        f"buckets each truncated to their top-{TPUT_C}, merged, plus the "
+        "TPUT-style certificate (kth kept count > max truncated count ⇒ "
+        "the pruned answer is provably the exact top-k)."
+    ),
+)
+def sketch_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k with a self-certifying prune — the
+    threshold-algorithm (Fagin TA / TPUT) shape that makes exact top-k
+    affordable at 100 TB: each of P hash-disjoint summaries keeps only
+    its local top-C, and the merge emits a CERTIFICATE instead of hoping
+    — any dropped key's true count is bounded by its bucket's truncation
+    threshold (keys are hash-partitioned, so per-key counts are exact
+    and truncation drops whole keys), hence if the global k-th kept
+    count strictly exceeds max(threshold) the pruned answer IS the exact
+    top-k. ``proven_exact=false`` is the documented re-run-with-larger-C
+    signal; at this corpus (P={TPUT_P}, C={TPUT_C}) the certificate
+    proves exactness while shipping only P·C of the distinct keys.
+
+    This differs from the CMS face (estimates with one-sided error) and
+    the SpaceSaving lineage (order-dependent counters): hash-disjoint
+    truncated summaries are deterministic, mergeable, and exact for
+    every surviving key — the right tool when the answer must be
+    auditable.
+
+    Scale shape: ONE map-side-combined count keyed on the bigram, one
+    bucket-partitioned window over ≈|vocab|/P rows per bucket, two 1-row
+    broadcast certificates; the merged candidate set is ≤ P·C rows
+    regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    cnt = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bkt", _h60(F.col("bigram")) % TPUT_P)
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("bkt").orderBy(F.col("cnt").desc(), "bigram")
+    rk = cnt.withColumn("rn", F.row_number().over(wb))
+    # cnt feeds both the kept and the truncated legs — materialize once.
+    rk = cache.checkpoint(rk)
+    thr = rk.filter(F.col("rn") > TPUT_C).agg(
+        F.coalesce(F.max("cnt"), F.lit(0)).cast("bigint").alias("thr_max")
+    )
+    wg = Window.orderBy(F.col("cnt").desc(), "bigram")
+    topk = (
+        rk.filter(F.col("rn") <= TPUT_C)
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(TPUT_K)
+        .withColumn("rank", F.row_number().over(wg))
+    )
+    kth = topk.agg(F.min("cnt").alias("kth_cnt"))
+    return (
+        topk.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(kth))
+        .select(
+            "rank",
+            "bigram",
+            "cnt",
+            "thr_max",
+            (F.col("kth_cnt") > F.col("thr_max")).alias("proven_exact"),
         )
     )
