@@ -12,11 +12,14 @@ The sets below are transcribed from the committed correctness reports
 the export order cannot change any query's semantics, and every rotated
 query still carries the same oracle SQL. See docs/QUERY_ORDER.md.
 
-Round-4 state: registry = 253 names (126 round-4 additions); DRIVER_VERIFIED
-= 83 (r2's 50 minus 11 stale entries, union r3's 44). 170 names are fresh —
-120 more than the 50-entry window, so 120 round-4 additions
-(pytest/oracle-green locally, never driver-red) overflow to round 5; every
-WINDOW_PRIORITY name fits (tests/test_queries_smoke.py asserts this).
+Round-5 state: registry = 332 names (the round-4 sessions kept adding after
+the 253-name note; round 5 adds 4 more). No ``CORRECTNESS_r04.json`` was
+ever recorded — the round-4 driver never ran its correctness pass — so
+DRIVER_VERIFIED still reflects r2+r3 only (81 names) and every
+WINDOW_PRIORITY entry remains unproven by a driver; they keep ranking
+first so the next driver window re-proves the names the r3 verdict asked
+for (tests/test_queries_smoke.py asserts they all fit in a 50-entry
+window). 251 names are fresh; coverage accumulates one window per round.
 """
 
 from __future__ import annotations

@@ -2584,3 +2584,220 @@ def sim_ood_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("md2"), 4).alias("md2_min"),
         F.round(F.col("md2_max"), 4).alias("md2_max"),
     )
+
+
+@register(
+    "sim_ivfpq_adc_topk",
+    f"""
+    WITH sub AS (
+      SELECT vec_id, label, g.s,
+             embedding[g.s * {_PQ_D} + 1 : g.s * {_PQ_D} + {_PQ_D}] AS subv
+      FROM embeddings,
+           (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) g),
+    spx AS (SELECT label, s, unnest(subv) AS x,
+                   generate_subscripts(subv, 1) AS i
+            FROM sub),
+    cb AS (SELECT label, s, i,
+                  CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS v
+           FROM spx GROUP BY label, s, i),
+    cbv AS (SELECT label, s, list(v ORDER BY i) AS cvec FROM cb GROUP BY label, s),
+    codes AS (
+      SELECT vec_id, mlabel, s, cvec FROM (
+        SELECT sub.vec_id, sub.label AS mlabel, sub.s, cbv.label, cbv.cvec,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY list_aggregate(list_transform(
+                   list_zip(sub.subv, cbv.cvec),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                   'sum'), cbv.label) AS rn
+        FROM sub JOIN cbv ON cbv.s = sub.s) WHERE rn = 1),
+    ex AS (SELECT label, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    cent AS (SELECT label, i,
+                    CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS v
+             FROM ex GROUP BY label, i),
+    coarse AS (SELECT label, list(v ORDER BY i) AS cvec FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    qc AS (SELECT q_vec_id, label,
+                  ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                     ORDER BY {_SQL_COS_QC} DESC, label) AS rn
+           FROM q CROSS JOIN coarse),
+    best AS (SELECT q_vec_id, label AS probe_label FROM qc WHERE rn = 1),
+    qsub AS (SELECT vec_id AS q_vec_id, s, subv AS q_sub FROM sub
+             WHERE vec_id < {N_QUERIES}),
+    qn AS (SELECT vec_id AS q_vec_id,
+                  SQRT(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS q_norm
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+    parts AS (
+      SELECT qsub.q_vec_id, best.probe_label, c.vec_id AS n_vec_id, qsub.s,
+             list_aggregate(list_transform(list_zip(qsub.q_sub, c.cvec),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dotp,
+             list_aggregate(list_transform(list_zip(c.cvec, c.cvec),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS np
+      FROM qsub
+      JOIN best ON best.q_vec_id = qsub.q_vec_id
+      JOIN codes c ON c.s = qsub.s AND c.mlabel = best.probe_label
+                   AND c.vec_id <> qsub.q_vec_id),
+    folded AS (
+      SELECT q_vec_id, probe_label, n_vec_id,
+             list_aggregate(list(dotp ORDER BY s), 'sum') AS adc_dot,
+             list_aggregate(list(np ORDER BY s), 'sum') AS rnorm2
+      FROM parts GROUP BY q_vec_id, probe_label, n_vec_id),
+    scored AS (
+      SELECT f.q_vec_id, f.probe_label, f.n_vec_id,
+             ROUND(f.adc_dot / (qn.q_norm * SQRT(f.rnorm2)), 6) AS adc_score
+      FROM folded f JOIN qn ON qn.q_vec_id = f.q_vec_id)
+    SELECT q_vec_id, probe_label, n_vec_id, adc_score, rk FROM (
+      SELECT q_vec_id, probe_label, n_vec_id, adc_score,
+             ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                ORDER BY adc_score DESC, n_vec_id) AS rk
+      FROM scored) WHERE rk <= {TOP_K}
+    """,
+    doc=(
+        "IVF+PQ compound ANN (the FAISS IVFADC architecture): coarse-probe "
+        "ONE centroid cell, then ADC-score only that cell's PQ codes — "
+        "candidate count divides by n_cells AND bytes-per-candidate "
+        "divides by dim·4/M, multiplicatively."
+    ),
+)
+def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compound index every production vector store runs: IVF routing
+    and PQ compression compose multiplicatively. The standalone IVF face
+    reads full vectors inside the probed cell; the standalone PQ face
+    ADC-scores every code in the corpus; this face does neither — per
+    query it touches |C|/n_cells candidates × M bytes each, which is the
+    only read budget that survives a 100 TB embedding corpus.
+
+    Determinism is inherited unchanged from the two parents: exact-decimal
+    codebooks/centroids, order-pinned fold for every distance, rounded
+    score, unique tie-breaks. (Production IVFPQ trains PQ on RESIDUALS
+    q − centroid; with per-label codebooks this corpus's residual step is
+    a subtraction away and doesn't change any plan shape.)
+
+    Scale shape: coarse centroids and query subvectors broadcast; code
+    assignment is the same (vec, subspace)-keyed window as the PQ face;
+    the ADC join now carries the cell filter ``mlabel = probe_label`` so
+    the scored row count per query is cell occupancy, not corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = emb.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "label",
+        "s",
+        F.expr(f"slice(embedding, s * {_PQ_D} + 1, {_PQ_D})").alias("subv"),
+    )
+    spx = subs.select("label", "s", F.posexplode("subv").alias("i", "x"))
+    cb = spx.groupBy("label", "s", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    cbv = (
+        cb.groupBy("label", "s")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
+        .select("label", "s", F.transform("iv", lambda e: e["v"]).alias("cvec"))
+    )
+    d2 = _fold_sum(
+        F.zip_with(
+            F.col("subv"),
+            F.col("cvec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("label"))
+    codes = (
+        subs.select("vec_id", F.col("label").alias("mlabel"), "s", "subv")
+        .join(broadcast(cbv), on="s")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "mlabel", "s", "cvec")
+    )
+    # coarse quantizer: full-dim per-label centroids (broadcast dimension)
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "x"))
+    cent = ex.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    coarse = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
+        .select("label", F.transform("iv", lambda e: e["v"]).alias("cvec"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    w_c = Window.partitionBy("q_vec_id").orderBy(
+        cosine(F.col("q_emb"), F.col("cvec")).desc(), F.col("label")
+    )
+    best = (
+        q.crossJoin(broadcast(coarse))
+        .withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") == 1)
+        .select("q_vec_id", F.col("label").alias("probe_label"))
+    )
+    qsub = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), "s", F.col("subv").alias("q_sub")
+    )
+    qn = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    probe = qsub.join(broadcast(best), on="q_vec_id").withColumnRenamed("s", "qs")
+    parts = (
+        codes.join(
+            broadcast(probe),
+            (F.col("s") == F.col("qs"))
+            & (F.col("mlabel") == F.col("probe_label"))
+            & (F.col("vec_id") != F.col("q_vec_id")),
+        )
+        .select(
+            "q_vec_id",
+            "probe_label",
+            F.col("vec_id").alias("n_vec_id"),
+            "s",
+            dot(F.col("q_sub"), F.col("cvec")).alias("dotp"),
+            dot(F.col("cvec"), F.col("cvec")).alias("np"),
+        )
+    )
+    folded = (
+        parts.groupBy("q_vec_id", "probe_label", "n_vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "dotp"))).alias("dps"),
+            F.array_sort(F.collect_list(F.struct("s", "np"))).alias("nps"),
+        )
+        .select(
+            "q_vec_id",
+            "probe_label",
+            "n_vec_id",
+            _fold_sum(F.transform("dps", lambda e: e["dotp"])).alias("adc_dot"),
+            _fold_sum(F.transform("nps", lambda e: e["np"])).alias("rnorm2"),
+        )
+    )
+    scored = folded.join(broadcast(qn), on="q_vec_id").select(
+        "q_vec_id",
+        "probe_label",
+        "n_vec_id",
+        F.round(
+            F.col("adc_dot") / (F.col("q_norm") * F.sqrt(F.col("rnorm2"))), 6
+        ).alias("adc_score"),
+    )
+    w_rank = Window.partitionBy("q_vec_id").orderBy(
+        F.col("adc_score").desc(), F.col("n_vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_vec_id", "probe_label", "n_vec_id", "adc_score", "rk")
+    )
