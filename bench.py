@@ -83,6 +83,10 @@ HEADLINE = [
     "curation_split_cluster_safe",
     "dedup_lsh_band_sweep",
     "graph_knn_components",
+    # round-5 additions
+    "sim_ivfpq_adc_topk",
+    "graph_kcore_peeling",
+    "sketch_threshold_topk",
 ]
 
 

@@ -1897,3 +1897,79 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_df"),
     )
+
+
+# --- empirical-Bayes shrunk rates ------------------------------------------------
+
+EB_STRENGTH = 200  # pseudo-observations added from the global prior
+
+
+@register(
+    "agg_eb_shrunk_rates",
+    f"""
+    WITH per AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS k
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey),
+    g AS (SELECT SUM(k) / SUM(n) AS p0 FROM per)
+    SELECT nationkey,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(k AS BIGINT) AS n_urgent,
+           ROUND(k / n, 6) AS raw_rate,
+           ROUND((k + {EB_STRENGTH} * g.p0) / (n + {EB_STRENGTH}), 6)
+             AS shrunk_rate,
+           ROUND(g.p0, 6) AS global_rate
+    FROM per CROSS JOIN g
+    """,
+    doc=(
+        f"Empirical-Bayes rate shrinkage (Beta prior, strength "
+        f"m={EB_STRENGTH}): per-nation urgent-order share pulled toward "
+        "the global rate in proportion to cell thinness — the low-n-safe "
+        "rate ranking."
+    ),
+)
+def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw per-cell rates rank thin cells by noise: a 10-order nation at
+    4/10 urgent 'beats' a 5 000-order nation at 30 %. The standard fix is
+    a Beta(m·p0, m·(1−p0)) prior — equivalently m pseudo-orders at the
+    global rate mixed into every cell — so shrunk = (k + m·p0)/(n + m):
+    thin cells collapse to the prior, fat cells keep their evidence. This
+    is the rate-ranking companion to the Wilson-bound face (which bounds
+    uncertainty; this one POOLS information across cells).
+
+    Determinism: k and n are exact counts; p0 is one pinned double
+    division of exact sums; the shrunk rate is one pinned expression —
+    no sampling anywhere in the posterior mean.
+
+    Scale shape: one custkey-keyed join (customer dimension broadcastable
+    against orders), ONE map-side-combined |nations|-row aggregation, a
+    1-row global broadcast crossed back — the same one-shuffle cost as a
+    plain rate report."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("k"),
+        )
+    )
+    g = per.agg((F.sum("k") / F.sum("n")).alias("p0"))
+    return per.crossJoin(F.broadcast(g)).select(
+        "nationkey",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("k").cast("bigint").alias("n_urgent"),
+        F.round(F.col("k") / F.col("n"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("k") + EB_STRENGTH * F.col("p0")) / (F.col("n") + EB_STRENGTH), 6
+        ).alias("shrunk_rate"),
+        F.round(F.col("p0"), 6).alias("global_rate"),
+    )

@@ -1771,138 +1771,3 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-# --- banded simhash Hamming pairs (Manku et al. 2007) ---------------------------
-
-SH_PAIR_BITS = 60  # fingerprint width for the PAIR face (16 is too coarse)
-SH_BANDS = 4
-SH_BAND_W = SH_PAIR_BITS // SH_BANDS  # 15
-SH_BAND_MASK = (1 << SH_BAND_W) - 1
-SH_RADIUS = SH_BANDS - 1  # pigeonhole: hamming <= B-1 => >= 1 band equal
-
-
-def _sql_simhash(bits: int) -> str:
-    """doc_id, simhash CTE body at the given fingerprint width."""
-    bit_cases = ", ".join(
-        f"CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
-        f" THEN {1 << b} ELSE 0 END AS bit_{b}"
-        for b in range(bits)
-    )
-    total = " + ".join(f"bit_{b}" for b in range(bits))
-    return f"""
-    tok_sh AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
-      FROM documents),
-    hashed_sh AS (SELECT doc_id, {_sql_h60('t')} AS h FROM tok_sh),
-    bits_sh AS (SELECT doc_id, {bit_cases} FROM hashed_sh GROUP BY doc_id),
-    sh AS (SELECT doc_id, {total} AS simhash FROM bits_sh)
-    """
-
-
-def _simhash_df(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
-    """(doc_id, simhash) at the given width — per-bit majority vote over
-    distinct-token hashes, identical recipe to :func:`dedup_simhash`."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t")
-    )
-    hashed = tok.select("doc_id", _h60(F.col("t")).alias("h"))
-    bit_aggs = [
-        F.when(
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            )
-            > 0,
-            F.lit(1 << b),
-        )
-        .otherwise(0)
-        .alias(f"bit_{b}")
-        for b in range(bits)
-    ]
-    sig = hashed.groupBy("doc_id").agg(*bit_aggs)
-    expr = F.col("bit_0")
-    for b in range(1, bits):
-        expr = expr + F.col(f"bit_{b}")
-    return sig.select("doc_id", expr.alias("simhash"))
-
-
-@register(
-    "dedup_simhash_hamming_pairs",
-    f"""
-    WITH {_sql_simhash(SH_PAIR_BITS)},
-    bands AS (
-      SELECT doc_id, simhash, b,
-             (simhash >> ({SH_BAND_W} * b)) & {SH_BAND_MASK} AS band_v
-      FROM sh, (SELECT unnest(generate_series(0, {SH_BANDS - 1})) AS b)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS sig_a, b.simhash AS sig_b
-      FROM bands a JOIN bands b
-        ON a.b = b.b AND a.band_v = b.band_v AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
-    FROM cand
-    WHERE bit_count(xor(sig_a, sig_b)) <= {SH_RADIUS}
-    """,
-    doc=(
-        f"SimHash near-dup PAIR retrieval (Manku et al. 2007): "
-        f"{SH_PAIR_BITS}-bit fingerprints split into {SH_BANDS}×"
-        f"{SH_BAND_W}-bit bands, exact-match band join, popcount verify — "
-        f"EXACT for Hamming ≤ {SH_RADIUS} by pigeonhole."
-    ),
-)
-def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The retrieval half of simhash dedup — ``dedup_simhash`` emits
-    fingerprints; this face finds the close PAIRS, the part that is
-    expensive at scale. Manku, Jain & Sarma's web-crawl construction
-    (WWW'07): any two fingerprints within Hamming distance r = B−1 must
-    agree EXACTLY on at least one of B contiguous bands (pigeonhole), so
-    an equality join per band retrieves every qualifying pair — no
-    all-pairs scan, no recall loss at the radius — and a popcount on the
-    XOR clears the band-collision false positives.
-
-    Width matters: at 16 bits (the signature face's display width) random
-    token sets collide constantly; at {bits} bits distance-0 pairs are
-    genuine near-duplicates. B and r trade retrieval cost against radius:
-    wider bands → fewer candidates but smaller exact radius.
-
-    Scale shape: fingerprints are one groupBy over token hashes (the
-    shuffle carries 8-byte hashes); the band join keys on
-    (band_idx, band_value) — {SH_BANDS} hash-partitioned equality joins in
-    one, exactly the banded-LSH shape as the MinHash path, with the same
-    hot-bucket hazard (a viral template ⇒ one huge band bucket ⇒ the
-    documented grid-split remedy in ``operators/vector_blocks.py``). The
-    verify step is a 2-column popcount, no re-tokenization.""".replace(
-        "{bits}", str(SH_PAIR_BITS)
-    )
-    sig = cache.checkpoint(_simhash_df(spark, sf_dir, SH_PAIR_BITS))
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(SH_BANDS - 1))).alias("b"),
-    ).withColumn(
-        "band_v",
-        F.expr(f"shiftright(simhash, {SH_BAND_W} * b) & {SH_BAND_MASK}"),
-    )
-    a, bb = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            bb,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_v") == F.col("b.band_v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.filter(ham <= SH_RADIUS).select(
-        "doc_a", "doc_b", ham.cast("int").alias("hamming")
-    )

@@ -3166,3 +3166,137 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vary - reduction, 4).alias("var_cuped"),
         F.round(reduction / vary, 6).alias("variance_reduction"),
     )
+
+
+# --- difference-in-differences ---------------------------------------------------
+
+_DID_DRAW = (
+    "(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 100)"
+)
+
+
+@register(
+    "events_did_estimator",
+    f"""
+    WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+               FROM events),
+    lab AS (
+      SELECT CASE WHEN {_DID_DRAW} < 50 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN epoch_us(ts) < b.mn + (b.mx - b.mn) // 2
+                  THEN 0 ELSE 1 END AS post,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events CROSS JOIN b),
+    cells AS (
+      SELECT variant, post,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(v) AS DOUBLE) AS sx,
+             CAST(SUM(v * v) AS DOUBLE) AS sxx
+      FROM lab GROUP BY variant, post),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant='A' AND post=0 THEN n END) AS n_a0,
+        MAX(CASE WHEN variant='A' AND post=0 THEN sx END) AS sx_a0,
+        MAX(CASE WHEN variant='A' AND post=0 THEN sxx END) AS sxx_a0,
+        MAX(CASE WHEN variant='A' AND post=1 THEN n END) AS n_a1,
+        MAX(CASE WHEN variant='A' AND post=1 THEN sx END) AS sx_a1,
+        MAX(CASE WHEN variant='A' AND post=1 THEN sxx END) AS sxx_a1,
+        MAX(CASE WHEN variant='B' AND post=0 THEN n END) AS n_b0,
+        MAX(CASE WHEN variant='B' AND post=0 THEN sx END) AS sx_b0,
+        MAX(CASE WHEN variant='B' AND post=0 THEN sxx END) AS sxx_b0,
+        MAX(CASE WHEN variant='B' AND post=1 THEN n END) AS n_b1,
+        MAX(CASE WHEN variant='B' AND post=1 THEN sx END) AS sx_b1,
+        MAX(CASE WHEN variant='B' AND post=1 THEN sxx END) AS sxx_b1
+      FROM cells)
+    SELECT ROUND(sx_a0 / n_a0, 6) AS mean_a_pre,
+           ROUND(sx_a1 / n_a1, 6) AS mean_a_post,
+           ROUND(sx_b0 / n_b0, 6) AS mean_b_pre,
+           ROUND(sx_b1 / n_b1, 6) AS mean_b_post,
+           ROUND((sx_b1 / n_b1 - sx_b0 / n_b0)
+                 - (sx_a1 / n_a1 - sx_a0 / n_a0), 6) AS did,
+           ROUND(((sx_b1 / n_b1 - sx_b0 / n_b0)
+                  - (sx_a1 / n_a1 - sx_a0 / n_a0))
+                 / SQRT(((sxx_a0 - (sx_a0 / n_a0) * sx_a0) / (n_a0 - 1.0)) / n_a0
+                      + ((sxx_a1 - (sx_a1 / n_a1) * sx_a1) / (n_a1 - 1.0)) / n_a1
+                      + ((sxx_b0 - (sx_b0 / n_b0) * sx_b0) / (n_b0 - 1.0)) / n_b0
+                      + ((sxx_b1 - (sx_b1 / n_b1) * sx_b1) / (n_b1 - 1.0)) / n_b1),
+                 6) AS z_did
+    FROM wide
+    """,
+    doc=(
+        "Difference-in-differences readout: md5-assigned arms × pre/post "
+        "halves of the event-time range, per-cell exact moment sums, "
+        "DiD point estimate and its z statistic — the causal estimator "
+        "when treatment rollout has a time component."
+    ),
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiD completes the causal toolkit (A/B lift, CUPED, power/MDE,
+    delta-method): when a launch lands at time T, naive post-vs-pre
+    confounds the launch with seasonality, and post-only A-vs-B needs the
+    randomization to be perfect — DiD differences out BOTH (any additive
+    time shock common to the arms cancels). The parallel-trends
+    assumption is the caveat; on this md5 A/A split the estimate ≈ 0 is
+    itself the plumbing check (same argument as the lift face).
+
+    Determinism: the pre/post boundary is the exact integer midpoint of
+    the observed epoch-microsecond range (computed once, both engines use
+    integer division); per-cell Σx/Σx² fold in exact DECIMAL; the
+    estimate and its z are single pinned double expressions over the four
+    cells' exact sums.
+
+    Scale shape: one 1-row min/max scan broadcast into a narrow labeling
+    map, ONE map-side-combined 4-row aggregation, a 1-row pivot — the
+    whole estimator is one pass over the archive regardless of scale."""
+    e = load_table(spark, sf_dir, "events")
+    from trike_spark.queries.dedup import _h60
+
+    b = e.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    draw = _h60(F.col("user_id").cast("string")) % 100
+    lab = e.crossJoin(F.broadcast(b)).select(
+        F.when(draw < 50, "A").otherwise("B").alias("variant"),
+        F.when(
+            F.unix_micros("ts")
+            < F.col("mn") + F.expr("(mx - mn) div 2"),
+            0,
+        )
+        .otherwise(1)
+        .alias("post"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    cells = lab.groupBy("variant", "post").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").cast("double").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("sxx"),
+    )
+    aggs = []
+    for var, post in (("A", 0), ("A", 1), ("B", 0), ("B", 1)):
+        tag = f"{var.lower()}{post}"
+        cond = (F.col("variant") == var) & (F.col("post") == post)
+        aggs += [
+            F.max(F.when(cond, F.col("n"))).alias(f"n_{tag}"),
+            F.max(F.when(cond, F.col("sx"))).alias(f"sx_{tag}"),
+            F.max(F.when(cond, F.col("sxx"))).alias(f"sxx_{tag}"),
+        ]
+    wide = cells.agg(*aggs)
+
+    def mean(tag: str) -> F.Column:
+        return F.col(f"sx_{tag}") / F.col(f"n_{tag}")
+
+    def seterm(tag: str) -> F.Column:
+        n, sx, sxx = (F.col(f"{p}_{tag}") for p in ("n", "sx", "sxx"))
+        return ((sxx - (sx / n) * sx) / (n - 1.0)) / n
+
+    did = (mean("b1") - mean("b0")) - (mean("a1") - mean("a0"))
+    se = F.sqrt(seterm("a0") + seterm("a1") + seterm("b0") + seterm("b1"))
+    return wide.select(
+        F.round(mean("a0"), 6).alias("mean_a_pre"),
+        F.round(mean("a1"), 6).alias("mean_a_post"),
+        F.round(mean("b0"), 6).alias("mean_b_pre"),
+        F.round(mean("b1"), 6).alias("mean_b_post"),
+        F.round(did, 6).alias("did"),
+        F.round(did / se, 6).alias("z_did"),
+    )
