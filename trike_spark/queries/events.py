@@ -3300,3 +3300,110 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(did, 6).alias("did"),
         F.round(did / se, 6).alias("z_did"),
     )
+
+
+# --- Wald SPRT sequential monitor -------------------------------------------------
+
+SPRT_DELTA = 0.02  # H1 effect size: p1 = p0 + delta
+SPRT_LN_19 = 2.9444389791664403  # ln((1-0.05)/0.05), alpha = beta = 0.05
+
+
+@register(
+    "events_sprt_sequential",
+    f"""
+    WITH assigned AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CASE WHEN {_DID_DRAW} < 50 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    p0s AS (
+      SELECT CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS p0
+      FROM assigned WHERE variant = 'A'),
+    daily AS (
+      SELECT day, COUNT(*) AS n_day, SUM(conv) AS k_day
+      FROM assigned WHERE variant = 'B' GROUP BY day),
+    cum AS (
+      SELECT day,
+             CAST(SUM(n_day) OVER w AS BIGINT) AS n_cum,
+             CAST(SUM(k_day) OVER w AS BIGINT) AS k_cum
+      FROM daily WINDOW w AS (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    scored AS (
+      SELECT day, n_cum, k_cum,
+             k_cum * LN((p0 + {SPRT_DELTA}) / p0)
+               + (n_cum - k_cum) * LN((1.0 - p0 - {SPRT_DELTA}) / (1.0 - p0))
+               AS llr
+      FROM cum CROSS JOIN p0s)
+    SELECT day, n_cum, k_cum, ROUND(llr, 6) AS llr,
+           CASE WHEN llr >= {SPRT_LN_19} THEN 'accept_h1'
+                WHEN llr <= -{SPRT_LN_19} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM scored
+    """,
+    doc=(
+        f"Wald SPRT sequential monitor: daily cumulative LLR of the B arm "
+        f"against H0 p=p0 (A's pooled rate) vs H1 p=p0+{SPRT_DELTA}, "
+        "alpha=beta=0.05 boundaries — the peeking-safe early-stopping "
+        "readout."
+    ),
+)
+def events_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequential complement to the fixed-horizon faces (lift, Welch,
+    power/MDE): looking at a dashboard daily and stopping when z crosses
+    1.96 inflates false positives severalfold; Wald's SPRT is the test
+    DESIGNED for continuous peeking — the cumulative log-likelihood ratio
+    walks until it exits [ln(β/(1−α)), ln((1−β)/α)], and the boundaries
+    cap both error rates at any stopping time. On this md5 A/A split the
+    trajectory staying inside the band IS the plumbing check.
+
+    Determinism: daily n/k are exact counts; p0 is one pinned division of
+    exact counts; the two LN terms evaluate once per row on identical
+    doubles (same libm on this host — the ln-parity contract the logprob
+    and geometric-mean faces already pin); boundaries are pinned literals.
+
+    Scale shape: one narrow assignment map, ONE map-side-combined
+    |days|-row daily rollup, a running-sum window over the DAY dimension
+    (the sanctioned small-dimension window), a 1-row p0 broadcast — the
+    monitor costs one pass over the archive however large the corpus,
+    and in production the daily rollup is the only leg that touches new
+    data (it appends through the incremental-aggregate path)."""
+    from trike_spark.queries.dedup import _h60
+
+    e = load_table(spark, sf_dir, "events")
+    draw = _h60(F.col("user_id").cast("string")) % 100
+    assigned = e.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.when(draw < 50, "A").otherwise("B").alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    p0s = assigned.filter(F.col("variant") == "A").agg(
+        (F.sum("conv").cast("double") / F.count(F.lit(1))).alias("p0")
+    )
+    daily = (
+        assigned.filter(F.col("variant") == "B")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_day"), F.sum("conv").alias("k_day"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n_day").over(w).cast("bigint").alias("n_cum"),
+        F.sum("k_day").over(w).cast("bigint").alias("k_cum"),
+    )
+    p0 = F.col("p0")
+    llr = F.col("k_cum") * F.log((p0 + SPRT_DELTA) / p0) + (
+        F.col("n_cum") - F.col("k_cum")
+    ) * F.log((1.0 - p0 - SPRT_DELTA) / (1.0 - p0))
+    scored = cum.crossJoin(F.broadcast(p0s)).select(
+        "day", "n_cum", "k_cum", llr.alias("llr")
+    )
+    return scored.select(
+        "day",
+        "n_cum",
+        "k_cum",
+        F.round("llr", 6).alias("llr"),
+        F.when(F.col("llr") >= SPRT_LN_19, "accept_h1")
+        .when(F.col("llr") <= -SPRT_LN_19, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

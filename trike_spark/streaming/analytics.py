@@ -503,3 +503,61 @@ def streaming_slo_burn(events: DataFrame, budget: float | None = None) -> DataFr
         F.round(rate / b, 4).alias("burn_rate"),
         (rate / b > 1.0).alias("budget_exceeded"),
     )
+
+
+def sprt_daily_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Streaming leg of ``events_sprt_sequential``: the watermarked DAILY
+    (n, k) aggregation for the B arm. Splits exactly like the trending and
+    CDC twins: the engine owns the per-day counting state (|open days|
+    rows, watermark-bounded); the cumulative log-likelihood walk and the
+    stopping decision are not incrementally maintainable inside the engine
+    (a running sum over all closed days is a second stateful operator), so
+    they run in the foreachBatch publish (:func:`sprt_decision_sink`) over
+    the kilobyte-sized daily table. Assignment is the same md5 draw as
+    every experiment face — a user keeps their arm across batches and
+    replays."""
+    draw = _h60(F.col("user_id").cast("string")) % 100
+    return (
+        events.withWatermark("ts", watermark)
+        .filter(draw >= 50)  # B arm
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_day"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("k_day"),
+        )
+    )
+
+
+def sprt_decision_sink(target_path: str, p0: float, delta: float, ln_bound: float):
+    """foreachBatch half of the SPRT twin: fold the refreshed daily table
+    into the cumulative LLR trajectory and OVERWRITE the decision table —
+    same recompute-the-readout publish as the trending sink, idempotent by
+    construction. p0 is the frozen H0 rate (from the A arm's history or a
+    config), matching the batch face's pooled-A p0."""
+    from pyspark.sql import Window
+
+    def apply(bdf: DataFrame, batch_id: int) -> None:
+        w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        llr = F.col("k_cum") * F.log(F.lit((p0 + delta) / p0)) + (
+            F.col("n_cum") - F.col("k_cum")
+        ) * F.log(F.lit((1.0 - p0 - delta) / (1.0 - p0)))
+        (
+            bdf.select(
+                "day",
+                F.sum("n_day").over(w).cast("bigint").alias("n_cum"),
+                F.sum("k_day").over(w).cast("bigint").alias("k_cum"),
+            )
+            .withColumn("llr", F.round(llr, 6))
+            .withColumn(
+                "decision",
+                F.when(F.col("llr") >= ln_bound, "accept_h1")
+                .when(F.col("llr") <= -ln_bound, "accept_h0")
+                .otherwise("continue"),
+            )
+            .write.mode("overwrite")
+            .parquet(target_path)
+        )
+
+    return apply
