@@ -808,3 +808,114 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return scored.orderBy(F.desc("jaccard"), "supp_a", "supp_b").limit(CN_TOP_K)
+
+
+# --- sampled harmonic centrality --------------------------------------------------
+
+HC_SEEDS = ("c1", "c2", "c3")
+HC_HOPS = 3
+HC_TOP = 20
+_HC_LCM = 6  # lcm(1..HC_HOPS): 6/dist is an exact integer for dist <= 3
+
+
+def _sql_hc_round(prev_d: str, prev_u: str, k: int) -> str:
+    return f"""
+    f{k} AS (SELECT DISTINCT d.seed, e.dst AS node
+             FROM edges e JOIN d{k - 1} d ON e.src = d.node),
+    d{k} AS (SELECT f{k}.seed, f{k}.node, {k} AS dist FROM f{k}
+             WHERE NOT EXISTS (SELECT 1 FROM {prev_u} u
+                               WHERE u.seed = f{k}.seed
+                                 AND u.node = f{k}.node)),
+    u{k} AS (SELECT seed, node, dist FROM {prev_u}
+             UNION ALL SELECT seed, node, dist FROM d{k})
+    """
+
+
+@register(
+    "graph_harmonic_centrality_sampled",
+    f"""
+    WITH {_sql_edges()},
+    d0 AS (SELECT seed, seed AS node, 0 AS dist
+           FROM (SELECT unnest({list(HC_SEEDS)!r}) AS seed)),
+    u0 AS (SELECT seed, node, dist FROM d0),
+    {','.join(_sql_hc_round(f'd{k - 1}', f'u{k - 1}', k) for k in range(1, HC_HOPS + 1))}
+    SELECT node,
+           CAST(SUM({_HC_LCM} // dist) AS BIGINT) AS harmonic_x{_HC_LCM},
+           CAST(COUNT(*) AS BIGINT) AS n_seeds_reaching
+    FROM u{HC_HOPS}
+    WHERE dist > 0
+    GROUP BY node
+    ORDER BY harmonic_x{_HC_LCM} DESC, node
+    LIMIT {HC_TOP}
+    """,
+    doc=(
+        f"Sampled harmonic centrality: bounded multi-source BFS from "
+        f"{len(HC_SEEDS)} seeds, score = Σ 1/dist in exact LCM-{_HC_LCM} "
+        "fixed point, top-{top} nodes — the Common-Crawl-style "
+        "crawl-prioritization rank, estimated from pivots.".replace(
+            "{top}", str(HC_TOP)
+        )
+    ),
+)
+def graph_harmonic_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality Σ_u 1/d(u, v) is THE web-graph quality rank
+    (Common Crawl publishes it for every host), but the exact version is
+    all-pairs shortest paths — at any real scale it is ESTIMATED from a
+    seed sample (Eppstein–Wang style pivoting), which is precisely this
+    face: a bounded multi-source BFS from S fixed seeds, each node scored
+    by the seeds that reach it. More seeds tighten the estimate linearly
+    in cost — the sample size is the accuracy dial.
+
+    Determinism: contributions 1/dist fold as exact integers (LCM·6/dist
+    for dist ≤ 3), so the BIGINT score is partition-order-free; top-k
+    carries the node-id tie-break.
+
+    Scale shape: the frontier loop is the audited BFS skeleton with a
+    seed column — per round ONE edges⋈frontier join keyed on node, one
+    (seed, node) distinct, one anti-join against the visited set; state
+    is O(S·V) (seed, node, dist) rows, never O(E); rounds are bounded and
+    checkpointed (constant plan depth). The final score is one keyed
+    aggregation + TakeOrdered."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = cache.checkpoint(
+        e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
+            e0.select(snode.alias("src"), cnode.alias("dst"))
+        )
+    )
+    visited = spark.createDataFrame(
+        [(s, s, 0) for s in HC_SEEDS], "seed string, node string, dist int"
+    )
+    frontier = visited.select("seed", "node")
+    for k in range(1, HC_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = cache.checkpoint(
+            nxt.join(visited, ["seed", "node"], "left_anti").select(
+                "seed", "node", F.lit(k).cast("int").alias("dist")
+            )
+        )
+        visited = cache.checkpoint(visited.unionByName(new))
+        frontier = new.select("seed", "node")
+    return (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum(F.expr(f"{_HC_LCM} div dist")).cast("bigint").alias(
+                f"harmonic_x{_HC_LCM}"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_seeds_reaching"),
+        )
+        .orderBy(F.col(f"harmonic_x{_HC_LCM}").desc(), "node")
+        .limit(HC_TOP)
+    )

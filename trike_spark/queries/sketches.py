@@ -1221,3 +1221,195 @@ def sketch_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("kth_cnt") > F.col("thr_max")).alias("proven_exact"),
         )
     )
+
+
+# --- KMV (K-minimum-values) sketch set algebra ----------------------------------
+
+KMV_K = 32
+KMV_THR = 150  # same partial-overlap sides as the HLL intersection face
+_KMV_SCALE = float(1 << 60)  # h60 range; theta = h / 2^60
+
+
+@register(
+    "sketch_kmv_setops",
+    f"""
+    WITH src AS (
+      SELECT 'a' AS side, user_id FROM events
+      WHERE event_type = 'click' AND value > {KMV_THR}
+      UNION ALL
+      SELECT 'b', user_id FROM events
+      WHERE event_type = 'purchase' AND value > {KMV_THR}),
+    h AS (SELECT DISTINCT side, {_sql_h60('CAST(user_id AS VARCHAR)')} AS h
+          FROM src),
+    rk AS (SELECT side, h,
+                  ROW_NUMBER() OVER (PARTITION BY side ORDER BY h) AS rn
+           FROM h),
+    sk AS (SELECT side, h FROM rk WHERE rn <= {KMV_K}),
+    stats AS (
+      SELECT side, COUNT(*) AS n_sk, MAX(h) AS kth
+      FROM sk GROUP BY side),
+    est AS (
+      SELECT side,
+             CASE WHEN n_sk < {KMV_K} THEN CAST(n_sk AS DOUBLE)
+                  ELSE ({KMV_K} - 1.0) * {_KMV_SCALE} / kth END AS d_est
+      FROM stats),
+    uh AS (SELECT DISTINCT h FROM sk),
+    urk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM uh),
+    usk AS (SELECT h FROM urk WHERE rn <= {KMV_K}),
+    ustats AS (SELECT COUNT(*) AS n_u, MAX(h) AS kth FROM usk),
+    uest AS (
+      SELECT CASE WHEN n_u < {KMV_K} THEN CAST(n_u AS DOUBLE)
+                  ELSE ({KMV_K} - 1.0) * {_KMV_SCALE} / kth END AS u_est,
+             n_u
+      FROM ustats),
+    member AS (
+      SELECT usk.h,
+             CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END
+               AS in_both
+      FROM usk
+      LEFT JOIN (SELECT h FROM sk WHERE side = 'a') a ON a.h = usk.h
+      LEFT JOIN (SELECT h FROM sk WHERE side = 'b') b ON b.h = usk.h),
+    rho AS (SELECT CAST(SUM(in_both) AS DOUBLE) / COUNT(*) AS jac,
+                   COUNT(*) AS k_eff
+            FROM member),
+    wide AS (
+      SELECT MAX(CASE WHEN side = 'a' THEN d_est END) AS est_a,
+             MAX(CASE WHEN side = 'b' THEN d_est END) AS est_b
+      FROM est),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN side = 'a' THEN user_id END)
+                  AS BIGINT) AS exact_a,
+             CAST(COUNT(DISTINCT CASE WHEN side = 'b' THEN user_id END)
+                  AS BIGINT) AS exact_b,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union
+      FROM src)
+    SELECT {KMV_K} AS k,
+           ROUND(wide.est_a, 2) AS est_a, exact.exact_a,
+           ROUND(wide.est_b, 2) AS est_b, exact.exact_b,
+           ROUND(uest.u_est, 2) AS est_union, exact.exact_union,
+           ROUND(rho.jac, 6) AS jaccard_est,
+           ROUND(rho.jac * uest.u_est, 2) AS est_intersection,
+           CAST(exact.exact_a + exact.exact_b - exact.exact_union AS BIGINT)
+             AS exact_intersection
+    FROM wide CROSS JOIN uest CROSS JOIN rho CROSS JOIN exact
+    """,
+    doc=(
+        f"KMV (K-minimum-values, K={KMV_K}) distinct sketches with set "
+        "algebra: per-side kth-minimum-hash estimates, union sketch = K "
+        "smallest of the merged sketches, intersection via the sketch "
+        "Jaccard — order-statistics machinery, the mergeable complement "
+        "to HLL's register maxima, and the one that prices DIFFERENCES."
+    ),
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second family of mergeable distinct sketches (Bar-Yossef et
+    al. 2002; Beyer et al.'s unbiased (K−1)/θ_K estimator): keep the K
+    smallest hash values; the kth one estimates density. Where HLL folds
+    everything into register maxima (great unions, inclusion–exclusion
+    intersections that go negative under error), KMV sketches COMPOSE as
+    sets: the union sketch is literally the K smallest of the merged
+    sketches, and the fraction of union-sketch members present in both
+    side sketches is an unbiased Jaccard estimate — so intersection and
+    difference prices fall out with controlled error (±1/√K relative).
+    Sub-K sides degrade to exact counts by construction (the sketch IS
+    the set), which the sf0.001 smoke exercises.
+
+    Determinism: kth-smallest of md5-derived 60-bit integers — order
+    statistics of exact integers, identical in both engines; estimates
+    are single pinned double expressions; exact control legs computed
+    alongside (the face's honesty pattern).
+
+    Scale shape: per-side sketches are a (side)-keyed top-K — per-
+    partition heads then a K-row merge, never a global sort of the
+    corpus; everything downstream of the first distinct-hash pass is
+    K-row arithmetic. At 100 TB the sketches are kilobytes and union/
+    intersect/difference over ANY pair of precomputed side sketches costs
+    nothing — the segment-audience algebra pattern."""
+    e = load_table(spark, sf_dir, "events")
+    src = e.filter(
+        (F.col("event_type") == "click") & (F.col("value") > KMV_THR)
+    ).select(F.lit("a").alias("side"), "user_id").unionAll(
+        e.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > KMV_THR)
+        ).select(F.lit("b").alias("side"), "user_id")
+    )
+    src = cache.checkpoint(src)
+    h = src.select(
+        "side", _h60(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    from pyspark.sql import Window
+
+    rk = h.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("side").orderBy("h"))
+    )
+    sk = cache.checkpoint(rk.filter(F.col("rn") <= KMV_K).select("side", "h"))
+    stats = sk.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
+    )
+    est = stats.select(
+        "side",
+        F.when(F.col("n_sk") < KMV_K, F.col("n_sk").cast("double"))
+        .otherwise((KMV_K - 1.0) * F.lit(_KMV_SCALE) / F.col("kth"))
+        .alias("d_est"),
+    )
+    uh = sk.select("h").distinct()
+    usk = (
+        uh.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= KMV_K)
+        .select("h")
+    )
+    usk = cache.checkpoint(usk)
+    ustats = usk.agg(F.count(F.lit(1)).alias("n_u"), F.max("h").alias("kth"))
+    uest = ustats.select(
+        F.when(F.col("n_u") < KMV_K, F.col("n_u").cast("double"))
+        .otherwise((KMV_K - 1.0) * F.lit(_KMV_SCALE) / F.col("kth"))
+        .alias("u_est")
+    )
+    ha = sk.filter(F.col("side") == "a").select(F.col("h").alias("h_a"))
+    hb = sk.filter(F.col("side") == "b").select(F.col("h").alias("h_b"))
+    member = (
+        usk.join(F.broadcast(ha), usk.h == F.col("h_a"), "left")
+        .join(F.broadcast(hb), usk.h == F.col("h_b"), "left")
+        .select(
+            F.when(
+                F.col("h_a").isNotNull() & F.col("h_b").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("in_both")
+        )
+    )
+    rho = member.agg(
+        (F.sum("in_both").cast("double") / F.count(F.lit(1))).alias("jac")
+    )
+    wide = est.agg(
+        F.max(F.when(F.col("side") == "a", F.col("d_est"))).alias("est_a"),
+        F.max(F.when(F.col("side") == "b", F.col("d_est"))).alias("est_b"),
+    )
+    exact = src.agg(
+        F.count_distinct(
+            F.when(F.col("side") == "a", F.col("user_id"))
+        ).cast("bigint").alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("side") == "b", F.col("user_id"))
+        ).cast("bigint").alias("exact_b"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_union"),
+    )
+    return (
+        wide.crossJoin(F.broadcast(uest))
+        .crossJoin(F.broadcast(rho))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(KMV_K).alias("k"),
+            F.round("est_a", 2).alias("est_a"),
+            "exact_a",
+            F.round("est_b", 2).alias("est_b"),
+            "exact_b",
+            F.round("u_est", 2).alias("est_union"),
+            "exact_union",
+            F.round("jac", 6).alias("jaccard_est"),
+            F.round(F.col("jac") * F.col("u_est"), 2).alias("est_intersection"),
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            .cast("bigint")
+            .alias("exact_intersection"),
+        )
+    )
