@@ -1625,3 +1625,256 @@ def curation_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi"
         ),
     )
+
+
+# --- IPF raking (reweight to target marginals) ------------------------------------
+
+IPF_ROUNDS = 2
+
+
+def _sql_ipf_step(prev: str, out: str, margin: str, denom: str) -> str:
+    """One IPF proportional-fitting step on the {margin} marginal."""
+    return f"""
+    {out} AS (
+      SELECT lang, source, n, nl, ns,
+             CAST(ROUND(
+               CAST(w AS DOUBLE)
+               * (CAST(SUM(n * w) OVER () AS DOUBLE)
+                  / ({denom} * CAST(SUM(n * w) OVER (PARTITION BY {margin})
+                               AS DOUBLE))),
+               12) AS DECIMAL(18,12)) AS w
+      FROM {prev})
+    """
+
+
+def _ipf_sql_chain() -> str:
+    steps = []
+    prev = "w0"
+    for r in range(IPF_ROUNDS):
+        steps.append(_sql_ipf_step(prev, f"l{r}", "lang", "nl"))
+        steps.append(_sql_ipf_step(f"l{r}", f"s{r}", "source", "ns"))
+        prev = f"s{r}"
+    return ",".join(steps)
+
+
+@register(
+    "curation_raking_ipf",
+    f"""
+    WITH cell AS (
+      SELECT lang, source, CAST(COUNT(*) AS DECIMAL(10,0)) AS n
+      FROM documents GROUP BY lang, source),
+    t AS (SELECT CAST(COUNT(DISTINCT lang) AS DOUBLE) AS nl,
+                 CAST(COUNT(DISTINCT source) AS DOUBLE) AS ns
+          FROM documents),
+    w0 AS (SELECT lang, source, n, nl, ns,
+                  CAST(1 AS DECIMAL(18,12)) AS w
+           FROM cell CROSS JOIN t),
+    {_ipf_sql_chain()}
+    SELECT lang, source, CAST(n AS BIGINT) AS n_docs,
+           ROUND(CAST(w AS DOUBLE), 8) AS weight,
+           ROUND(CAST(SUM(n * w) OVER (PARTITION BY lang) AS DOUBLE)
+                 / CAST(SUM(n * w) OVER () AS DOUBLE), 6) AS lang_share,
+           ROUND(CAST(SUM(n * w) OVER (PARTITION BY source) AS DOUBLE)
+                 / CAST(SUM(n * w) OVER () AS DOUBLE), 6) AS source_share
+    FROM s{IPF_ROUNDS - 1}
+    """,
+    doc=(
+        f"IPF raking ({IPF_ROUNDS} rounds): per-(lang, source) sampling "
+        "weights fitted so BOTH marginals match uniform targets — the "
+        "survey-statistics reweighting that turns an as-crawled mix into "
+        "a target mix without dropping data."
+    ),
+)
+def curation_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (Deming–Stephan raking): alternately
+    scale cell weights so the language marginal, then the source
+    marginal, matches its target; converges geometrically to the
+    max-entropy reweighting consistent with both. The curation reading:
+    the mixture-reweight face fixes ONE dimension, but a real corpus has
+    a lang × source grid whose both margins drift — raking fits them
+    JOINTLY from cell counts alone, emitting per-cell sampling weights
+    the temperature/quota samplers consume directly.
+
+    Determinism: cell counts are exact; each step's weights quantize to
+    DECIMAL(18,12) before the next step's marginal sums, so every
+    window SUM folds exact decimals (order-free) and every division is
+    one pinned double expression — the iterative fit hash-matches the
+    unrolled oracle.
+
+    Scale shape: after ONE map-side-combined groupBy over the corpus,
+    everything operates on the |langs|·|sources| cell table (~10² rows)
+    — windows, steps, and the final report are dimension-sized; rounds
+    add plan depth on kilobytes, never another corpus pass."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n")
+    )
+    t = d.agg(
+        F.count_distinct("lang").cast("double").alias("nl"),
+        F.count_distinct("source").cast("double").alias("ns"),
+    )
+    cur = cell.crossJoin(F.broadcast(t)).withColumn(
+        "w", F.lit(1).cast("decimal(18,12)")
+    )
+    w_all = Window.partitionBy()
+    for margin, denom in [("lang", "nl"), ("source", "ns")] * IPF_ROUNDS:
+        w_m = Window.partitionBy(margin)
+        ratio = F.sum(F.col("n") * F.col("w")).over(w_all).cast("double") / (
+            F.col(denom)
+            * F.sum(F.col("n") * F.col("w")).over(w_m).cast("double")
+        )
+        cur = cur.withColumn(
+            "w",
+            F.round(F.col("w").cast("double") * ratio, 12).cast(
+                "decimal(18,12)"
+            ),
+        )
+    return cur.select(
+        "lang",
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("w").cast("double"), 8).alias("weight"),
+        F.round(
+            F.sum(F.col("n") * F.col("w")).over(Window.partitionBy("lang")).cast("double")
+            / F.sum(F.col("n") * F.col("w")).over(w_all).cast("double"),
+            6,
+        ).alias("lang_share"),
+        F.round(
+            F.sum(F.col("n") * F.col("w")).over(Window.partitionBy("source")).cast("double")
+            / F.sum(F.col("n") * F.col("w")).over(w_all).cast("double"),
+            6,
+        ).alias("source_share"),
+    )
+
+
+# --- URL canonicalization dedup ----------------------------------------------------
+
+URL_N = 50  # customers emitting variant pairs
+
+
+@register(
+    "curation_url_canonical_dedup",
+    f"""
+    WITH raw AS (
+      SELECT c_custkey,
+             'https://' || UPPER(substr(c_mktsegment, 1, 1))
+               || LOWER(substr(c_mktsegment, 2)) || '.Example.COM/customer/'
+               || CAST(c_custkey AS VARCHAR) || '?b=2&a=1#frag' AS url
+      FROM customer WHERE c_custkey <= {URL_N}
+      UNION ALL
+      SELECT c_custkey,
+             'https://' || LOWER(c_mktsegment) || '.example.com/customer/'
+               || CAST(c_custkey AS VARCHAR)
+               || '/?a=1&utm_source=mail&b=2' AS url
+      FROM customer WHERE c_custkey <= {URL_N}),
+    parts AS (
+      SELECT c_custkey, url,
+             LOWER(REGEXP_EXTRACT(url, '^([a-z]+)://', 1)) AS proto,
+             LOWER(REGEXP_EXTRACT(url, '://([^:/?#]+)', 1)) AS host,
+             REGEXP_REPLACE(REGEXP_EXTRACT(url, '://[^/?#]+(/[^?#]*)', 1),
+                            '/$', '') AS path,
+             REGEXP_EXTRACT(url, '\\?([^#]*)', 1) AS query
+      FROM raw),
+    canon AS (
+      SELECT c_custkey, url,
+             proto || '://' || host || path ||
+             CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+      FROM (
+        SELECT c_custkey, url, proto, host, path,
+               array_to_string(
+                 list_sort(list_filter(string_split(query, '&'),
+                                       p -> p NOT LIKE 'utm_%')),
+                 '&') AS cq
+        FROM parts))
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(url) AS sample_variant
+    FROM canon
+    GROUP BY canonical_url
+    """,
+    doc=(
+        "URL canonicalization dedup: lowercase host, strip fragment and "
+        "trailing slash, drop utm_* tracking params, sort the query "
+        "string — variant spellings of one logical URL collapse to one "
+        "canonical key (the crawl-frontier dedup step)."
+    ),
+)
+def curation_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A crawl sees the same logical page under many spellings — case in
+    the host, tracking params, param order, trailing slashes, fragments —
+    and fetching each spelling wastes the crawl budget and double-counts
+    the page in dedup stats. Canonicalization is the cheap fix: normalize
+    BEFORE hashing/frontier-keying so the exact-dedup and per-domain
+    quota faces key on the logical page. The rules here (lowercase
+    scheme+host, strip fragment, strip trailing slash, drop utm_*, sort
+    remaining params) are the standard safe subset — aggressive rules
+    (dropping ALL params, resolving redirects) trade correctness for
+    recall and stay out.
+
+    Determinism: pure string/array expressions (split → filter → sort →
+    join) in both engines; variants are synthesized deterministically
+    from customer rows (two spellings per logical URL) so the collapse
+    2→1 is hash-verified.
+
+    Scale shape: canonicalization is a narrow scan-fused projection — at
+    crawl scale it runs at read speed; the collapse is ONE groupBy on the
+    canonical key, same cost as exact dedup."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= URL_N)
+    seg_title = F.concat(
+        F.upper(F.substring("c_mktsegment", 1, 1)),
+        F.lower(F.expr("substr(c_mktsegment, 2)")),
+    )
+    v1 = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("https://"),
+            seg_title,
+            F.lit(".Example.COM/customer/"),
+            F.col("c_custkey").cast("string"),
+            F.lit("?b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("https://"),
+            F.lower("c_mktsegment"),
+            F.lit(".example.com/customer/"),
+            F.col("c_custkey").cast("string"),
+            F.lit("/?a=1&utm_source=mail&b=2"),
+        ).alias("url"),
+    )
+    raw = v1.unionAll(v2)
+    parts = raw.select(
+        "c_custkey",
+        "url",
+        F.lower(F.regexp_extract("url", r"^([a-z]+)://", 1)).alias("proto"),
+        F.lower(F.regexp_extract("url", r"://([^:/?#]+)", 1)).alias("host"),
+        F.regexp_replace(
+            F.regexp_extract("url", r"://[^/?#]+(/[^?#]*)", 1), r"/$", ""
+        ).alias("path"),
+        F.regexp_extract("url", r"\?([^#]*)", 1).alias("query"),
+    )
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("query", "&"),
+                lambda p: ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = parts.select(
+        "url",
+        F.concat(
+            F.col("proto"),
+            F.lit("://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(cq == "", "").otherwise(F.concat(F.lit("?"), cq)),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        F.min("url").alias("sample_variant"),
+    )
