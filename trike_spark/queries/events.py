@@ -3407,3 +3407,136 @@ def events_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+# --- off-policy evaluation (IPS / SNIPS) --------------------------------------------
+
+IPS_ALPHA = 10  # Laplace smoothing of the logged (behavior) propensities
+IPS_BOOST = 0.5  # target policy: P(purchase) = 0.5, rest uniform
+
+
+@register(
+    "events_offpolicy_ips",
+    f"""
+    WITH acts AS (
+      SELECT event_type AS a, COUNT(*) AS n_a,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sum_r
+      FROM events GROUP BY event_type),
+    tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS n,
+                   COUNT(*) AS n_actions,
+                   SUM(sum_r) AS sum_r_all
+            FROM acts),
+    w AS (
+      SELECT a, n_a, sum_r, tot.n, tot.n_actions,
+             (CASE WHEN a = 'purchase' THEN {IPS_BOOST}
+                   ELSE {IPS_BOOST} / (tot.n_actions - 1.0) END)
+             / ((n_a + {IPS_ALPHA}.0)
+                / (tot.n + {IPS_ALPHA}.0 * tot.n_actions)) AS w_a
+      FROM acts CROSS JOIN tot),
+    folded AS (
+      SELECT MAX(n) AS n, MAX(n_actions) AS n_actions,
+             SUM(CAST(ROUND(w_a * CAST(sum_r AS DOUBLE), 6)
+                      AS DECIMAL(28,6))) AS ips_num,
+             SUM(CAST(ROUND(w_a * n_a, 6) AS DECIMAL(28,6))) AS sum_w,
+             SUM(CAST(ROUND(w_a * w_a * n_a, 6) AS DECIMAL(28,6))) AS sum_w2,
+             MAX(w_a) AS max_w
+      FROM w)
+    SELECT CAST(f.n AS BIGINT) AS n_events,
+           CAST(f.n_actions AS BIGINT) AS n_actions,
+           ROUND(CAST(t.sum_r_all AS DOUBLE) / f.n, 6) AS v_logged,
+           ROUND(CAST(f.ips_num AS DOUBLE) / f.n, 6) AS v_ips,
+           ROUND(CAST(f.ips_num AS DOUBLE) / CAST(f.sum_w AS DOUBLE), 6)
+             AS v_snips,
+           ROUND(CAST(f.sum_w AS DOUBLE) * CAST(f.sum_w AS DOUBLE)
+                 / CAST(f.sum_w2 AS DOUBLE), 2) AS ess,
+           ROUND(f.max_w, 6) AS max_weight
+    FROM folded f CROSS JOIN tot t
+    """,
+    doc=(
+        "Off-policy evaluation: IPS and self-normalized (SNIPS) value "
+        "estimates of a purchase-boosting target policy from logged "
+        "events, with effective-sample-size and max-weight diagnostics — "
+        "the counterfactual 'what would the new policy earn' readout."
+    ),
+)
+def events_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual evaluation without an experiment: importance-weight
+    the logged rewards by π_target/π_behavior (Horvitz–Thompson / IPS);
+    SNIPS divides by the realized weight mass instead of N, trading a
+    little bias for much less variance when weights are lumpy. The two
+    diagnostics every off-policy readout must ship: effective sample
+    size (Σw)²/Σw² — how many 'real' samples the reweighting left — and
+    the max weight, the single number that says one rare action
+    dominates the estimate. Behavior propensities are Laplace-smoothed
+    empirical shares (α={a}), the standard recovery when the logger
+    didn't record them.
+
+    Determinism: per-action n/Σr are exact; weights are pinned doubles
+    from exact counts; the |actions|-row folds quantize each term to
+    DECIMAL(28,6) before summing (order-free), and every output is one
+    pinned expression.
+
+    Scale shape: ONE map-side-combined |actions|-row aggregation over
+    the archive, then arithmetic on ≤|actions| rows — the entire
+    counterfactual readout costs one pass, which is why IPS variants
+    (not replayed simulations) are the 100 TB off-policy tool.""".replace(
+        "{a}", str(IPS_ALPHA)
+    )
+    e = load_table(spark, sf_dir, "events")
+    acts = e.groupBy(F.col("event_type").alias("a")).agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_r"),
+    )
+    tot = acts.agg(
+        F.sum("n_a").cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("n_actions"),
+        F.sum("sum_r").alias("sum_r_all"),
+    )
+    w = acts.crossJoin(F.broadcast(tot)).withColumn(
+        "w_a",
+        (
+            F.when(F.col("a") == "purchase", F.lit(IPS_BOOST)).otherwise(
+                F.lit(IPS_BOOST) / (F.col("n_actions") - 1.0)
+            )
+        )
+        / (
+            (F.col("n_a") + float(IPS_ALPHA))
+            / (F.col("n") + float(IPS_ALPHA) * F.col("n_actions"))
+        ),
+    )
+    folded = w.agg(
+        F.max("n").alias("n"),
+        F.max("n_actions").alias("n_actions"),
+        F.sum(
+            F.round(F.col("w_a") * F.col("sum_r").cast("double"), 6).cast(
+                "decimal(28,6)"
+            )
+        ).alias("ips_num"),
+        F.sum(
+            F.round(F.col("w_a") * F.col("n_a"), 6).cast("decimal(28,6)")
+        ).alias("sum_w"),
+        F.sum(
+            F.round(F.col("w_a") * F.col("w_a") * F.col("n_a"), 6).cast(
+                "decimal(28,6)"
+            )
+        ).alias("sum_w2"),
+        F.max("w_a").alias("max_w"),
+    )
+    return folded.crossJoin(F.broadcast(tot.select("sum_r_all"))).select(
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_actions").cast("bigint").alias("n_actions"),
+        F.round(F.col("sum_r_all").cast("double") / F.col("n"), 6).alias(
+            "v_logged"
+        ),
+        F.round(F.col("ips_num").cast("double") / F.col("n"), 6).alias("v_ips"),
+        F.round(
+            F.col("ips_num").cast("double") / F.col("sum_w").cast("double"), 6
+        ).alias("v_snips"),
+        F.round(
+            F.col("sum_w").cast("double")
+            * F.col("sum_w").cast("double")
+            / F.col("sum_w2").cast("double"),
+            2,
+        ).alias("ess"),
+        F.round(F.col("max_w"), 6).alias("max_weight"),
+    )

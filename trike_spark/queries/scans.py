@@ -858,3 +858,112 @@ def scan_bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# --- sampled ANALYZE (CBO statistics from a TABLESAMPLE) ----------------------------
+
+ANALYZE_PCT = 10  # deterministic md5 sample rate
+
+
+@register(
+    "scan_analyze_sampled",
+    f"""
+    WITH keyed AS (
+      SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                                      || CAST(l_linenumber AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS draw
+      FROM lineitem),
+    samp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_s,
+             SUM(price) AS sum_price_s,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_s
+      FROM keyed WHERE draw < {ANALYZE_PCT}),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_x,
+             SUM(price) AS sum_price_x,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_x
+      FROM keyed)
+    SELECT ex.n_x AS rows_exact,
+           CAST(samp.n_s * (100 // {ANALYZE_PCT}) AS BIGINT) AS rows_est,
+           ROUND(ABS(CAST(samp.n_s * (100 // {ANALYZE_PCT}) AS DOUBLE)
+                     - ex.n_x) / ex.n_x, 6) AS rows_rel_err,
+           ROUND(CAST(ex.sum_price_x AS DOUBLE) / ex.n_x, 4)
+             AS price_mean_exact,
+           ROUND(CAST(samp.sum_price_s AS DOUBLE) / samp.n_s, 4)
+             AS price_mean_sampled,
+           ex.ndv_x AS ndv_partkey_exact,
+           samp.ndv_s AS ndv_partkey_in_sample
+    FROM samp CROSS JOIN ex
+    """,
+    doc=(
+        f"ANALYZE from a deterministic {ANALYZE_PCT} % md5 TABLESAMPLE: "
+        "sampled row count / mean scale up with measured relative error; "
+        "the in-sample NDV is reported raw beside the exact NDV — the "
+        "statistic that does NOT scale linearly (why engines sketch it)."
+    ),
+)
+def scan_analyze_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CBO-statistics pattern: planners don't scan 100 TB to cost a
+    join — they ANALYZE a sample. Counts and means scale by 1/p with
+    √(1/np) relative error (measured here beside the exact control);
+    distinct counts famously do NOT (every estimator that multiplies
+    in-sample NDV by 1/p is catastrophically wrong on skewed columns —
+    Charikar et al.'s lower bound), which this face makes visible by
+    reporting the raw in-sample NDV next to the exact one; the engine's
+    production answer for NDV is the HLL/KMV sketch family, built in one
+    full pass instead.
+
+    Determinism: the sample is an md5 draw on the row key — the same
+    deterministic TABLESAMPLE mechanism as every sampling face, so both
+    engines pick the identical subset; sums fold in exact DECIMAL.
+
+    Scale shape: one narrow draw predicate fused into the scan feeds the
+    sampled leg (a real deployment persists the sample once and runs all
+    column stats on it); both legs are map-side-combined scalar
+    aggregations; 1-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from trike_spark.queries.dedup import _h60
+
+    keyed = li.select(
+        "l_partkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        (
+            _h60(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("_"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 100
+        ).alias("draw"),
+    )
+    samp = keyed.filter(F.col("draw") < ANALYZE_PCT).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("price").alias("sum_price_s"),
+        F.count_distinct("l_partkey").cast("bigint").alias("ndv_s"),
+    )
+    ex = keyed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_x"),
+        F.sum("price").alias("sum_price_x"),
+        F.count_distinct("l_partkey").cast("bigint").alias("ndv_x"),
+    )
+    scale = 100 // ANALYZE_PCT
+    return samp.crossJoin(F.broadcast(ex)).select(
+        F.col("n_x").alias("rows_exact"),
+        (F.col("n_s") * scale).cast("bigint").alias("rows_est"),
+        F.round(
+            F.abs((F.col("n_s") * scale).cast("double") - F.col("n_x"))
+            / F.col("n_x"),
+            6,
+        ).alias("rows_rel_err"),
+        F.round(F.col("sum_price_x").cast("double") / F.col("n_x"), 4).alias(
+            "price_mean_exact"
+        ),
+        F.round(F.col("sum_price_s").cast("double") / F.col("n_s"), 4).alias(
+            "price_mean_sampled"
+        ),
+        F.col("ndv_x").alias("ndv_partkey_exact"),
+        F.col("ndv_s").alias("ndv_partkey_in_sample"),
+    )
