@@ -1973,3 +1973,119 @@ def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shrunk_rate"),
         F.round(F.col("p0"), 6).alias("global_rate"),
     )
+
+
+# --- Benjamini-Hochberg multiple-testing correction ---------------------------------
+
+BH_M = 25  # nations — present at every SF (nation dimension is fixed)
+# Phi^-1(1 - 0.05*k/(2*25)) for k = 1..25: the two-sided critical |z| each
+# BH step compares against (precomputed so neither engine needs erf).
+BH_CRIT = [
+    3.090232, 2.878162, 2.747781, 2.65207, 2.575829, 2.512144, 2.457263,
+    2.408916, 2.365618, 2.326348, 2.290368, 2.257129, 2.226212, 2.197286,
+    2.17009, 2.144411, 2.120072, 2.096927, 2.074855, 2.053749, 2.03352,
+    2.014091, 1.995393, 1.977368, 1.959964,
+]
+
+
+@register(
+    "agg_multiple_testing_bh",
+    f"""
+    WITH per AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS k
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey),
+    tot AS (SELECT SUM(n) AS nt, SUM(k) AS kt FROM per),
+    z AS (
+      SELECT nationkey, n, k,
+             ROUND((k / n - (tot.kt - k) / (tot.nt - n))
+                   / SQRT((tot.kt / tot.nt) * (1.0 - tot.kt / tot.nt)
+                          * (1.0 / n + 1.0 / (tot.nt - n))), 6) AS z
+      FROM per CROSS JOIN tot),
+    ranked AS (
+      SELECT nationkey, n, k, z,
+             ROW_NUMBER() OVER (ORDER BY ABS(z) DESC, nationkey) AS rk
+      FROM z),
+    flagged AS (
+      SELECT *, CAST({BH_CRIT!r}[rk] AS DOUBLE) AS crit_z,
+             CASE WHEN ABS(z) >= CAST({BH_CRIT!r}[rk] AS DOUBLE)
+                  THEN rk ELSE 0 END AS hit
+      FROM ranked),
+    kstar AS (SELECT MAX(hit) AS kmax FROM flagged)
+    SELECT nationkey, CAST(n AS BIGINT) AS n_orders,
+           CAST(k AS BIGINT) AS n_urgent, z, rk AS bh_rank,
+           ROUND(crit_z, 6) AS crit_z,
+           (rk <= kstar.kmax) AS rejected
+    FROM flagged CROSS JOIN kstar
+    """,
+    doc=(
+        f"Benjamini-Hochberg FDR correction over {BH_M} per-nation "
+        "urgent-rate z-tests: step-up against precomputed critical-|z| "
+        "thresholds (no erf needed) — the screen that keeps 25 "
+        "simultaneous dashboards from 'discovering' noise."
+    ),
+)
+def agg_multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run 25 segment tests at α=0.05 and you expect a false 'discovery'
+    or two every refresh — the multiple-testing correction is not
+    optional once dashboards slice by segment. BH (1995) controls the
+    false-discovery rate by the step-up rule: sort by significance,
+    reject the top k* where k* = max{{k: p_(k) ≤ αk/m}}. Implemented
+    p-value-free: comparing p_(k) ≤ αk/m is identical to |z|_(k) ≥
+    Φ⁻¹(1−αk/2m), and those m critical values are PRECOMPUTED literals —
+    no erf in either engine, no normal-CDF parity risk. On this corpus
+    urgency is assigned independently of nation, so zero rejections is
+    the correct (and verifying) A/A readout.
+
+    Determinism: counts exact; each z is one pinned expression rounded
+    to 6 dp BEFORE ranking (so the order itself cannot flip on a ULP),
+    nationkey tie-break; the step-up is an integer max over flags.
+
+    Scale shape: one custkey-keyed join + |nations|-row aggregation; the
+    ranking window runs over 25 rows; 1-row k* broadcast back."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("k"),
+        )
+    )
+    tot = per.agg(F.sum("n").alias("nt"), F.sum("k").alias("kt"))
+    n, k, nt, kt = F.col("n"), F.col("k"), F.col("nt"), F.col("kt")
+    pp = kt / nt
+    z = F.round(
+        (k / n - (kt - k) / (nt - n))
+        / F.sqrt(pp * (1.0 - pp) * (1.0 / n + 1.0 / (nt - n))),
+        6,
+    )
+    zt = per.crossJoin(F.broadcast(tot)).select("nationkey", "n", "k", z.alias("z"))
+    from pyspark.sql import Window
+
+    ranked = zt.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.abs(F.col("z")).desc(), "nationkey")),
+    )
+    crit = F.element_at(F.array(*[F.lit(v) for v in BH_CRIT]), F.col("rk"))
+    flagged = ranked.withColumn("crit_z", crit).withColumn(
+        "hit", F.when(F.abs(F.col("z")) >= F.col("crit_z"), F.col("rk")).otherwise(0)
+    )
+    kstar = flagged.agg(F.max("hit").alias("kmax"))
+    return flagged.crossJoin(F.broadcast(kstar)).select(
+        "nationkey",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("k").cast("bigint").alias("n_urgent"),
+        "z",
+        F.col("rk").alias("bh_rank"),
+        F.round("crit_z", 6).alias("crit_z"),
+        (F.col("rk") <= F.col("kmax")).alias("rejected"),
+    )
