@@ -1878,3 +1878,103 @@ def curation_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_variants"),
         F.min("url").alias("sample_variant"),
     )
+
+
+# --- Neyman optimal sampling allocation ---------------------------------------------
+
+NEYMAN_BUDGET = 1000
+
+
+@register(
+    "curation_neyman_allocation",
+    f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(COUNT(*) AS DOUBLE) AS nh,
+             CAST(SUM(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(n_chars AS DECIMAL(28,4))
+                      * CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+      FROM documents GROUP BY lang),
+    sig AS (
+      SELECT lang, nh,
+             SQRT(sxx / nh - (sx / nh) * (sx / nh)) AS sigma
+      FROM per),
+    tot AS (
+      SELECT SUM(CAST(ROUND(nh * sigma, 6) AS DECIMAL(28,6))) AS denom,
+             SUM(CAST(nh AS DECIMAL(28,6))) AS n_all
+      FROM sig)
+    SELECT s.lang,
+           CAST(s.nh AS BIGINT) AS n_docs,
+           ROUND(s.sigma, 4) AS sigma_chars,
+           CAST(ROUND({NEYMAN_BUDGET} * s.nh * s.sigma
+                      / CAST(t.denom AS DOUBLE), 0) AS BIGINT)
+             AS alloc_neyman,
+           CAST(ROUND({NEYMAN_BUDGET} * s.nh / CAST(t.n_all AS DOUBLE), 0)
+                AS BIGINT) AS alloc_proportional
+    FROM sig s CROSS JOIN tot t
+    """,
+    doc=(
+        f"Neyman optimal allocation of a {NEYMAN_BUDGET}-doc annotation "
+        "budget across language strata: n_h ∝ N_h·σ_h (size × spread), "
+        "beside the proportional allocation it dominates — the "
+        "survey-design answer to 'which slices get the labeling budget'."
+    ),
+)
+def curation_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed labeling/eval budgets are the scarcest resource in a
+    training-data pipeline; proportional sampling wastes them on large
+    uniform strata. Neyman (1934): variance of the stratified estimator
+    is minimized at n_h ∝ N_h·σ_h — big AND internally-diverse strata
+    get the annotators, tight strata get almost none regardless of size.
+    This face emits both allocations so the trade is a read-off; the
+    stratified/quota sampler faces consume the per-stratum counts
+    directly.
+
+    Determinism: per-stratum moments fold in exact DECIMAL; σ_h is one
+    pinned sqrt; the denominator Σ N_h σ_h quantizes each term to
+    DECIMAL(28,6) before the exact fold (order-free); allocations are
+    pinned ROUND(…, 0) casts.
+
+    Scale shape: ONE map-side-combined |langs|-row moment aggregation
+    over the corpus, then arithmetic on ≤|langs| rows — optimal design
+    for free next to any corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    nch = F.col("n_chars").cast("decimal(28,4)")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("nh"),
+        F.sum(nch).cast("double").alias("sx"),
+        F.sum(nch * nch).cast("double").alias("sxx"),
+    )
+    sig = per.select(
+        "lang",
+        "nh",
+        F.sqrt(
+            F.col("sxx") / F.col("nh")
+            - (F.col("sx") / F.col("nh")) * (F.col("sx") / F.col("nh"))
+        ).alias("sigma"),
+    )
+    tot = sig.agg(
+        F.sum(
+            F.round(F.col("nh") * F.col("sigma"), 6).cast("decimal(28,6)")
+        ).alias("denom"),
+        F.sum(F.col("nh").cast("decimal(28,6)")).alias("n_all"),
+    )
+    return sig.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("nh").cast("bigint").alias("n_docs"),
+        F.round("sigma", 4).alias("sigma_chars"),
+        F.round(
+            NEYMAN_BUDGET
+            * F.col("nh")
+            * F.col("sigma")
+            / F.col("denom").cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("alloc_neyman"),
+        F.round(
+            NEYMAN_BUDGET * F.col("nh") / F.col("n_all").cast("double"), 0
+        )
+        .cast("bigint")
+        .alias("alloc_proportional"),
+    )

@@ -3540,3 +3540,124 @@ def events_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ess"),
         F.round(F.col("max_w"), 6).alias("max_weight"),
     )
+
+
+# --- Kaplan-Meier time-to-conversion with right-censoring ---------------------------
+
+KM_HORIZON_H = 24  # fixed follow-up window (hours) per user
+
+
+@register(
+    "events_kaplan_meier",
+    f"""
+    WITH u AS (
+      SELECT user_id, MIN(ts) AS enroll,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fb
+      FROM events GROUP BY user_id),
+    obs AS (
+      SELECT user_id,
+             CASE WHEN fb IS NOT NULL
+                       AND date_diff('hour', enroll, fb) <= {KM_HORIZON_H}
+                  THEN date_diff('hour', enroll, fb)
+                  ELSE {KM_HORIZON_H} END AS t,
+             CASE WHEN fb IS NOT NULL
+                       AND date_diff('hour', enroll, fb) <= {KM_HORIZON_H}
+                  THEN 1 ELSE 0 END AS event
+      FROM u),
+    times AS (
+      SELECT t, COUNT(*) AS n_t, SUM(event) AS d_t
+      FROM obs GROUP BY t),
+    risk AS (
+      SELECT t, n_t, d_t,
+             (SELECT COUNT(*) FROM obs)
+               - SUM(n_t) OVER (ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+               + n_t AS n_risk
+      FROM times),
+    km AS (
+      SELECT t, n_risk, d_t,
+             EXP(SUM(LN(1.0 - CAST(d_t AS DOUBLE) / n_risk))
+                 OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS s
+      FROM risk WHERE d_t > 0)
+    SELECT t AS hours_to_purchase,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d_t AS BIGINT) AS n_converted,
+           ROUND(s, 6) AS survival
+    FROM km
+    """,
+    doc=(
+        f"Kaplan-Meier time-to-first-purchase with right-censoring at a "
+        f"{KM_HORIZON_H} h follow-up horizon: non-converters stay in the "
+        "risk set instead of vanishing — the unbiased conversion-latency "
+        "curve the converters-only percentile face cannot give."
+    ),
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events_conversion_latency`` reports percentiles over users who
+    DID convert — survivorship-biased low, because slow converters are
+    disproportionately still unconverted when you look. Kaplan-Meier
+    (1958) fixes it: each user contributes an observation (t, event)
+    where non-converters are right-CENSORED at the follow-up horizon —
+    they leave the risk set without registering a conversion — and
+    S(t) = Π_(u≤t) (1 − d_u/n_u) over conversion times only. 1 − S(t) is
+    the unbiased 'converted within t hours' curve. The fixed per-user
+    horizon (administrative censoring) is the standard design when every
+    user gets equal follow-up; staggered-entry censoring is the same
+    code with a per-user horizon expression.
+
+    Determinism: hour arithmetic is exact integer date math; the
+    product-limit runs as exp(Σ ln(1−d/n)) over an ORDERED window
+    (running aggregates accumulate in frame order in both engines — the
+    running-total contract) with ln/exp on identical doubles (the
+    established libm-parity contract).
+
+    Scale shape: ONE user_id-keyed rollup (map-side combined) reduces
+    the archive to one row per user; everything after runs on the
+    |distinct times| ≤ horizon dimension — risk-set window, product and
+    report are kilobyte-sized at any corpus scale."""
+    from trike_spark import cache
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("enroll"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fb"),
+    )
+    # date_diff('hour', a, b) counts HOUR-BOUNDARY crossings, not elapsed
+    # 3600 s floors — truncate both endpoints to the hour first.
+    hdiff = (
+        (
+            F.unix_timestamp(F.date_trunc("hour", F.col("fb")))
+            - F.unix_timestamp(F.date_trunc("hour", F.col("enroll")))
+        )
+        / 3600
+    ).cast("bigint")
+    converted = F.col("fb").isNotNull() & (hdiff <= KM_HORIZON_H)
+    obs = u.select(
+        F.when(converted, hdiff).otherwise(F.lit(KM_HORIZON_H)).alias("t"),
+        F.when(converted, 1).otherwise(0).alias("event"),
+    )
+    obs = cache.checkpoint(obs)
+    times = obs.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_t"), F.sum("event").alias("d_t")
+    )
+    n_total = obs.agg(F.count(F.lit(1)).alias("n_users"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        times.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk", F.col("n_users") - F.sum("n_t").over(w) + F.col("n_t")
+        )
+        .filter(F.col("d_t") > 0)
+    )
+    s = F.exp(
+        F.sum(F.log(1.0 - F.col("d_t").cast("double") / F.col("n_risk"))).over(w)
+    )
+    return risk.select(
+        F.col("t").alias("hours_to_purchase"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d_t").cast("bigint").alias("n_converted"),
+        F.round(s, 6).alias("survival"),
+    )

@@ -458,3 +458,110 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_frames.alias("n_frames"),
         (40 * n_frames).cast("bigint").alias("duration_ms"),
     )
+
+
+# --- strided patch extraction (ViT preprocessing shape) -----------------------------
+
+PATCH_GRID = 8  # the stub "image": first 8x8 = 64 payload bytes
+PATCH_SIZE = 2  # 2x2 patches, stride 2 -> 16 patches per image
+
+
+def _sql_byte(r: str, c: str) -> str:
+    """Byte value at grid (r, c) from the hex string (1-indexed substr)."""
+    return (
+        f"CAST(('0x' || substr(hx, 2 * (({r}) * {PATCH_GRID} + ({c})) + 1, 2))"
+        " AS BIGINT)"
+    )
+
+
+def _sql_patch_sum() -> str:
+    terms = [
+        _sql_byte(f"{PATCH_SIZE} * pr + {dr}", f"{PATCH_SIZE} * pc + {dc}")
+        for dr in range(PATCH_SIZE)
+        for dc in range(PATCH_SIZE)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "multimodal_striding_patches",
+    f"""
+    WITH imgs AS (
+      SELECT doc_id, hex(encode(text)) AS hx
+      FROM documents
+      WHERE doc_id % 100 = 0
+        AND octet_length(encode(text)) >= {PATCH_GRID * PATCH_GRID}),
+    grid AS (
+      SELECT doc_id, hx, pr.pr, pc.pc
+      FROM imgs,
+           (SELECT unnest(generate_series(0, {PATCH_GRID // PATCH_SIZE - 1}))
+              AS pr) pr,
+           (SELECT unnest(generate_series(0, {PATCH_GRID // PATCH_SIZE - 1}))
+              AS pc) pc)
+    SELECT doc_id, pr AS patch_row, pc AS patch_col,
+           CAST({_sql_patch_sum()} AS BIGINT) AS patch_sum,
+           CAST(({_sql_patch_sum()}) // {PATCH_SIZE * PATCH_SIZE} AS BIGINT)
+             AS patch_mean
+    FROM grid
+    """,
+    doc=(
+        f"Strided patch extraction (the ViT preprocessing shape): the "
+        f"{PATCH_GRID}×{PATCH_GRID}-byte stub image fans out into "
+        f"{(PATCH_GRID // PATCH_SIZE) ** 2} non-overlapping "
+        f"{PATCH_SIZE}×{PATCH_SIZE} patches with per-patch integer "
+        "sums/means — 2-D windowing as closed-form byte math, in-row, "
+        "no shuffle."
+    ),
+)
+def multimodal_striding_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch extraction is the first op of every vision-transformer
+    pipeline: a (H, W) image becomes a sequence of P×P patches. The
+    Spark-shaped insight is that for FIXED geometry the patch grid is a
+    closed-form projection — each patch's pixels are at computable byte
+    offsets, so the whole fan-out is a generator expression fused into
+    the scan (same contract as the audio-framing face: byte-exact on the
+    text-as-binary stub, hash-verified; a real decoder swaps in behind
+    the same geometry).
+
+    Scale shape: in-row fan-out of images × patches rows with pure
+    integer hex math — zero exchanges, zero Python; at 100 TB of images
+    the patch pass is IO-bound, exactly like the real preprocessing
+    job feeding a training run."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 100 == 0)
+        & (F.octet_length(F.encode("text", "utf-8")) >= PATCH_GRID * PATCH_GRID)
+    )
+    imgs = d.select("doc_id", F.hex(F.encode("text", "utf-8")).alias("hx"))
+    n_p = PATCH_GRID // PATCH_SIZE
+    grid = imgs.select(
+        "doc_id",
+        "hx",
+        F.explode(F.sequence(F.lit(0), F.lit(n_p - 1))).alias("pr"),
+    ).select(
+        "doc_id",
+        "hx",
+        "pr",
+        F.explode(F.sequence(F.lit(0), F.lit(n_p - 1))).alias("pc"),
+    )
+
+    def byte(r_expr: str, c_expr: str) -> F.Column:
+        return F.conv(
+            F.expr(
+                f"substr(hx, 2 * (({r_expr}) * {PATCH_GRID} + ({c_expr})) + 1, 2)"
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    patch_sum = None
+    for dr in range(PATCH_SIZE):
+        for dc in range(PATCH_SIZE):
+            t = byte(f"{PATCH_SIZE} * pr + {dr}", f"{PATCH_SIZE} * pc + {dc}")
+            patch_sum = t if patch_sum is None else patch_sum + t
+    return grid.select(
+        "doc_id",
+        F.col("pr").alias("patch_row"),
+        F.col("pc").alias("patch_col"),
+        patch_sum.cast("bigint").alias("patch_sum"),
+        (patch_sum / (PATCH_SIZE * PATCH_SIZE)).cast("bigint").alias("patch_mean"),
+    )
