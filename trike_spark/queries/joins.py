@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from trike_spark import cache
 from trike_spark.io import load_table
+from trike_spark.queries.dedup import _sql_h60
 from trike_spark.registry import register
 
 
@@ -901,4 +903,110 @@ def join_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         WHERE c.c_mktsegment = 'BUILDING'
         """
+    )
+
+
+# --- grid-bucketed spatial radius join ----------------------------------------------
+
+GEO_SIDE_M = 1_000_000  # synthetic 1000 km x 1000 km plane, meter resolution
+GEO_R_M = 10_000  # radius: 10 km
+
+
+@register(
+    "join_spatial_grid_radius",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_sql_h60("'x' || CAST(c_custkey AS VARCHAR)")} % {GEO_SIDE_M}
+               AS x,
+             {_sql_h60("'y' || CAST(c_custkey AS VARCHAR)")} % {GEO_SIDE_M}
+               AS y
+      FROM customer),
+    cells AS (SELECT id, x, y, x // {GEO_R_M} AS cx, y // {GEO_R_M} AS cy
+              FROM pts),
+    probe AS (
+      SELECT id, x, y, cx + dx.dx AS cx, cy + dy.dy AS cy
+      FROM cells,
+           (SELECT unnest([-1, 0, 1]) AS dx) dx,
+           (SELECT unnest([-1, 0, 1]) AS dy) dy)
+    SELECT a.id AS cust_a, b.id AS cust_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq_m2
+    FROM probe a JOIN cells b
+      ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {GEO_R_M} * {GEO_R_M}
+    """,
+    doc=(
+        f"Grid-bucketed spatial radius join: points on a synthetic "
+        f"{GEO_SIDE_M // 1000} km plane, {GEO_R_M // 1000} km-cell grid, "
+        "3×3-neighbor probe explode, integer d² ≤ R² verify — the "
+        "distributed spatial join without a Cartesian product and "
+        "without a float in the cut."
+    ),
+)
+def join_spatial_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard distributed answer to 'all pairs within radius R':
+    bucket space into R-sized cells so any qualifying pair is at most
+    one cell apart, explode ONE side into its 3×3 cell neighborhood, and
+    equi-join on the cell key — the quadratic all-pairs becomes a hash
+    join whose cost tracks cell occupancy (this is the same
+    manufactured-equi-key move as the binned interval join, in 2-D).
+    Coordinates are synthetic meters hashed from the customer key;
+    real deployments swap in projected coordinates or a geohash and keep
+    the identical plan.
+
+    Determinism: coordinates, cells and the d² ≤ R² verification are all
+    BIGINT arithmetic — no sqrt, no trig, no float anywhere, so the
+    result hash-matches with zero tolerance games (report dist² and take
+    the root client-side if needed).
+
+    Scale shape: the 9× probe explode is the only fan-out (constant
+    factor); the join is hash-partitioned on cell ids; skewed cells
+    (urban hotspots in real data) are ordinary AQE-splittable join skew,
+    with the LSH hot-bucket grid split as the documented remedy beyond
+    that. No CartesianProduct in the plan (suite-wide lint asserts)."""
+    from trike_spark.queries.dedup import _h60
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (_h60(F.concat(F.lit("x"), F.col("c_custkey").cast("string"))) % GEO_SIDE_M).alias("x"),
+        (_h60(F.concat(F.lit("y"), F.col("c_custkey").cast("string"))) % GEO_SIDE_M).alias("y"),
+    )
+    cells = pts.select(
+        "id", "x", "y",
+        F.expr(f"x div {GEO_R_M}").alias("cx"),
+        F.expr(f"y div {GEO_R_M}").alias("cy"),
+    )
+    cells = cache.checkpoint(cells)
+    probe = (
+        cells.select(
+            "id", "x", "y", "cx", "cy",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "id", "x", "y",
+            (F.col("cx") + F.col("dx")).alias("cx"), "cy",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"),
+        )
+        .select("id", "x", "y", "cx", (F.col("cy") + F.col("dy")).alias("cy"))
+    )
+    a, b = probe.alias("a"), cells.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(d2 <= GEO_R_M * GEO_R_M)
+        .select(
+            F.col("a.id").alias("cust_a"),
+            F.col("b.id").alias("cust_b"),
+            d2.cast("bigint").alias("dist_sq_m2"),
+        )
     )
