@@ -3661,3 +3661,104 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_t").cast("bigint").alias("n_converted"),
         F.round(s, 6).alias("survival"),
     )
+
+
+# --- geofence entries (spatial stream-static containment) ---------------------------
+
+GEO_PLANE_M = 1_000_000
+
+
+def _sql_zone_boxes() -> str:
+    """Five deterministic rectangular zones derived from the region keys."""
+    return """
+    zones AS (
+      SELECT r_regionkey AS zone_id,
+             r_regionkey * 150000 AS xmin,
+             r_regionkey * 150000 + 120000 AS xmax,
+             100000 + r_regionkey * 120000 AS ymin,
+             200000 + r_regionkey * 120000 AS ymax
+      FROM region)
+    """
+
+
+@register(
+    "events_geofence_entries",
+    f"""
+    WITH {_sql_zone_boxes()},
+    pos AS (
+      SELECT user_id, ts,
+             {{hx}} % {GEO_PLANE_M} AS x,
+             {{hy}} % {GEO_PLANE_M} AS y
+      FROM events),
+    hits AS (
+      SELECT p.user_id, z.zone_id, p.ts
+      FROM pos p JOIN zones z
+        ON p.x >= z.xmin AND p.x < z.xmax
+       AND p.y >= z.ymin AND p.y < z.ymax)
+    SELECT user_id, zone_id, MIN(ts) AS first_entry_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_pings_inside
+    FROM hits GROUP BY user_id, zone_id
+    """.replace(
+        "{hx}",
+        "CAST(('0x' || substr(md5('px' || CAST(event_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT)",
+    ).replace(
+        "{hy}",
+        "CAST(('0x' || substr(md5('py' || CAST(event_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT)",
+    ),
+    doc=(
+        "Geofence entry detection: event positions (synthetic meters) "
+        "against five broadcast rectangular zones — first-entry timestamp "
+        "and ping count per (user, zone); the transit/fleet alerting "
+        "primitive, batch face of the streaming twin."
+    ),
+)
+def events_geofence_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofencing — 'tell me when a vehicle/user enters a zone' — is the
+    canonical spatial-stream primitive of the transit domain this
+    engine's reference lives in (trike proxies vehicle OCS messages; the
+    obvious downstream consumer is exactly this query). The batch face
+    pins the semantics the streaming twin must reproduce: containment
+    against a BROADCAST zone dimension (zones are always tiny next to
+    the ping stream) and first-entry = MIN(event time) per (user, zone).
+
+    Determinism: positions are md5-derived integer meters; containment
+    is integer range predicates; first-entry is an exact MIN over
+    timestamps.
+
+    Scale shape: the zone table broadcasts (a real system has 10²–10⁴
+    zones — still broadcast-sized); the containment join is a narrow
+    broadcast-probe fused after the scan (no shuffle on the ping side);
+    the only exchange is the final (user, zone)-keyed rollup with
+    map-side combine. The streaming twin keeps the same plan with the
+    rollup running as watermarked state (`streaming/geofence.py`,
+    parity-tested)."""
+    from trike_spark.queries.dedup import _h60
+
+    e = load_table(spark, sf_dir, "events")
+    r = load_table(spark, sf_dir, "region")
+    zones = r.select(
+        F.col("r_regionkey").alias("zone_id"),
+        (F.col("r_regionkey") * 150000).alias("xmin"),
+        (F.col("r_regionkey") * 150000 + 120000).alias("xmax"),
+        (100000 + F.col("r_regionkey") * 120000).alias("ymin"),
+        (200000 + F.col("r_regionkey") * 120000).alias("ymax"),
+    )
+    pos = e.select(
+        "user_id",
+        "ts",
+        (_h60(F.concat(F.lit("px"), F.col("event_id").cast("string"))) % GEO_PLANE_M).alias("x"),
+        (_h60(F.concat(F.lit("py"), F.col("event_id").cast("string"))) % GEO_PLANE_M).alias("y"),
+    )
+    hits = pos.join(
+        F.broadcast(zones),
+        (pos.x >= zones.xmin)
+        & (pos.x < zones.xmax)
+        & (pos.y >= zones.ymin)
+        & (pos.y < zones.ymax),
+    )
+    return hits.groupBy("user_id", "zone_id").agg(
+        F.min("ts").alias("first_entry_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pings_inside"),
+    )
