@@ -1978,3 +1978,92 @@ def curation_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_proportional"),
     )
+
+
+# --- uncertainty sampling (active-learning batch selection) --------------------------
+
+AL_BATCH_K = 40
+
+
+@register(
+    "curation_uncertainty_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             list_sum(list_transform(string_split(text, ' '),
+               tok -> ({_sql_h60('tok')} % 1024) % 13 - 6)) AS w_sum
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             ROUND(CAST(w_sum AS DOUBLE) / (10.0 * n_tokens), 6) AS logit,
+             ABS(w_sum) AS dist_num, n_tokens
+      FROM t)
+    SELECT doc_id, lang, logit,
+           ROUND(ABS(logit), 6) AS boundary_distance,
+           rk AS al_rank
+    FROM (
+      SELECT doc_id, lang, logit,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(dist_num AS DOUBLE) / n_tokens, doc_id) AS rk
+      FROM scored)
+    WHERE rk <= {AL_BATCH_K}
+    """,
+    doc=(
+        f"Uncertainty sampling: the {AL_BATCH_K} docs the quality scorer "
+        "is LEAST sure about (|logit| closest to the decision boundary) — "
+        "the active-learning batch that buys the most model improvement "
+        "per label."
+    ),
+)
+def curation_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labels are the scarce resource (the Neyman face allocates them
+    across strata; this one picks the individual DOCUMENTS): random
+    labeling mostly confirms what the quality scorer already knows, while
+    margin/uncertainty sampling — label the points nearest the decision
+    boundary — is the classic active-learning strategy that improves the
+    filter fastest per annotation. Scores come from the same hashed-
+    feature scorer face, composed unchanged; boundary distance is |logit|
+    with the ranking done on the exact integer numerator over tokens
+    (|Σw| / n), doc_id tie-break.
+
+    Determinism: the ranking key is an exact-integer ratio evaluated as
+    one pinned double; ties break on doc_id; top-K is rank ≤ K.
+
+    Scale shape: the scorer is the audited zero-shuffle projection; the
+    only wide operation is a top-K by smallest distance — per-partition
+    heads + driver merge (TakeOrdered semantics via the rank window at
+    sf-test size; production flips to ``orderBy(...).limit(K)`` which
+    Spark plans as TakeOrderedAndProject)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    w_sum = F.aggregate(
+        F.transform(toks, lambda t: (_h60(t) % 1024) % 13 - 6),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        w_sum.alias("w_sum"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("w_sum").cast("double") / (10.0 * F.col("n_tokens")), 6).alias(
+            "logit"
+        ),
+        (F.abs(F.col("w_sum")).cast("double") / F.col("n_tokens")).alias("dist"),
+    )
+    w = Window.orderBy(F.col("dist"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= AL_BATCH_K)
+        .select(
+            "doc_id",
+            "lang",
+            "logit",
+            F.round(F.abs(F.col("logit")), 6).alias("boundary_distance"),
+            F.col("rk").alias("al_rank"),
+        )
+    )

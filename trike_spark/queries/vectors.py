@@ -2801,3 +2801,135 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("q_vec_id", "probe_label", "n_vec_id", "adc_score", "rk")
     )
+
+
+# --- mutual-NN bitext-style mining (margin criterion) --------------------------------
+
+BITEXT_CAP = 500  # bound the candidate grid at every SF
+BITEXT_K = 4  # margin denominator: mean cosine of the top-K neighbors
+
+
+def _sql_margin_side(side: str, other: str) -> str:
+    """Per-{side} ranking of {other} candidates with the margin score."""
+    return f"""
+    r_{side} AS (
+      SELECT {side}.vec_id AS src, {other}.vec_id AS dst,
+             ROUND({{cos}}, 6) AS c,
+             ROW_NUMBER() OVER (PARTITION BY {side}.vec_id
+                                ORDER BY ROUND({{cos}}, 6) DESC,
+                                         {other}.vec_id) AS rn
+      FROM {side} CROSS JOIN {other}),
+    m_{side} AS (
+      SELECT src, dst, c, rn,
+             CAST(SUM(CAST(c AS DECIMAL(9,6))) OVER (PARTITION BY src)
+                  AS DOUBLE) / {BITEXT_K} AS topk_avg
+      FROM r_{side} WHERE rn <= {BITEXT_K}),
+    best_{side} AS (
+      SELECT src, dst, c,
+             FLOOR(c / topk_avg * 1000000) / 1000000.0 AS margin
+      FROM m_{side} WHERE rn = 1)
+    """.replace(
+        "{cos}",
+        f"list_aggregate(list_transform(list_zip({side}.embedding, "
+        f"{other}.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS "
+        f"DOUBLE)), 'sum') / (SQRT(list_aggregate(list_transform("
+        f"{side}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"'sum')) * SQRT(list_aggregate(list_transform({other}.embedding, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))",
+    )
+
+
+@register(
+    "sim_mutual_nn_margin_pairs",
+    f"""
+    WITH x AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {BITEXT_CAP} AND vec_id % 2 = 0),
+    y AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id < {BITEXT_CAP} AND vec_id % 2 = 1),
+    {_sql_margin_side('x', 'y')},
+    {_sql_margin_side('y', 'x')}
+    SELECT bx.src AS x_id, bx.dst AS y_id, bx.c AS cosine,
+           FLOOR((bx.margin + by.margin) / 2.0 * 1000000) / 1000000.0 AS margin
+    FROM best_x bx
+    JOIN best_y by ON by.src = bx.dst AND by.dst = bx.src
+    """,
+    doc=(
+        "Bitext-style mutual-NN mining (margin criterion): each side's "
+        f"1-NN across the parity split, margin = cos / mean(top-{BITEXT_K} "
+        "cos), pairs kept only when BOTH directions agree — the "
+        "parallel-corpus mining primitive."
+    ),
+)
+def sim_mutual_nn_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parallel-data mining shape (Artetxe & Schwenk's margin-based
+    bitext mining, the method behind the big public translation corpora):
+    embed both languages in one space, take cross-lingual nearest
+    neighbors, score by the MARGIN — cosine relative to the mean of the
+    top-k neighborhood, which cancels hubness (a vector close to
+    everything gets margin ≈ 1 and drops) — and keep a pair only when
+    the match is MUTUAL. The parity split on vec_id stands in for the
+    two languages; the plan is identical with a real second embedding
+    table.
+
+    Determinism: cosines round to 6 dp BEFORE ranking (ULP-safe order,
+    id tie-break); the top-k mean is a running AVG over the rank-ordered
+    frame (frame-order accumulation, the running-total contract); the
+    mutual join is exact on ids.
+
+    Scale shape: at production scale both 1-NN legs route through the
+    audited ANN indexes (LSH buckets / IVF cells) instead of the capped
+    brute grid — margin and mutuality are post-processing on candidate
+    sets either way; the mutual filter is one self-join of two
+    |side|-row best-match tables."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < BITEXT_CAP
+    )
+    x = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), F.col("embedding").alias("x_emb")
+    )
+    y = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), F.col("embedding").alias("y_emb")
+    )
+
+    def best_side(a: DataFrame, b: DataFrame, a_id: str, b_id: str, a_emb: str, b_emb: str) -> DataFrame:
+        c = F.round(cosine(F.col(a_emb), F.col(b_emb)), 6)
+        ranked = a.crossJoin(broadcast(b)).select(
+            F.col(a_id).alias("src"), F.col(b_id).alias("dst"), c.alias("c")
+        )
+        w = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+        ranked = ranked.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= BITEXT_K
+        )
+        # exact decimal sum of the (already 6-dp-rounded) top-K cosines:
+        # order-free, so the margin denominator hash-matches cross-engine
+        wk = Window.partitionBy("src")
+        ranked = ranked.withColumn(
+            "topk_avg",
+            F.sum(F.col("c").cast("decimal(9,6)")).over(wk).cast("double")
+            / BITEXT_K,
+        )
+        return ranked.filter(F.col("rn") == 1).select(
+            "src",
+            "dst",
+            "c",
+            # FLOOR quantization: no round-half tie to break, so identical
+            # doubles quantize identically in both engines
+            (F.floor(F.col("c") / F.col("topk_avg") * 1000000) / 1e6).alias(
+                "margin"
+            ),
+        )
+
+    bx = best_side(x, y, "x_id", "y_id", "x_emb", "y_emb")
+    by = best_side(y, x, "y_id", "x_id", "y_emb", "x_emb").select(
+        F.col("src").alias("y_src"),
+        F.col("dst").alias("y_dst"),
+        F.col("margin").alias("y_margin"),
+    )
+    return bx.join(
+        by, (by.y_src == bx.dst) & (by.y_dst == bx.src)
+    ).select(
+        F.col("src").alias("x_id"),
+        F.col("dst").alias("y_id"),
+        F.col("c").alias("cosine"),
+        (F.floor((F.col("margin") + F.col("y_margin")) / 2.0 * 1000000) / 1e6).alias("margin"),
+    )
