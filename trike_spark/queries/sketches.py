@@ -1413,3 +1413,128 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_intersection"),
         )
     )
+
+
+# --- DDSketch: relative-error quantiles ----------------------------------------------
+
+DD_GAMMA = 1.02  # bucket growth factor: ±1% relative-error guarantee
+DD_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "sketch_ddsketch_quantiles",
+    f"""
+    WITH v AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      WHERE l_extendedprice > 0),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    b AS (
+      SELECT CAST(CEIL(LN(x) / LN({DD_GAMMA})) AS BIGINT) AS bucket,
+             COUNT(*) AS c
+      FROM v GROUP BY 1),
+    cum AS (
+      SELECT bucket, c,
+             SUM(c) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_c
+      FROM b),
+    qs AS (SELECT CAST(unnest({list(DD_QS)!r}) AS DOUBLE) AS q),
+    hit AS (
+      SELECT qs.q, MIN(cum.bucket) AS bucket
+      FROM qs JOIN cum
+        ON cum.cum_c >= CAST(CEIL(qs.q * (SELECT n FROM n)) AS BIGINT)
+      GROUP BY qs.q),
+    est AS (
+      SELECT q, bucket,
+             2.0 * EXP(bucket * LN({DD_GAMMA})) / ({DD_GAMMA} + 1.0) AS e
+      FROM hit),
+    exact AS (
+      SELECT {', '.join(f'quantile_cont(x, {q}) AS x{int(q * 100)}' for q in DD_QS)}
+      FROM v)
+    SELECT est.q,
+           ROUND(est.e, 2) AS dd_estimate,
+           ROUND(CASE {' '.join(f'WHEN est.q = {q} THEN exact.x{int(q * 100)}' for q in DD_QS)} END, 2)
+             AS exact_quantile,
+           ROUND(ABS(est.e - CASE {' '.join(f'WHEN est.q = {q} THEN exact.x{int(q * 100)}' for q in DD_QS)} END)
+                 / CASE {' '.join(f'WHEN est.q = {q} THEN exact.x{int(q * 100)}' for q in DD_QS)} END, 6)
+             AS rel_err
+    FROM est CROSS JOIN exact
+    """,
+    doc=(
+        f"DDSketch quantiles (γ={DD_GAMMA}): logarithmic buckets give a "
+        "RELATIVE-error guarantee (±1 %) at every quantile — the "
+        "latency-SLO sketch, mergeable by bucket-wise count addition; "
+        "estimate vs exact with measured relative error."
+    ),
+)
+def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third quantile machine, with the guarantee the other two lack:
+    GK bounds RANK error (p99 ± 1 % of ranks can be wildly off in VALUE
+    on a heavy tail) and exact counting needs O(domain) state; DDSketch
+    (Masson et al., VLDB'19) buckets values logarithmically so every
+    estimate is within γ−1 of the true VALUE relatively — exactly what
+    latency/price SLOs mean by 'p99 within 1 %'. Buckets are a fixed
+    integer keyspace, merge by count addition (the reaggregable-sketch
+    pattern the HLL daily face established), and the whole sketch is a
+    few hundred BIGINT pairs at any corpus size.
+
+    Determinism: bucket = ceil(ln x / ln γ) on identical doubles (libm
+    parity contract); counts exact; the estimate 2γ^b/(γ+1) is written
+    as exp(b·ln γ) in BOTH engines; the exact control leg pins the
+    percentile ↔ quantile_cont parity the winsorize face established.
+
+    Scale shape: ONE map-side-combined bucket count (≈700 buckets for
+    the full double range at γ=1.02), a cumulative window over the
+    BUCKET dimension, 3 output rows — and the measured rel_err column IS
+    the ±1 % guarantee, visible."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    v = li.select(F.col("l_extendedprice").cast("double").alias("x"))
+    n = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    import math
+
+    ln_g = math.log(DD_GAMMA)
+    b = v.select(
+        F.ceil(F.log(F.col("x")) / F.log(F.lit(DD_GAMMA))).cast("bigint").alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.withColumn("cum_c", F.sum("c").over(w))
+    qs = None
+    for q in DD_QS:
+        row = n.select(
+            F.lit(q).alias("q"),
+            F.ceil(F.lit(q) * F.col("n")).cast("bigint").alias("target"),
+        )
+        qs = row if qs is None else qs.unionByName(row)
+    hit = (
+        qs.join(F.broadcast(cum), F.col("cum_c") >= F.col("target"))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    est = hit.select(
+        "q",
+        (
+            2.0
+            * F.exp(F.col("bucket") * F.log(F.lit(DD_GAMMA)))
+            / (DD_GAMMA + 1.0)
+        ).alias("e"),
+    )
+    exact = v.agg(
+        *[
+            F.expr(f"percentile(x, {q})").alias(f"x{int(q * 100)}")
+            for q in DD_QS
+        ]
+    )
+    ex_col = None
+    for q in DD_QS:
+        branch = F.when(F.col("q") == q, F.col(f"x{int(q * 100)}"))
+        ex_col = branch if ex_col is None else ex_col.when(
+            F.col("q") == q, F.col(f"x{int(q * 100)}")
+        )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "q",
+        F.round("e", 2).alias("dd_estimate"),
+        F.round(ex_col, 2).alias("exact_quantile"),
+        F.round(F.abs(F.col("e") - ex_col) / ex_col, 6).alias("rel_err"),
+    )
