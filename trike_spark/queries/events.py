@@ -3762,3 +3762,100 @@ def events_geofence_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_entry_ts"),
         F.count(F.lit(1)).cast("bigint").alias("n_pings_inside"),
     )
+
+
+# --- Theil-Sen robust trend ----------------------------------------------------------
+
+
+@register(
+    "events_theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1),
+    idx AS (
+      SELECT c, CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+                     AS DOUBLE) AS d
+      FROM daily),
+    slopes AS (
+      SELECT (b.c - a.c) / (b.d - a.d) AS s
+      FROM idx a JOIN idx b ON b.d > a.d),
+    mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(CAST(d AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(c AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(d AS DECIMAL(18,6)) * CAST(c AS DECIMAL(18,6))) AS sxy,
+             SUM(CAST(d AS DECIMAL(18,6)) * CAST(d AS DECIMAL(18,6))) AS sxx
+      FROM idx)
+    SELECT CAST(mom.n AS BIGINT) AS n_days,
+           CAST((SELECT COUNT(*) FROM slopes) AS BIGINT) AS n_pairs,
+           ROUND((SELECT median(s) FROM slopes), 6) AS theil_sen_slope,
+           ROUND((mom.n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (mom.n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS ols_slope
+    FROM mom
+    """,
+    doc=(
+        "Theil-Sen robust trend of daily event volume: the median of all "
+        "pairwise day-slopes (breakdown point 29 %) beside the OLS slope "
+        "one outage day can drag anywhere — the robust regression "
+        "companion to the closed-form OLS face."
+    ),
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is traffic growing? OLS answers fastest but one logging outage or
+    backfill spike owns the fit; the Theil-Sen estimator — median of the
+    C(n,2) pairwise slopes — ignores up to ~29 % corrupted days entirely
+    (it is the default robust trend in environmental/ops statistics).
+    Both slopes ship side by side: when they diverge, the DIFFERENCE is
+    the anomaly alarm.
+
+    Determinism: daily counts exact; day indices exact integers; each
+    pairwise slope is one pinned double division; the median is an order
+    statistic under the percentile ↔ quantile_cont parity the winsorize
+    face pins; OLS comes from DECIMAL-exact moment sums.
+
+    Scale shape: the corpus reduces to ONE map-side-combined |days|-row
+    rollup; the pairwise join runs on the DAY dimension (C(30,2) = 435
+    rows — at years of history C(1000,2) ≈ 500 k slope rows, still
+    dimension-sized); the median runs over that slope table, never over
+    events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    mn = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        "c", F.datediff("day", "d0").cast("double").alias("d")
+    )
+    from trike_spark import cache
+
+    idx = cache.checkpoint(idx)
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        ((F.col("b.c") - F.col("a.c")) / (F.col("b.d") - F.col("a.d"))).alias("s")
+    )
+    ts_agg = slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("theil_sen_slope"),
+    )
+    dd = F.col("d").cast("decimal(18,6)")
+    cc = F.col("c").cast("decimal(18,6)")
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dd).alias("sx"),
+        F.sum(cc).alias("sy"),
+        F.sum(dd * cc).alias("sxy"),
+        F.sum(dd * dd).alias("sxx"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return mom.crossJoin(F.broadcast(ts_agg)).select(
+        n.cast("bigint").alias("n_days"),
+        "n_pairs",
+        "theil_sen_slope",
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("ols_slope"),
+    )
