@@ -527,3 +527,64 @@ def test_ab_lift_two_aggregations_no_join(spark):
     tree = plans.plan_tree(df)
     for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
         assert node not in tree, tree
+
+
+# --- round-6 banded rewrites: the five r5-flagged global-window faces -------
+# Each face's HEAVY window (over facts / the dimension) must be partitioned
+# by its band; the only unpartitioned Window nodes left are the band-STATS
+# prefix windows (a few hundred rows — the same sanctioned shape as
+# window_equidepth_histogram's offsets pass). plans.unpartitioned_window_count
+# is the census "gwin" metric, so any new global window fails the monotone
+# census gate repo-wide.
+
+
+def _banded_shape(df, expected_gwin):
+    from trike_spark import plans as P
+
+    specs = P.window_partition_specs(df)
+    assert any("band" in s for s in specs if s), specs
+    assert P.unpartitioned_window_count(df) == expected_gwin, specs
+
+
+def test_lateness_frontier_is_band_partitioned(spark):
+    """Running-max frontier decomposes over md5-prefix bands: per-band
+    running max partitioned BY BAND + broadcast prefix maxima; one
+    unpartitioned window remains, over the 256-row band-stats table."""
+    from trike_spark.queries.events import events_lateness_report
+
+    _banded_shape(events_lateness_report(spark, SF_DIR), 1)
+
+
+def test_mann_whitney_rank_is_band_partitioned(spark):
+    from trike_spark.queries.aggregates import agg_mann_whitney_u
+
+    _banded_shape(agg_mann_whitney_u(spark, SF_DIR), 1)
+
+
+def test_rfm_ntiles_are_band_partitioned(spark):
+    """Three exact ntiles → three banded passes; the 3 unpartitioned
+    windows are the per-pass band-stats offsets only."""
+    from trike_spark.queries.aggregates import agg_rfm_segmentation
+
+    _banded_shape(agg_rfm_segmentation(spark, SF_DIR), 3)
+
+
+def test_heaps_cumulatives_are_band_partitioned(spark):
+    from trike_spark.queries.text import text_heaps_law_fit
+
+    _banded_shape(text_heaps_law_fit(spark, SF_DIR), 1)
+
+
+def test_kmv_sketch_is_two_stage_takeordered(spark):
+    """Per-side K-smallest must run TakeOrdered-style: stage-1 window
+    keyed by (side, partition id), stage-2 merge keyed by side — no
+    unpartitioned window anywhere in the visible plan (the checkpointed
+    union merge runs over the ≤2K side-sketch rows)."""
+    from trike_spark.cache import release_checkpoints
+    from trike_spark.queries.sketches import sketch_kmv_setops
+
+    df = sketch_kmv_setops(spark, SF_DIR)
+    from trike_spark import plans as P
+
+    assert P.unpartitioned_window_count(df) == 0, P.window_partition_specs(df)
+    release_checkpoints()

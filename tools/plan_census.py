@@ -36,6 +36,13 @@ def census_for(df) -> dict[str, int]:
             tree.count(n)
             for n in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
         ),
+        # Unpartitioned WindowExec nodes: each collapses its input to ONE
+        # task. The committed counts are the allowlist — every remaining
+        # one sits on a bounded stats/sketch table (band offsets, ≤2K
+        # sketch rows, dimension summaries); adding a NEW one to any
+        # query fails the monotone census gate until consciously
+        # regenerated and justified.
+        "gwin": plans.unpartitioned_window_count(df),
     }
 
 

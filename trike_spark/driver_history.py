@@ -12,14 +12,15 @@ The sets below are transcribed from the committed correctness reports
 the export order cannot change any query's semantics, and every rotated
 query still carries the same oracle SQL. See docs/QUERY_ORDER.md.
 
-Round-5 state: registry = 332 names (the round-4 sessions kept adding after
-the 253-name note; round 5 adds 4 more). No ``CORRECTNESS_r04.json`` was
-ever recorded — the round-4 driver never ran its correctness pass — so
-DRIVER_VERIFIED still reflects r2+r3 only (81 names) and every
-WINDOW_PRIORITY entry remains unproven by a driver; they keep ranking
-first so the next driver window re-proves the names the r3 verdict asked
-for (tests/test_queries_smoke.py asserts they all fit in a 50-entry
-window). 251 names are fresh; coverage accumulates one window per round.
+Round-6 state: registry = 354 names at the end of round 5.
+``CORRECTNESS_r05.json`` landed 50/50 green — every r3-stale event/trike
+face, both semantics-changed LSH names, and the never-checked TPC-H
+classics re-proved — so DRIVER_VERIFIED is now r2+r3+r5 (131 names).
+WINDOW_PRIORITY is reseeded with the five faces whose plans round 6
+rewrites (r5 verdict "What's wrong": unpartitioned windows) so their NEW
+plans get a driver-green row; 223 names have never had any driver row and
+rotate in behind them. Coverage accumulates one 50-entry window per round
+(~5 rounds to exhaustion).
 """
 
 from __future__ import annotations
@@ -165,31 +166,83 @@ STALE_R04: frozenset[str] = frozenset(
     }
 )
 
-# Union of every name hard-verified by a past driver round and still valid.
-DRIVER_VERIFIED: frozenset[str] = (
-    (VERIFIED_R02 - STALE_R02) | VERIFIED_R03
-) - STALE_R04
-
-# Names the round-3 verdict asked to see driver-green in round 4: the
-# formerly-green-now-stale set above, the rest of the io-broken events
-# family, and the never-checked TPC-H classics. They rank FIRST within
-# their family's unverified bucket so a large family can't crowd them out
-# of the 50-entry window.
-WINDOW_PRIORITY: frozenset[str] = STALE_R02 | STALE_R04 | frozenset(
+# CORRECTNESS_r05.json — 50/50 green (rows + schema + hash). Includes the
+# 11 STALE_R02 re-proofs and both STALE_R04 LSH names, now valid again.
+VERIFIED_R05: frozenset[str] = frozenset(
     {
+        "agg_benford_first_digit",
+        "agg_bootstrap_ci_halfsample",
+        "agg_correlated_subquery",
+        "curation_chunk_overlap",
+        "curation_dedup_survivorship",
+        "dedup_cluster_size_histogram",
+        "dedup_containment_pairs",
+        "events_ab_lift",
+        "events_ab_power_mde",
+        "events_dedup_first_per_key",
+        "events_enrich_stream_static",
+        "events_interval_join_click_purchase",
+        "events_sessionization",
         "events_sliding_1h_30m",
         "events_tumbling_hourly",
         "events_unpivot_user_activity",
         "events_user_activity_pivot",
-        "trike_stale_sessions",
-        "scalar_json_funcs",
-        "scalar_udtf_tokenize",
+        "graph_bfs_distances",
+        "graph_common_neighbors_topk",
+        "join_asof_event_order",
+        "join_asof_forward_order_ship",
+        "join_asof_tolerance",
+        "multimodal_audio_frames",
+        "multimodal_corpus_report",
+        "pipeline_chunk_dedup",
+        "q11_important_stock",
+        "q18_large_volume_customers",
+        "q19_disjunctive_revenue",
+        "q22_idle_rich_customers",
         "q4_order_priority_check",
         "q5_revenue_by_nation",
         "q6_forecast_revenue",
         "q7_volume_shipping",
-        "q18_large_volume_customers",
-        "q19_disjunctive_revenue",
-        "q22_idle_rich_customers",
+        "scalar_interval_funcs",
+        "scalar_json_funcs",
+        "scalar_udtf_tokenize",
+        "scan_analyze_sampled",
+        "scan_json_roundtrip_events",
+        "setop_intersect_all",
+        "sim_bq_hamming_topk",
+        "sim_hybrid_rrf",
+        "sim_lsh_bucket_topk",
+        "sim_lsh_recall_at_k",
+        "sketch_ams_f2",
+        "trike_batch_encode",
+        "trike_cloud_event_project",
+        "trike_heartbeat_filter",
+        "trike_stale_sessions",
+        "window_cusum_drawdown",
+        "window_gap_fill_forward",
+    }
+)
+
+# Union of every name hard-verified by a past driver round and still valid.
+# The r5 window re-proved every stale name, so the stale subtractions are
+# re-added through VERIFIED_R05.
+DRIVER_VERIFIED: frozenset[str] = (
+    ((VERIFIED_R02 - STALE_R02) | VERIFIED_R03) - STALE_R04
+) | VERIFIED_R05
+
+# Round-6 window seed: the five faces whose plans this round rewrites from
+# unpartitioned global windows to banded/two-stage shapes (r5 verdict,
+# "What's wrong" §1-4). Same oracle hashes expected, but the PLANS are new,
+# so they rank first for a fresh driver-green row; the remaining 223
+# never-verified names fill the rest of the window. (The verdict's fourth
+# item says "text_ngram_novelty" but cites text.py:2127 — the unpartitioned
+# cumulative window lives in text_heaps_law_fit; novelty has no window.)
+WINDOW_PRIORITY: frozenset[str] = frozenset(
+    {
+        "events_lateness_report",
+        "sketch_kmv_setops",
+        "agg_mann_whitney_u",
+        "agg_rfm_segmentation",
+        "text_heaps_law_fit",
     }
 )

@@ -64,3 +64,55 @@ def wholestage_codegen_ids(df: DataFrame) -> set[str]:
 
 def scan_count(df: DataFrame) -> int:
     return plan_tree(df).count("Scan parquet")
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Top-level [...] group contents of a plan Arguments line (expression
+    text may nest brackets, so track depth instead of splitting)."""
+    depth = 0
+    groups: list[str] = []
+    start = 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """WindowExec nodes with NO partition spec — each one collapses its
+    whole input onto a single task (the classic global-window scale
+    killer). In ``explain("formatted")`` a Window node's Arguments line is
+    ``[exprs], [partition], [order]``; either trailing group may be absent.
+    A node is unpartitioned iff no plain-column partition group remains
+    after the exprs — i.e. it has only an order group (every order element
+    carries a NULLS FIRST/LAST marker) or nothing. Bounded inputs (sketch
+    registers, band stats) are the only sanctioned uses; the census
+    baseline is the allowlist."""
+    plan = formatted_plan(df)
+    n = 0
+    for m in re.finditer(r"\(\d+\) Window\s*\nInput[^\n]*\nArguments: ([^\n]*)", plan):
+        groups = _top_level_bracket_groups(m.group(1))
+        tail = groups[1:]
+        has_partition = any("NULLS" not in g for g in tail)
+        if not has_partition:
+            n += 1
+    return n
+
+
+def window_partition_specs(df: DataFrame) -> list[str]:
+    """Partition-spec text of every Window node ('' when unpartitioned) —
+    lets tests assert the heavy window runs keyed (e.g. by a band column)
+    while the only unpartitioned ones sit on bounded stats tables."""
+    plan = formatted_plan(df)
+    specs: list[str] = []
+    for m in re.finditer(r"\(\d+\) Window\s*\nInput[^\n]*\nArguments: ([^\n]*)", plan):
+        groups = _top_level_bracket_groups(m.group(1))
+        part = [g for g in groups[1:] if "NULLS" not in g]
+        specs.append(part[0] if part else "")
+    return specs

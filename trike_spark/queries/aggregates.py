@@ -434,6 +434,9 @@ def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- RFM customer segmentation ------------------------------------------------
 
 RFM_BINS = 5
+# Band width for the banded monetary ntile (monotone bucket of spend);
+# ~100s of bands at any SF — parallelism for the rank, stats stay tiny.
+RFM_MONETARY_BAND = 10_000
 
 
 @register(
@@ -471,13 +474,17 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     front-loaded by the same rule); monetary folds in exact DECIMAL and
     converts to double once at the end.
 
-    Scale shape: one shuffle on o_custkey builds the base; the three
-    ntiles are global windows — at 100 TB the production form switches
-    them to approx-percentile cutpoints (percentile_approx on three
-    columns, one pass, broadcast the 12 cut values) rather than a single-
-    partition sort; the per-segment rollup is a tiny keyed agg (≤125
-    cells). The face keeps exact ntile because the driver hash-verifies
-    positional assignment."""
+    Scale shape: one shuffle on o_custkey builds the base; each EXACT
+    ntile then runs BANDED (the window_equidepth_histogram skeleton) —
+    rows band by a monotone function of the ordering key (negated date /
+    frequency / monetary bucket so ascending band = the DESC order),
+    per-band counts become exclusive prefix offsets (a window over band
+    STATS only), the heavy row_number runs partitioned BY BAND, and
+    NTILE's front-loaded allocation is a closed-form integer expression
+    over (global rank, N). Equal ordering keys land in one band by
+    construction, so the distributed rank equals the oracle's NTILE input
+    rank exactly; parallelism is #bands per pass instead of 1, and the
+    per-segment rollup is a tiny keyed agg (≤125 cells)."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -486,18 +493,57 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("o_totalprice")).alias("monetary"),
     )
-    scored = base.select(
-        "custkey",
-        "monetary",
-        F.ntile(RFM_BINS)
-        .over(Window.orderBy(F.col("last_order").desc(), F.col("custkey")))
-        .alias("r_score"),
-        F.ntile(RFM_BINS)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("custkey")))
-        .alias("f_score"),
-        F.ntile(RFM_BINS)
-        .over(Window.orderBy(F.col("monetary").desc(), F.col("custkey")))
-        .alias("m_score"),
+
+    def banded_ntile(df, band_expr, order_cols, out):
+        """Exact NTILE(RFM_BINS) over ORDER BY order_cols, computed as
+        offset + per-band row_number with the allocation rule closed-form.
+        band_expr must be monotone non-decreasing along order_cols."""
+        b = df.withColumn("_band", band_expr.cast("long"))
+        stats = b.groupBy("_band").agg(F.count(F.lit(1)).alias("bn"))
+        w_off = Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+        w_all = Window.orderBy("_band").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = stats.select(
+            "_band",
+            F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("_off"),
+            F.sum("bn").over(w_all).alias("_N"),
+        )
+        ranked = b.join(F.broadcast(offsets), "_band").withColumn(
+            "_rk",
+            F.col("_off")
+            + F.row_number().over(Window.partitionBy("_band").orderBy(*order_cols)),
+        )
+        k = RFM_BINS
+        tile = F.expr(
+            f"""CASE WHEN _rk <= (_N % {k}) * (_N div {k} + 1)
+                     THEN (_rk - 1) div (_N div {k} + 1) + 1
+                     ELSE (_N % {k})
+                          + (_rk - (_N % {k}) * (_N div {k} + 1) - 1)
+                            div (_N div {k}) + 1
+                END"""
+        )
+        return ranked.withColumn(out, tile.cast("int")).drop(
+            "_band", "_off", "_N", "_rk"
+        )
+
+    scored = banded_ntile(
+        base,
+        -F.datediff(F.col("last_order"), F.lit("1992-01-01")),
+        [F.col("last_order").desc(), F.col("custkey")],
+        "r_score",
+    )
+    scored = banded_ntile(
+        scored,
+        -F.col("frequency"),
+        [F.col("frequency").desc(), F.col("custkey")],
+        "f_score",
+    )
+    scored = banded_ntile(
+        scored,
+        -F.floor(F.col("monetary") / RFM_MONETARY_BAND),
+        [F.col("monetary").desc(), F.col("custkey")],
+        "m_score",
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
@@ -1339,6 +1385,9 @@ def agg_lognormal_fit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MW_SEG_A = "AUTOMOBILE"
 MW_SEG_B = "FURNITURE"
+# Banded-rank band width over per-customer spend (monotone in x, so rank
+# ties — equal spends — never straddle bands); ~100s of bands at any SF.
+MW_BAND_WIDTH = 50_000.0
 
 
 @register(
@@ -1389,9 +1438,13 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ambiguity), midrank sums fold in exact DECIMAL (.0/.5 terms), and
     the z approximation is one pinned expression.
 
-    Scale shape: the spend rollup shuffles on custkey; the ranking runs
-    over the CUSTOMER dimension (the sanctioned dimension-sized global
-    window, same as Gini); 1-row output."""
+    Scale shape: the spend rollup shuffles on custkey; the global rank
+    is computed BANDED (the window_equidepth_histogram skeleton): rows
+    band by spend value (monotone), per-band counts become exclusive
+    prefix offsets (a window over band STATS), and rank() runs
+    partitioned BY BAND plus offset — ties share a spend value so they
+    can't straddle bands and min-rank semantics are preserved exactly.
+    Parallelism is #bands instead of 1; 1-row output."""
     from pyspark.sql import Window
 
     c = load_table(spark, sf_dir, "customer").filter(
@@ -1408,9 +1461,20 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_mktsegment").alias("seg"), "x")
     )
-    ranked = spend.select(
+    banded = spend.withColumn(
+        "band", F.floor(F.col("x") / MW_BAND_WIDTH).cast("long")
+    )
+    stats = banded.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        "band", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off")
+    )
+    ranked = banded.join(F.broadcast(offsets), "band").select(
         "seg",
-        F.rank().over(Window.orderBy("x")).alias("rk"),
+        (
+            F.col("off")
+            + F.rank().over(Window.partitionBy("band").orderBy("x"))
+        ).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy("x")).alias("cnt"),
     )
     mid = ranked.select(

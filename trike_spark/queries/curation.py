@@ -1783,7 +1783,7 @@ URL_N = 50  # customers emitting variant pairs
         SELECT c_custkey, url, proto, host, path,
                array_to_string(
                  list_sort(list_filter(string_split(query, '&'),
-                                       p -> p NOT LIKE 'utm_%')),
+                                       p -> NOT regexp_matches(p, '^utm_'))),
                  '&') AS cq
         FROM parts))
     SELECT canonical_url,

@@ -813,18 +813,35 @@ def events_lateness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report is how you pick it from the data instead of folklore
     (bucket 0 = in-order, 1 = ≤1 min late, 2 = ≤5 min, 3 = ≤1 h, 4 = worse).
 
-    Scale: the frontier is a running max over GLOBAL arrival order — a
-    single-partition window, the one shape we otherwise ban. Here it is
-    the honest semantics (there is ONE frontier) and the windowed pass
-    carries two longs per row; for 100 TB archives, compute per-shard
-    frontiers (partition by ingest shard — each shard has its own
-    watermark in Spark anyway) and this becomes an ordinary keyed
-    window; bucket thresholds and counts are integer-exact either way."""
+    Scale: there is ONE global frontier, but computing it does NOT need
+    a single-partition sort. Running max decomposes over contiguous
+    bands of the arrival order: band = the first two hex chars of the
+    arrival key (md5 prefix ⇒ bands ARE contiguous key ranges), so
+    frontier(row) = max(running max within its band, max over all
+    EARLIER bands). Pass 1 computes 256 per-band maxima (map-side
+    combined); pass 2 turns them into exclusive prefix maxima (a window
+    over 256 rows — band STATS, not data); pass 3 broadcasts the offsets
+    back and runs the heavy window partitioned BY BAND — parallelism is
+    #bands, not 1, and the shape survives 100 TB unchanged (the same
+    banded-rank skeleton as window_equidepth_histogram). In production
+    the band is the ingest shard id and pass 2 is the per-shard
+    watermark table Spark already maintains."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.orderBy(F.md5(F.col("event_id").cast("string"))).rowsBetween(
+    arr0 = e.select(
+        "ts", F.md5(F.col("event_id").cast("string")).alias("k")
+    ).withColumn("band", F.substring("k", 1, 2))
+    stats = arr0.groupBy("band").agg(F.max("ts").alias("band_max"))
+    w_prev = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        "band", F.max("band_max").over(w_prev).alias("prev_max")
+    )
+    w_band = Window.partitionBy("band").orderBy("k").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    arr = e.select("ts", F.max("ts").over(w).alias("frontier"))
+    arr = arr0.join(F.broadcast(offsets), "band").select(
+        "ts",
+        F.greatest(F.max("ts").over(w_band), F.col("prev_max")).alias("frontier"),
+    )
     lateness = F.col("frontier").cast("long") - F.col("ts").cast("long")
     late = arr.select(lateness.alias("lateness_s"))
     bucket = (
@@ -3468,8 +3485,8 @@ def events_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (Σw)²/Σw² — how many 'real' samples the reweighting left — and
     the max weight, the single number that says one rare action
     dominates the estimate. Behavior propensities are Laplace-smoothed
-    empirical shares (α={a}), the standard recovery when the logger
-    didn't record them.
+    empirical shares (α=IPS_ALPHA=10), the standard recovery when the
+    logger didn't record them.
 
     Determinism: per-action n/Σr are exact; weights are pinned doubles
     from exact counts; the |actions|-row folds quantize each term to
@@ -3479,9 +3496,7 @@ def events_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE map-side-combined |actions|-row aggregation over
     the archive, then arithmetic on ≤|actions| rows — the entire
     counterfactual readout costs one pass, which is why IPS variants
-    (not replayed simulations) are the 100 TB off-policy tool.""".replace(
-        "{a}", str(IPS_ALPHA)
-    )
+    (not replayed simulations) are the 100 TB off-policy tool."""
     e = load_table(spark, sf_dir, "events")
     acts = e.groupBy(F.col("event_type").alias("a")).agg(
         F.count(F.lit(1)).alias("n_a"),

@@ -428,7 +428,7 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     version, dimensions, frame count) so downstream partitioning,
     quota and decode-routing decisions join on integers instead of
     sniffing bytes. Here the payload is the established text-as-binary
-    stand-in and the 'header' is its leading {hdr} bytes under a
+    stand-in and the 'header' is its leading MM_HDR_BYTES=16 bytes under a
     fixed big-endian layout — the byte math (hex-pair slicing, base-16
     integer casts, length-derived frame count) is exactly what a real
     MP4/EXIF fixed-field parse compiles to, byte-exact and
@@ -438,7 +438,7 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one narrow projection fused into the scan — parsing
     cost rides the read, no shuffle, no Python; at 100 TB the catalog
-    pass is IO-bound by construction.""".replace("{hdr}", str(MM_HDR_BYTES))
+    pass is IO-bound by construction."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     p = d.select(
         "doc_id",

@@ -1319,12 +1319,17 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     are single pinned double expressions; exact control legs computed
     alongside (the face's honesty pattern).
 
-    Scale shape: per-side sketches are a (side)-keyed top-K — per-
-    partition heads then a K-row merge, never a global sort of the
-    corpus; everything downstream of the first distinct-hash pass is
-    K-row arithmetic. At 100 TB the sketches are kilobytes and union/
-    intersect/difference over ANY pair of precomputed side sketches costs
-    nothing — the segment-audience algebra pattern."""
+    Scale shape: per-side sketches are a (side)-keyed top-K computed the
+    TakeOrdered way — stage 1 keeps each PARTITION's K smallest (window
+    keyed by (side, partition id): parallelism = #partitions, and the
+    global K smallest necessarily survive any partition-local K filter),
+    stage 2 merges the ≤ K·P survivors per side (a bounded window, like
+    the union merge below which runs over the ≤ 2K side-sketch rows) —
+    never a global sort of the distinct-key universe. Everything
+    downstream of the first distinct-hash pass is K-row arithmetic. At
+    100 TB the sketches are kilobytes and union/intersect/difference
+    over ANY pair of precomputed side sketches costs nothing — the
+    segment-audience algebra pattern."""
     e = load_table(spark, sf_dir, "events")
     src = e.filter(
         (F.col("event_type") == "click") & (F.col("value") > KMV_THR)
@@ -1339,7 +1344,16 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     from pyspark.sql import Window
 
-    rk = h.withColumn(
+    heads = (
+        h.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("side", "pid").orderBy("h")),
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("side", "h")
+    )
+    rk = heads.withColumn(
         "rn", F.row_number().over(Window.partitionBy("side").orderBy("h"))
     )
     sk = cache.checkpoint(rk.filter(F.col("rn") <= KMV_K).select("side", "h"))
@@ -1490,9 +1504,6 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
     v = li.select(F.col("l_extendedprice").cast("double").alias("x"))
     n = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    import math
-
-    ln_g = math.log(DD_GAMMA)
     b = v.select(
         F.ceil(F.log(F.col("x")) / F.log(F.lit(DD_GAMMA))).cast("bigint").alias("bucket")
     ).groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))

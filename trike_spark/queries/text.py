@@ -2055,6 +2055,11 @@ def text_spearman_rank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Doc-id band width for the banded cumulative V(N)/N(N) series — ~100s of
+# bands at sf0.1; any width works, it only sets the rank parallelism.
+HEAPS_DOC_BAND = 256
+
+
 @register(
     "text_heaps_law_fit",
     """
@@ -2115,7 +2120,13 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal moments (the Zipf discipline).
 
     Scale shape: one token rollup (TF-IDF shuffle) + one doc-sized
-    series; windows over the document dimension."""
+    series whose two cumulatives run BANDED (the equidepth skeleton):
+    docs band by doc_id range, per-band token/new-type subtotals become
+    exclusive prefix offsets (a window over band STATS only), and the
+    per-row running sums are offset + a within-band cumulative window
+    partitioned BY BAND — the doc dimension never collapses to one
+    partition, which matters because at corpus scale the doc dimension
+    IS the fact table."""
     tok = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(_tokens()).alias("token")
     )
@@ -2124,14 +2135,31 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new")
     )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    series = (
+    banded = (
         sizes.join(news, "doc_id", "left")
         .select(
             "doc_id",
-            F.sum("n_tok").over(w).alias("big_n"),
-            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("v"),
+            "n_tok",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
         )
+        .withColumn("band", F.floor(F.col("doc_id") / HEAPS_DOC_BAND).cast("long"))
+    )
+    stats = banded.groupBy("band").agg(
+        F.sum("n_tok").alias("bt"), F.sum("n_new").alias("bv")
+    )
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        "band",
+        F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off_t"),
+        F.coalesce(F.sum("bv").over(w_off), F.lit(0)).alias("off_v"),
+    )
+    w_band = Window.partitionBy("band").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    series = banded.join(F.broadcast(offsets), "band").select(
+        "doc_id",
+        (F.col("off_t") + F.sum("n_tok").over(w_band)).alias("big_n"),
+        (F.col("off_v") + F.sum("n_new").over(w_band)).alias("v"),
     )
     pts = series.select(
         F.round(F.log(F.col("big_n").cast("double")), 9)
