@@ -229,5 +229,12 @@ def test_streaming_trending_twin_matches_batch_face(spark, tmp_path):
         q.awaitTermination(90)
     finally:
         q.stop()
-    got = {tuple(r) for r in spark.read.parquet(target).collect()}
+    # the sink publishes through the versioned layer by default: the
+    # serving table is a snapshot (atomic manifest flip), read via
+    # read_version, with a batchId stamped for replay dedup
+    from trike_spark import versioned as V
+
+    got = {tuple(r) for r in V.read_version(spark, target).collect()}
     assert got == batch
+    hist = V.history(target)
+    assert hist and all("batch_id" in m for m in hist)

@@ -51,5 +51,10 @@ def test_streaming_sprt_matches_batch_face(spark, tmp_path):
     )
     q.processAllAvailable()
     q.stop()
-    got = {tuple(r) for r in spark.read.parquet(target).collect()}
+    # decision table lands as a versioned snapshot (lakehouse default):
+    # read via read_version; history gives the when-did-we-cross audit
+    from trike_spark import versioned as V
+
+    got = {tuple(r) for r in V.read_version(spark, target).collect()}
     assert got == batch
+    assert V.history(target), "no versioned snapshot committed"

@@ -408,21 +408,27 @@ def trending_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 def trending_rank_sink(target_path: str, topk: int = 3):
     """foreachBatch half of the trending twin: rank the refreshed windowed
-    aggregate per window and OVERWRITE the serving table — the classic
-    'recompute the leaderboard on every refresh' publish, idempotent by
-    construction (same aggregate state → same table)."""
+    aggregate per window and publish the serving table — the classic
+    'recompute the leaderboard on every refresh'. The publish goes
+    through the versioned table layer (``foreach_batch_publisher``:
+    atomic snapshot flip, batchId-deduped replays, time-travelable
+    history) — the lakehouse contract is the default; read the
+    leaderboard with ``versioned.read_version(spark, target_path)``."""
     from pyspark.sql import Window
+
+    from trike_spark.versioned import foreach_batch_publisher
+
+    publish = foreach_batch_publisher(target_path)
 
     def apply(bdf: DataFrame, batch_id: int) -> None:
         w = Window.partitionBy("window_start").orderBy(
             F.col("n_events").desc(), F.col("event_type")
         )
-        (
+        ranked = (
             bdf.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= topk)
-            .write.mode("overwrite")
-            .parquet(target_path)
         )
+        publish(ranked, batch_id)
 
     return apply
 
@@ -532,18 +538,25 @@ def sprt_daily_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame
 
 def sprt_decision_sink(target_path: str, p0: float, delta: float, ln_bound: float):
     """foreachBatch half of the SPRT twin: fold the refreshed daily table
-    into the cumulative LLR trajectory and OVERWRITE the decision table —
-    same recompute-the-readout publish as the trending sink, idempotent by
-    construction. p0 is the frozen H0 rate (from the A arm's history or a
-    config), matching the batch face's pooled-A p0."""
+    into the cumulative LLR trajectory and publish the decision table —
+    same recompute-the-readout shape as the trending sink, landing
+    through the versioned layer (atomic snapshot flip, batchId-deduped,
+    time-travelable — an auditor can replay WHEN the boundary was
+    crossed, which for a sequential test is part of the result). p0 is
+    the frozen H0 rate (from the A arm's history or a config), matching
+    the batch face's pooled-A p0. Read with ``versioned.read_version``."""
     from pyspark.sql import Window
+
+    from trike_spark.versioned import foreach_batch_publisher
+
+    publish = foreach_batch_publisher(target_path)
 
     def apply(bdf: DataFrame, batch_id: int) -> None:
         w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
         llr = F.col("k_cum") * F.log(F.lit((p0 + delta) / p0)) + (
             F.col("n_cum") - F.col("k_cum")
         ) * F.log(F.lit((1.0 - p0 - delta) / (1.0 - p0)))
-        (
+        decisions = (
             bdf.select(
                 "day",
                 F.sum("n_day").over(w).cast("bigint").alias("n_cum"),
@@ -556,8 +569,7 @@ def sprt_decision_sink(target_path: str, p0: float, delta: float, ln_bound: floa
                 .when(F.col("llr") <= -ln_bound, "accept_h0")
                 .otherwise("continue"),
             )
-            .write.mode("overwrite")
-            .parquet(target_path)
         )
+        publish(decisions, batch_id)
 
     return apply

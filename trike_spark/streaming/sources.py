@@ -45,14 +45,33 @@ def fake_chunk_stream(
     rows_per_second: int = 1,
     n_connections: int = 4,
     heartbeat_every: int = 5,
+    bad_every: int = 0,
 ) -> DataFrame:
     """S3 fake source: deterministic canned OCS messages + periodic
-    heartbeats, EOT-terminated, spread over n_connections."""
+    heartbeats, EOT-terminated, spread over n_connections.
+
+    ``bad_every > 0`` adds the reference's ``--bad`` corruption leg
+    (fake_source.ex:60-97: every few ticks, 5 random bytes instead of a
+    line): ticks where ``value % bad_every == bad_every - 1`` emit 5
+    garbage bytes drawn deterministically from md5(value) — base64-coded
+    because the chunk column is a UTF-8 string, which also guarantees the
+    garbage contains no EOT and no comma (nothing downstream can mistake
+    it for a frame boundary or an OCS field list). Heartbeat ticks win,
+    like the reference's cond order. The proxy contract under corruption
+    is PASSTHROUGH: framing must neither wedge nor drop the session
+    (garbage re-arms the stale timer — proxy_test.exs stale-reset-on-
+    garbage), and the un-parseable frame is still forwarded as a
+    CloudEvent (trike never validates OCS content)."""
     msgs = F.array(*[F.lit(m) for m in CANNED_MESSAGES])
     rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
-    body = (
-        F.when(F.col("value") % heartbeat_every == 0, F.lit(HEARTBEAT))
-        .otherwise(F.element_at(msgs, (F.col("value") % len(CANNED_MESSAGES)).cast("int") + 1))
+    garbage = F.base64(
+        F.unhex(F.substring(F.md5(F.col("value").cast("string")), 1, 10))
+    )
+    body = F.when(F.col("value") % heartbeat_every == 0, F.lit(HEARTBEAT))
+    if bad_every > 0:
+        body = body.when(F.col("value") % bad_every == bad_every - 1, garbage)
+    body = body.otherwise(
+        F.element_at(msgs, (F.col("value") % len(CANNED_MESSAGES)).cast("int") + 1)
     )
     return rate.select(
         F.concat(F.lit("conn-"), (F.col("value") % n_connections).cast("string")).alias("conn_id"),
