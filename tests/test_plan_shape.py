@@ -588,3 +588,34 @@ def test_kmv_sketch_is_two_stage_takeordered(spark):
 
     assert P.unpartitioned_window_count(df) == 0, P.window_partition_specs(df)
     release_checkpoints()
+
+
+def test_gini_and_pareto_ranks_are_band_partitioned(spark):
+    """The customer-dimension rank/cumsum windows run banded — at
+    LLM-corpus scale the 'dimension' is billions of rows."""
+    from trike_spark.queries.aggregates import (
+        agg_gini_spend,
+        agg_pareto_revenue_share,
+    )
+
+    _banded_shape(agg_gini_spend(spark, SF_DIR), 1)
+    # pareto composes banded_rank + banded_cumsum: two stats windows
+    _banded_shape(agg_pareto_revenue_share(spark, SF_DIR), 2)
+
+
+def test_decile_lift_ntile_is_band_partitioned(spark):
+    """User-dimension decile cut via banded_ntile; the two remaining
+    unpartitioned windows run over the 10-row decile table + band stats."""
+    from trike_spark.queries.events import events_decile_lift_table
+
+    _banded_shape(events_decile_lift_table(spark, SF_DIR), 2)
+
+
+def test_uncertainty_sample_is_take_ordered(spark):
+    """Active-learning top-K must plan as TakeOrderedAndProject; the rank
+    window numbers only the K surviving rows (bounded pool)."""
+    from trike_spark import plans as P
+    from trike_spark.queries.curation import curation_uncertainty_sample
+
+    df = curation_uncertainty_sample(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in P.plan_tree(df), P.plan_tree(df)

@@ -1,0 +1,110 @@
+"""Generate an sf1.0-equivalent probe dataset (10x sf0.1) for the scale
+curvature measurement in docs/BENCH_NOTES.md.
+
+    python tools/gen_scale_probe.py [/tmp/sf1]
+
+This is TIMING data, not correctness data (the oracle gate stays on the
+driver-generated /root/testdata). The design goal is an honest scale-up:
+10x the rows with the SAME duplicate/cluster structure per unit of data —
+naive 10x replication would be wrong for the dedup/LSH family (every doc
+would gain 9 exact twins, turning candidate generation quadratic in the
+copy count, which measures duplication, not scale). Per copy i in 0..9:
+
+  * documents.text: per-copy Caesar substitution over letters only
+    (translate a..z -> rotated by i) — token counts, lengths, whitespace
+    and digits are preserved, but every shingle/minhash/simhash of copy i
+    differs from copy j, so cross-copy near-dup pairs are ~zero and the
+    dup structure grows linearly, like a real crawl 10x larger.
+  * embeddings.embedding: dimensions rotated by i positions — norms and
+    within-copy distances exact-preserved, cross-copy vectors decorrelated.
+  * fact/dim keys (doc_id, vec_id, event_id/user_id, *_key): shifted by
+    i * stride so each copy's join/graph structure is a disjoint replica.
+  * region/nation: NOT replicated — dimension tables don't grow with SF.
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+EMB_DIM = 64
+
+# id strides: a power of ten comfortably above each table's max id
+STRIDES = {
+    "doc_id": 10_000,
+    "vec_id": 10_000,
+    "event_id": 1_000_000,
+    "user_id": 10_000,
+    "o_orderkey": 1_000_000,
+    "l_orderkey": 1_000_000,
+    "o_custkey": 100_000,
+    "c_custkey": 100_000,
+    "l_partkey": 100_000,
+    "p_partkey": 100_000,
+    "l_suppkey": 10_000,
+    "s_suppkey": 10_000,
+}
+
+
+def main(out_dir: str = "/tmp/sf1") -> None:
+    from pyspark.sql import functions as F
+
+    from trike_spark.session import get_spark
+
+    spark = get_spark("gen-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out_dir, exist_ok=True)
+
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+
+    def copy_of(df, i: int, table: str):
+        out = df
+        for col in df.columns:
+            if col in STRIDES:
+                out = out.withColumn(col, F.col(col) + F.lit(i * STRIDES[col]))
+        if table == "documents":
+            rot = lower[i:] + lower[:i] + upper[i:] + upper[:i]
+            out = out.withColumn("text", F.translate("text", lower + upper, rot))
+        if table == "embeddings" and i % EMB_DIM:
+            j = i % EMB_DIM
+            out = out.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", j + 1, EMB_DIM - j),
+                    F.slice("embedding", 1, j),
+                ),
+            )
+        return out
+
+    for table in [
+        "documents",
+        "embeddings",
+        "events",
+        "lineitem",
+        "orders",
+        "customer",
+        "supplier",
+        "part",
+    ]:
+        src = spark.read.parquet(f"{SRC}/{table}.parquet")
+        full = copy_of(src, 0, table)
+        for i in range(1, COPIES):
+            full = full.unionByName(copy_of(src, i, table))
+        full.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+        print(f"{table}: {src.count()} -> {COPIES}x")
+
+    for table in ["region", "nation"]:
+        spark.read.parquet(f"{SRC}/{table}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{table}.parquet")
+        print(f"{table}: dimension copied as-is")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")

@@ -1,0 +1,159 @@
+"""Banded decomposition of global ordered windows — the shuffle-parallel
+form of ``OVER (ORDER BY ...)`` with no partition key.
+
+A bare global window collapses its whole input onto ONE task (Spark even
+warns: "No Partition Defined for Window operation"). But every running
+aggregate over a total order decomposes over contiguous bands of that
+order:
+
+    global_agg(row) = fold(per-band running agg, prefix-fold of whole
+                           EARLIER bands)
+
+so the heavy window can run partitioned BY BAND (parallelism = #bands)
+with only a bounded band-STATS table (one row per band) going through a
+tiny unpartitioned prefix window. This is the skeleton behind
+``window_equidepth_histogram`` (the repo's original instance), promoted
+here to a shared operator after the round-5 verdict flagged five faces
+that had re-grown the single-partition shape.
+
+Contract for ``band``: it must be a MONOTONE NON-DECREASING function of
+the ordering prefix, and rows that compare equal under ``order`` must
+share a band (automatic when the band is a function of the ordering key,
+e.g. ``floor(x / width)`` for ``ORDER BY x``). Then per-band results plus
+exclusive prefix offsets reproduce the global window exactly —
+rank/row_number/ntile stay integer-identical, sums stay fold-identical.
+
+At 100 TB the band plays the role of the range-partitioner's split
+points; #bands only sets parallelism and the stats table's size, so a few
+hundred to a few thousand is plenty. The census ``gwin`` metric counts
+the remaining unpartitioned windows; the ones these helpers emit run over
+the band-stats table only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BAND = "_band"
+_TMP = ("_band", "_off", "_N", "_rk")
+
+
+def _with_offsets(
+    df: DataFrame,
+    band: Column,
+    per_band: Column,
+    fold_prev,
+    zero: Column,
+    with_total: bool = False,
+) -> DataFrame:
+    """Attach `_band` and `_off` (the fold of whole earlier bands'
+    per-band aggregates; `zero` for the first band), plus `_N` (the fold
+    over ALL bands) when requested. The only unpartitioned window here
+    runs over the one-row-per-band stats table."""
+    banded = df.withColumn(_BAND, band)
+    stats = banded.groupBy(_BAND).agg(per_band.alias("_b"))
+    w_prev = Window.orderBy(_BAND).rowsBetween(Window.unboundedPreceding, -1)
+    cols = [F.col(_BAND), F.coalesce(fold_prev("_b").over(w_prev), zero).alias("_off")]
+    if with_total:
+        w_all = Window.orderBy(_BAND).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cols.append(fold_prev("_b").over(w_all).alias("_N"))
+    offsets = stats.select(*cols)
+    return banded.join(F.broadcast(offsets), _BAND)
+
+
+def _order_window(order: Sequence[Column | str]) -> Window:
+    return Window.partitionBy(_BAND).orderBy(*order)
+
+
+def banded_rank(
+    df: DataFrame,
+    band: Column,
+    order: Sequence[Column | str],
+    out: str = "rk",
+    kind: str = "row_number",
+) -> DataFrame:
+    """Exact global ``row_number()``/``rank()`` OVER (ORDER BY order) as
+    offset + per-band rank. ``kind='rank'`` keeps min-rank tie semantics
+    (ties can't straddle bands under the band contract)."""
+    fn = {"row_number": F.row_number, "rank": F.rank}[kind]
+    j = _with_offsets(df, band.cast("long"), F.count(F.lit(1)), F.sum, F.lit(0))
+    return j.withColumn(out, F.col("_off") + fn().over(_order_window(order))).drop(
+        *(c for c in _TMP if c != out)
+    )
+
+
+def banded_cumsum(
+    df: DataFrame,
+    band: Column,
+    order: Sequence[Column | str],
+    sums: dict[str, str],
+) -> DataFrame:
+    """Running SUMs over a global order: one stats pass carries every
+    measure's per-band subtotal; each output = earlier-band offset +
+    within-band cumulative (window partitioned by band)."""
+    banded = df.withColumn(_BAND, band.cast("long"))
+    stats = banded.groupBy(_BAND).agg(
+        *[F.sum(src).alias(f"_b_{out}") for out, src in sums.items()]
+    )
+    w_prev = Window.orderBy(_BAND).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        _BAND,
+        *[
+            F.coalesce(F.sum(f"_b_{out}").over(w_prev), F.lit(0)).alias(f"_off_{out}")
+            for out in sums
+        ],
+    )
+    w_band = _order_window(order).rowsBetween(Window.unboundedPreceding, 0)
+    j = banded.join(F.broadcast(offsets), _BAND)
+    for out, src in sums.items():
+        j = j.withColumn(out, F.col(f"_off_{out}") + F.sum(src).over(w_band))
+    return j.drop(_BAND, *[f"_off_{out}" for out in sums])
+
+
+def banded_cummax(
+    df: DataFrame,
+    band: Column,
+    order: Sequence[Column | str],
+    col: str,
+    out: str,
+) -> DataFrame:
+    """Running MAX over a global order (the watermark-frontier shape):
+    greatest(within-band running max, max over whole earlier bands).
+    ``greatest`` skips the NULL offset of the first band."""
+    j = _with_offsets(df, band, F.max(col), F.max, F.lit(None))
+    w_band = _order_window(order).rowsBetween(Window.unboundedPreceding, 0)
+    return j.withColumn(
+        out, F.greatest(F.max(col).over(w_band), F.col("_off"))
+    ).drop(_BAND, "_off")
+
+
+def banded_ntile(
+    df: DataFrame,
+    band: Column,
+    order: Sequence[Column | str],
+    k: int,
+    out: str,
+) -> DataFrame:
+    """Exact ``NTILE(k) OVER (ORDER BY order)``: banded global rank, then
+    NTILE's front-loaded allocation (first N mod k tiles get ceil(N/k))
+    as a closed-form integer expression over (rank, N)."""
+    j = _with_offsets(
+        df, band.cast("long"), F.count(F.lit(1)), F.sum, F.lit(0), with_total=True
+    )
+    ranked = j.withColumn(
+        "_rk", F.col("_off") + F.row_number().over(_order_window(order))
+    )
+    tile = F.expr(
+        f"""CASE WHEN _rk <= (_N % {k}) * (_N div {k} + 1)
+                 THEN (_rk - 1) div (_N div {k} + 1) + 1
+                 ELSE (_N % {k})
+                      + (_rk - (_N % {k}) * (_N div {k} + 1) - 1)
+                        div (_N div {k}) + 1
+            END"""
+    )
+    return ranked.withColumn(out, tile.cast("int")).drop(*_TMP)

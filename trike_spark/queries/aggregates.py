@@ -475,8 +475,8 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     converts to double once at the end.
 
     Scale shape: one shuffle on o_custkey builds the base; each EXACT
-    ntile then runs BANDED (the window_equidepth_histogram skeleton) —
-    rows band by a monotone function of the ordering key (negated date /
+    ntile then runs BANDED (``operators/banded.banded_ntile``) — rows
+    band by a monotone function of the ordering key (negated date /
     frequency / monetary bucket so ascending band = the DESC order),
     per-band counts become exclusive prefix offsets (a window over band
     STATS only), the heavy row_number runs partitioned BY BAND, and
@@ -485,7 +485,7 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so the distributed rank equals the oracle's NTILE input
     rank exactly; parallelism is #bands per pass instead of 1, and the
     per-segment rollup is a tiny keyed agg (≤125 cells)."""
-    from pyspark.sql import Window
+    from trike_spark.operators.banded import banded_ntile
 
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -493,56 +493,25 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("o_totalprice")).alias("monetary"),
     )
-
-    def banded_ntile(df, band_expr, order_cols, out):
-        """Exact NTILE(RFM_BINS) over ORDER BY order_cols, computed as
-        offset + per-band row_number with the allocation rule closed-form.
-        band_expr must be monotone non-decreasing along order_cols."""
-        b = df.withColumn("_band", band_expr.cast("long"))
-        stats = b.groupBy("_band").agg(F.count(F.lit(1)).alias("bn"))
-        w_off = Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
-        w_all = Window.orderBy("_band").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        offsets = stats.select(
-            "_band",
-            F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("_off"),
-            F.sum("bn").over(w_all).alias("_N"),
-        )
-        ranked = b.join(F.broadcast(offsets), "_band").withColumn(
-            "_rk",
-            F.col("_off")
-            + F.row_number().over(Window.partitionBy("_band").orderBy(*order_cols)),
-        )
-        k = RFM_BINS
-        tile = F.expr(
-            f"""CASE WHEN _rk <= (_N % {k}) * (_N div {k} + 1)
-                     THEN (_rk - 1) div (_N div {k} + 1) + 1
-                     ELSE (_N % {k})
-                          + (_rk - (_N % {k}) * (_N div {k} + 1) - 1)
-                            div (_N div {k}) + 1
-                END"""
-        )
-        return ranked.withColumn(out, tile.cast("int")).drop(
-            "_band", "_off", "_N", "_rk"
-        )
-
     scored = banded_ntile(
         base,
         -F.datediff(F.col("last_order"), F.lit("1992-01-01")),
         [F.col("last_order").desc(), F.col("custkey")],
+        RFM_BINS,
         "r_score",
     )
     scored = banded_ntile(
         scored,
         -F.col("frequency"),
         [F.col("frequency").desc(), F.col("custkey")],
+        RFM_BINS,
         "f_score",
     )
     scored = banded_ntile(
         scored,
         -F.floor(F.col("monetary") / RFM_MONETARY_BAND),
         [F.col("monetary").desc(), F.col("custkey")],
+        RFM_BINS,
         "m_score",
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
@@ -594,14 +563,16 @@ def agg_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("spend"))
     tot = spend.agg(F.sum("spend").alias("total"), F.count(F.lit(1)).alias("n"))
+    # both the global row_number and the running decimal sum run BANDED
+    # (operators/banded): band = negated spend bucket, monotone along the
+    # DESC order, so the two per-band windows share one band partitioning
     order = [F.col("spend").desc(), F.col("o_custkey")]
-    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = spend.crossJoin(broadcast(tot)).select(
-        F.row_number().over(Window.orderBy(*order)).alias("rk"),
-        F.sum("spend").over(w_cum).alias("cum"),
-        "total",
-        "n",
-    )
+    band = -F.floor(F.col("spend") / 10_000)
+    from trike_spark.operators.banded import banded_cumsum, banded_rank
+
+    ranked = banded_cumsum(
+        banded_rank(spend, band, order, out="rk"), band, order, {"cum": "spend"}
+    ).crossJoin(broadcast(tot)).select("rk", "cum", "total", "n")
     return (
         ranked.filter(F.lit(5) * F.col("cum") >= F.lit(4) * F.col("total"))
         .agg(
@@ -727,18 +698,22 @@ def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL (rank × decimal is exact), and the Gini formula is one pinned
     double expression — same discipline as the OLS faces.
 
-    Scale shape: one o_custkey shuffle, then a dimension-sized ranking
-    window (customers, not facts) and a 1-row reduce; at 100 TB the
-    ranking becomes a two-pass range-partitioned sort with per-partition
-    offset fixup — the standard distributed rank, same output."""
-    from pyspark.sql import Window
+    Scale shape: one o_custkey shuffle, then the dimension-sized ranking
+    runs BANDED (``operators/banded.banded_rank``) — per-band counts to
+    prefix offsets, row_number partitioned by spend band — because at
+    LLM-corpus scale the 'customer dimension' is billions of sources and
+    a single-partition sort is exactly the shape the gwin lint bans;
+    1-row reduce output."""
+    from trike_spark.operators.banded import banded_rank
 
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("spend"))
-    ranked = spend.select(
-        "spend",
-        F.row_number().over(Window.orderBy(F.col("spend"), F.col("o_custkey"))).alias("i"),
-    )
+    ranked = banded_rank(
+        spend,
+        F.floor(F.col("spend") / 10_000),
+        [F.col("spend"), F.col("o_custkey")],
+        out="i",
+    ).select("spend", "i")
     s = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("spend").cast("double").alias("total"),
@@ -1439,13 +1414,16 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     the z approximation is one pinned expression.
 
     Scale shape: the spend rollup shuffles on custkey; the global rank
-    is computed BANDED (the window_equidepth_histogram skeleton): rows
-    band by spend value (monotone), per-band counts become exclusive
-    prefix offsets (a window over band STATS), and rank() runs
-    partitioned BY BAND plus offset — ties share a spend value so they
-    can't straddle bands and min-rank semantics are preserved exactly.
-    Parallelism is #bands instead of 1; 1-row output."""
+    is computed BANDED (``operators/banded.banded_rank``, the
+    window_equidepth_histogram skeleton): rows band by spend value
+    (monotone), per-band counts become exclusive prefix offsets (a
+    window over band STATS), and rank() runs partitioned BY BAND plus
+    offset — ties share a spend value so they can't straddle bands and
+    min-rank semantics are preserved exactly. Parallelism is #bands
+    instead of 1; 1-row output."""
     from pyspark.sql import Window
+
+    from trike_spark.operators.banded import banded_rank
 
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B)
@@ -1461,20 +1439,11 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_mktsegment").alias("seg"), "x")
     )
-    banded = spend.withColumn(
-        "band", F.floor(F.col("x") / MW_BAND_WIDTH).cast("long")
-    )
-    stats = banded.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
-    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = stats.select(
-        "band", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off")
-    )
-    ranked = banded.join(F.broadcast(offsets), "band").select(
+    ranked = banded_rank(
+        spend, F.floor(F.col("x") / MW_BAND_WIDTH), ["x"], out="rk", kind="rank"
+    ).select(
         "seg",
-        (
-            F.col("off")
-            + F.rank().over(Window.partitionBy("band").orderBy("x"))
-        ).alias("rk"),
+        "rk",
         F.count(F.lit(1)).over(Window.partitionBy("x")).alias("cnt"),
     )
     mid = ranked.select(

@@ -2031,10 +2031,11 @@ def curation_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pinned double; ties break on doc_id; top-K is rank ≤ K.
 
     Scale shape: the scorer is the audited zero-shuffle projection; the
-    only wide operation is a top-K by smallest distance — per-partition
-    heads + driver merge (TakeOrdered semantics via the rank window at
-    sf-test size; production flips to ``orderBy(...).limit(K)`` which
-    Spark plans as TakeOrderedAndProject)."""
+    only wide operation is a top-K by smallest distance, planned as
+    TakeOrderedAndProject (``orderBy(...).limit(K)`` — per-partition
+    heads, never a global sort); the rank window that numbers the batch
+    runs over the K surviving rows only (the bounded-pool pattern the
+    RRF face uses)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     w_sum = F.aggregate(
@@ -2055,10 +2056,10 @@ def curation_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.abs(F.col("w_sum")).cast("double") / F.col("n_tokens")).alias("dist"),
     )
+    pool = scored.orderBy(F.col("dist"), "doc_id").limit(AL_BATCH_K)
     w = Window.orderBy(F.col("dist"), "doc_id")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= AL_BATCH_K)
+        pool.withColumn("rk", F.row_number().over(w))
         .select(
             "doc_id",
             "lang",

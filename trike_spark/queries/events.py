@@ -826,22 +826,13 @@ def events_lateness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded-rank skeleton as window_equidepth_histogram). In production
     the band is the ingest shard id and pass 2 is the per-shard
     watermark table Spark already maintains."""
+    from trike_spark.operators.banded import banded_cummax
+
     e = load_table(spark, sf_dir, "events")
-    arr0 = e.select(
-        "ts", F.md5(F.col("event_id").cast("string")).alias("k")
-    ).withColumn("band", F.substring("k", 1, 2))
-    stats = arr0.groupBy("band").agg(F.max("ts").alias("band_max"))
-    w_prev = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = stats.select(
-        "band", F.max("band_max").over(w_prev).alias("prev_max")
-    )
-    w_band = Window.partitionBy("band").orderBy("k").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    arr = arr0.join(F.broadcast(offsets), "band").select(
-        "ts",
-        F.greatest(F.max("ts").over(w_band), F.col("prev_max")).alias("frontier"),
-    )
+    arr0 = e.select("ts", F.md5(F.col("event_id").cast("string")).alias("k"))
+    arr = banded_cummax(
+        arr0, F.substring("k", 1, 2), ["k"], "ts", "frontier"
+    ).select("ts", "frontier")
     lateness = F.col("frontier").cast("long") - F.col("ts").cast("long")
     late = arr.select(lateness.alias("lateness_s"))
     bucket = (
@@ -2477,8 +2468,13 @@ def events_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: counts exact; the ntile carries a user_id tie-break;
     rates/lift are pinned divisions. Scale shape: one user_id rollup,
-    then the ranking window over the USER dimension, a 10-row rollup,
-    and windows over the 10-row decile table."""
+    then the USER-dimension decile cut runs BANDED
+    (``operators/banded.banded_ntile``: band = negated engagement, so
+    equal scores share a band and the heavy row_number is keyed by band,
+    not global — at LLM scale the user dimension IS a fact table), a
+    10-row rollup, and windows over the 10-row decile table."""
+    from trike_spark.operators.banded import banded_ntile
+
     e = load_table(spark, sf_dir, "events")
     usr = e.groupBy("user_id").agg(
         F.sum(
@@ -2488,13 +2484,13 @@ def events_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "converted"
         ),
     )
-    scored = usr.select(
-        "engagement",
-        "converted",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("engagement").desc(), F.col("user_id")))
-        .alias("decile"),
-    )
+    scored = banded_ntile(
+        usr,
+        -F.col("engagement"),
+        [F.col("engagement").desc(), F.col("user_id")],
+        10,
+        "decile",
+    ).select("engagement", "converted", "decile")
     base = scored.agg(
         (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("base_rate")
     )

@@ -2135,32 +2135,19 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new")
     )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    banded = (
-        sizes.join(news, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tok",
-            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
-        )
-        .withColumn("band", F.floor(F.col("doc_id") / HEAPS_DOC_BAND).cast("long"))
-    )
-    stats = banded.groupBy("band").agg(
-        F.sum("n_tok").alias("bt"), F.sum("n_new").alias("bv")
-    )
-    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = stats.select(
-        "band",
-        F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off_t"),
-        F.coalesce(F.sum("bv").over(w_off), F.lit(0)).alias("off_v"),
-    )
-    w_band = Window.partitionBy("band").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    series = banded.join(F.broadcast(offsets), "band").select(
+    from trike_spark.operators.banded import banded_cumsum
+
+    joined = sizes.join(news, "doc_id", "left").select(
         "doc_id",
-        (F.col("off_t") + F.sum("n_tok").over(w_band)).alias("big_n"),
-        (F.col("off_v") + F.sum("n_new").over(w_band)).alias("v"),
+        "n_tok",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
     )
+    series = banded_cumsum(
+        joined,
+        F.floor(F.col("doc_id") / HEAPS_DOC_BAND),
+        ["doc_id"],
+        {"big_n": "n_tok", "v": "n_new"},
+    ).select("doc_id", "big_n", "v")
     pts = series.select(
         F.round(F.log(F.col("big_n").cast("double")), 9)
         .cast("decimal(18,9)")
