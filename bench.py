@@ -87,6 +87,11 @@ HEADLINE = [
     "sim_ivfpq_adc_topk",
     "graph_kcore_peeling",
     "sketch_threshold_topk",
+    # round-6 additions: faces rewritten onto operators/banded.py — keep
+    # the banded plans' cost visible round-over-round
+    "agg_rfm_segmentation",
+    "join_nearest_acctbal",
+    "text_zipf_slope",
 ]
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from trike_spark.operators.banded import (
+    banded_fill,
     banded_cummax,
     banded_cumsum,
     banded_ntile,
@@ -111,3 +112,56 @@ def test_banded_string_band_cummax(spark):
     want = df.select("k", F.max("x").over(w).alias("m"))
     got = banded_cummax(df, F.substring("k", 1, 1), ["k"], "x", "m").select("k", "m")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@pytest.mark.parametrize("width", WIDTHS)
+@pytest.mark.parametrize("direction", ["prev", "next"])
+def test_banded_fill_matches_global(spark, data, width, direction):
+    """Running IGNORE NULLS fill (the 1-NN / as-of adjacency shape):
+    value is null on ~half the rows; banded fill must equal the bare
+    exclusive-frame last/first ignore-nulls window."""
+    order = [F.col("v"), F.col("id")]
+    val = F.when(F.col("id") % 2 == 0, F.col("w"))
+    if direction == "prev":
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+        want = data.select("id", F.last(val, ignorenulls=True).over(w).alias("f"))
+    else:
+        w = Window.orderBy(*order).rowsBetween(1, Window.unboundedFollowing)
+        want = data.select("id", F.first(val, ignorenulls=True).over(w).alias("f"))
+    got = banded_fill(
+        data, F.floor(F.col("v") / width), order, val, "f", direction=direction
+    ).select("id", "f")
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )
+
+
+@pytest.mark.parametrize("width", WIDTHS)
+def test_banded_cummax_exclusive_matches_global(spark, data, width):
+    order = [F.col("v"), F.col("id")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    want = data.select("id", F.max("w").over(w).alias("m"))
+    got = banded_cummax(
+        data, F.floor(F.col("v") / width), order, "w", "m", inclusive=False
+    ).select("id", "m")
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )
+
+
+def test_banded_struct_band_rank(spark, data):
+    """Composite struct bands (the Zipf (-freq, token-prefix) pattern)."""
+    order = [F.col("v").desc(), F.col("id")]
+    band = F.struct((-F.col("v")).alias("nv"), (F.col("id") % 3).alias("sub"))
+    want = data.select(
+        "id", F.row_number().over(Window.orderBy(*order)).alias("rk")
+    )
+    got = banded_rank(data, band, order, out="rk").select("id", "rk")
+    # (id % 3) is NOT monotone within ties of v... but within a tie of v
+    # the order continues by id, and sub-banding by id%3 breaks it — this
+    # must FAIL, proving the monotone-band contract is load-bearing.
+    assert sorted(map(tuple, got.collect())) != sorted(map(tuple, want.collect()))
+    # a contract-respecting sub-band (id bucket, monotone within v ties)
+    band_ok = F.struct((-F.col("v")).alias("nv"), F.floor(F.col("id") / 100).alias("sub"))
+    got_ok = banded_rank(data, band_ok, order, out="rk").select("id", "rk")
+    assert sorted(map(tuple, got_ok.collect())) == sorted(map(tuple, want.collect()))

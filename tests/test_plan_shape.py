@@ -494,16 +494,20 @@ def test_max_by_top1_partial_agg_no_window(spark):
 
 
 def test_nearest_join_is_sort_not_join(spark):
-    """The sort-merge 1-NN form must contain NO join operator at all —
-    the union + ordered window IS the algorithm; a SortMergeJoin or
-    BroadcastHashJoin would mean the band-join formulation snuck back."""
+    """The sort-merge 1-NN form must contain NO data-sized join — the
+    union + ordered fill IS the algorithm; a SortMergeJoin would mean
+    the band-join formulation snuck back. Since round 6 the fills run
+    banded (operators/banded.banded_fill), so the ONLY joins allowed are
+    the two broadcasts of the band-stats offset tables, and the heavy
+    windows are band-partitioned."""
     from trike_spark.queries.joins import join_nearest_acctbal
 
     df = join_nearest_acctbal(spark, SF_DIR)
     tree = plans.plan_tree(df)
     assert "SortMergeJoin" not in tree, tree
-    assert "BroadcastHashJoin" not in tree, tree
     assert "Window" in tree, tree
+    assert plans.broadcast_join_count(df) <= 2, tree
+    assert any("band" in s for s in plans.window_partition_specs(df) if s)
 
 
 def test_bm25_topk_is_take_ordered_with_broadcasts(spark):

@@ -81,7 +81,7 @@ def banded_rank(
     offset + per-band rank. ``kind='rank'`` keeps min-rank tie semantics
     (ties can't straddle bands under the band contract)."""
     fn = {"row_number": F.row_number, "rank": F.rank}[kind]
-    j = _with_offsets(df, band.cast("long"), F.count(F.lit(1)), F.sum, F.lit(0))
+    j = _with_offsets(df, band, F.count(F.lit(1)), F.sum, F.lit(0))
     return j.withColumn(out, F.col("_off") + fn().over(_order_window(order))).drop(
         *(c for c in _TMP if c != out)
     )
@@ -96,7 +96,7 @@ def banded_cumsum(
     """Running SUMs over a global order: one stats pass carries every
     measure's per-band subtotal; each output = earlier-band offset +
     within-band cumulative (window partitioned by band)."""
-    banded = df.withColumn(_BAND, band.cast("long"))
+    banded = df.withColumn(_BAND, band)
     stats = banded.groupBy(_BAND).agg(
         *[F.sum(src).alias(f"_b_{out}") for out, src in sums.items()]
     )
@@ -121,15 +121,92 @@ def banded_cummax(
     order: Sequence[Column | str],
     col: str,
     out: str,
+    inclusive: bool = True,
 ) -> DataFrame:
     """Running MAX over a global order (the watermark-frontier shape):
     greatest(within-band running max, max over whole earlier bands).
-    ``greatest`` skips the NULL offset of the first band."""
+    ``greatest`` skips NULLs, so the first band's missing offset and —
+    with ``inclusive=False`` (the skyline-frontier ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING frame) — each band's NULL
+    first-row max both fold away; a global first row with no
+    predecessors stays NULL, matching the bare window exactly."""
     j = _with_offsets(df, band, F.max(col), F.max, F.lit(None))
-    w_band = _order_window(order).rowsBetween(Window.unboundedPreceding, 0)
+    hi = 0 if inclusive else -1
+    w_band = _order_window(order).rowsBetween(Window.unboundedPreceding, hi)
     return j.withColumn(
         out, F.greatest(F.max(col).over(w_band), F.col("_off"))
     ).drop(_BAND, "_off")
+
+
+_FILL_MODES = {
+    "prev": (F.max_by, F.last, (Window.unboundedPreceding, -1)),
+    "next": (F.min_by, F.first, (1, Window.unboundedFollowing)),
+}
+
+
+def banded_fills(
+    df: DataFrame,
+    band: Column,
+    order: Sequence[Column | str],
+    specs: Sequence[tuple[Column, str, str]],
+) -> DataFrame:
+    """Running IGNORE NULLS fills over a global order — the sort-merge
+    1-NN / as-of adjacency shape. Each spec is ``(value, out,
+    direction)``: ``'prev'`` gives each row the LAST non-null ``value``
+    strictly BEFORE it (ROWS UNBOUNDED PRECEDING TO 1 PRECEDING),
+    ``'next'`` the FIRST strictly after. Decomposition: per-band boundary
+    values (max_by/min_by over the order key, null-value rows skipped) ->
+    running ignore-nulls fill over the band-STATS table ->
+    coalesce(within-band exclusive fill, band offset). All specs share
+    ONE stats pass, ONE broadcast, and one band partitioning of the data
+    (a prev+next pair costs the same shuffle as either alone). ``order``
+    must be plain ASCENDING expressions (the boundary agg compares the
+    order key as a struct)."""
+    okey = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order])
+    banded = df.withColumn(_BAND, band)
+    aggs = []
+    for i, (value, _out, direction) in enumerate(specs):
+        boundary = _FILL_MODES[direction][0]
+        banded = banded.withColumn(f"_v{i}", value)
+        aggs.append(
+            boundary(
+                f"_v{i}", F.when(F.col(f"_v{i}").isNotNull(), okey)
+            ).alias(f"_b{i}")
+        )
+    stats = banded.groupBy(_BAND).agg(*aggs)
+    off_cols = []
+    for i, (_value, _out, direction) in enumerate(specs):
+        fill, hi = _FILL_MODES[direction][1:]
+        w_stats = Window.orderBy(_BAND).rowsBetween(*hi)
+        off_cols.append(
+            fill(f"_b{i}", ignorenulls=True).over(w_stats).alias(f"_off{i}")
+        )
+    offs = stats.select(_BAND, *off_cols)
+    out = banded.join(F.broadcast(offs), _BAND)
+    drop = [_BAND]
+    for i, (_value, out_col, direction) in enumerate(specs):
+        fill, hi = _FILL_MODES[direction][1:]
+        w_band = _order_window(order).rowsBetween(*hi)
+        out = out.withColumn(
+            out_col,
+            F.coalesce(fill(f"_v{i}", ignorenulls=True).over(w_band), F.col(f"_off{i}")),
+        )
+        drop += [f"_v{i}", f"_off{i}"]
+    return out.drop(*drop)
+
+
+def banded_fill(
+    df: DataFrame,
+    band: Column,
+    order: Sequence[Column | str],
+    value: Column,
+    out: str,
+    direction: str = "prev",
+) -> DataFrame:
+    """Single-spec convenience wrapper over :func:`banded_fills`."""
+    if direction not in _FILL_MODES:
+        raise ValueError(f"direction must be prev|next, got {direction!r}")
+    return banded_fills(df, band, order, [(value, out, direction)])
 
 
 def banded_ntile(
@@ -142,9 +219,7 @@ def banded_ntile(
     """Exact ``NTILE(k) OVER (ORDER BY order)``: banded global rank, then
     NTILE's front-loaded allocation (first N mod k tiles get ceil(N/k))
     as a closed-form integer expression over (rank, N)."""
-    j = _with_offsets(
-        df, band.cast("long"), F.count(F.lit(1)), F.sum, F.lit(0), with_total=True
-    )
+    j = _with_offsets(df, band, F.count(F.lit(1)), F.sum, F.lit(0), with_total=True)
     ranked = j.withColumn(
         "_rk", F.col("_off") + F.row_number().over(_order_window(order))
     )

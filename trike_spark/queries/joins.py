@@ -573,11 +573,15 @@ def join_nearest_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered value domain. Ties break toward the smaller customer key,
     so the match is total-order deterministic.
 
-    Scale shape: sort is Spark's scalable range-exchange; the window
-    frames are running (incrementally maintained, no re-scan per row).
-    The single global ordering is over BOTH dimensions' union — at fact
-    scale, range-partition the window by value band with boundary
-    overlap, the standard distributed-window split."""
+    Scale shape: the running IGNORE NULLS fills execute BANDED
+    (``operators/banded.banded_fill``): the union range-partitions into
+    balance bands, per-band boundary customers fold to a broadcast
+    band-stats fill, and each row coalesces its within-band exclusive
+    fill with the earlier-bands offset — the 'range-partition with
+    boundary overlap' split the docstring used to footnote, now the
+    executed plan."""
+    from trike_spark.operators.banded import banded_fills
+
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("id"), F.col("s_acctbal").alias("bal"), F.lit(1).alias("is_s")
     )
@@ -586,18 +590,18 @@ def join_nearest_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = s.unionAll(c)
     order = [F.col("bal"), F.col("is_s"), F.col("id")]
-    w_prev = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
-    w_next = Window.orderBy(*order).rowsBetween(1, Window.unboundedFollowing)
-    cust_id = F.when(F.col("is_s") == 0, F.col("id"))
-    cust_bal = F.when(F.col("is_s") == 0, F.col("bal"))
-    ordered = u.select(
+    band = F.floor(F.col("bal") / 100)
+    cust = F.when(F.col("is_s") == 0, F.struct(F.col("id"), F.col("bal")))
+    ordered = banded_fills(
+        u, band, order, [(cust, "_prev", "prev"), (cust, "_next", "next")]
+    ).select(
         "id",
         "bal",
         "is_s",
-        F.last(cust_id, ignorenulls=True).over(w_prev).alias("prev_c"),
-        F.last(cust_bal, ignorenulls=True).over(w_prev).alias("prev_b"),
-        F.first(cust_id, ignorenulls=True).over(w_next).alias("next_c"),
-        F.first(cust_bal, ignorenulls=True).over(w_next).alias("next_b"),
+        F.col("_prev.id").alias("prev_c"),
+        F.col("_prev.bal").alias("prev_b"),
+        F.col("_next.id").alias("next_c"),
+        F.col("_next.bal").alias("next_b"),
     )
     prev_d = F.abs(F.col("bal") - F.col("prev_b"))
     next_d = F.abs(F.col("next_b") - F.col("bal"))
@@ -657,9 +661,14 @@ def join_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     Scale shape: the metric build is one keyed aggregation; the frontier
-    pass is a dimension-sized sort + running max (suppliers, not facts).
-    At fact scale the same pass range-partitions on dim-1 with per-
-    partition max fixup — the standard distributed-skyline split."""
+    pass is the exclusive running max over dim-1 order, run BANDED
+    (``operators/banded.banded_cummax(inclusive=False)``): acctbal bands
+    range-partition dim-1, per-band maxima fold to broadcast prefix
+    offsets, and the per-row exclusive max is
+    greatest(within-band-exclusive, earlier-bands) — the standard
+    distributed-skyline split, executed rather than footnoted."""
+    from trike_spark.operators.banded import banded_cummax
+
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     m = (
@@ -667,10 +676,14 @@ def join_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_acctbal")
         .agg(F.countDistinct("l_partkey").alias("n_parts"))
     )
-    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey")).rowsBetween(
-        Window.unboundedPreceding, -1
+    ranked = banded_cummax(
+        m,
+        -F.floor(F.col("s_acctbal") / 100),
+        [F.col("s_acctbal").desc(), F.col("s_suppkey")],
+        "n_parts",
+        "best_parts_above",
+        inclusive=False,
     )
-    ranked = m.withColumn("best_parts_above", F.max("n_parts").over(w))
     return (
         ranked.filter(
             F.col("best_parts_above").isNull()

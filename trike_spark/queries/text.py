@@ -1479,18 +1479,28 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums — the same discipline as scalar_ols_trend_applyinpandas, but
     expressed entirely JVM-side.
 
-    Scale shape: term frequency is the canonical map-side-combine shuffle;
-    ranking is one global sort of the VOCABULARY (|V| rows, not corpus
-    rows); the moments reduce to a single row. At 100 TB only |V| survives
-    the first aggregation — the corpus itself is touched once."""
+    Scale shape: term frequency is the canonical map-side-combine
+    shuffle; the vocabulary ranking runs BANDED
+    (``operators/banded.banded_rank``) with a COMPOSITE band
+    (-freq, first token char): Zipf's tail puts half of |V| at freq=1,
+    so banding on frequency alone would collapse the hapax band onto one
+    task — sub-banding the constant-freq runs by token prefix is still
+    monotone along (freq DESC, token ASC) and keeps every band small.
+    The moments reduce to a single row; at 100 TB only |V| survives the
+    first aggregation — the corpus itself is touched once."""
+    from trike_spark.operators.banded import banded_rank
+
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(_tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
-    pts = freq.withColumn("rk", F.row_number().over(w)).select(
+    band = F.struct(
+        (-F.col("freq")).alias("nf"), F.substring("token", 1, 1).alias("p")
+    )
+    order = [F.col("freq").desc(), F.col("token")]
+    pts = banded_rank(freq, band, order, out="rk").select(
         F.round(F.log(F.col("rk").cast("double")), 6).cast("decimal(18,6)").alias("x"),
         F.round(F.log(F.col("freq").cast("double")), 6).cast("decimal(18,6)").alias("y"),
     )
@@ -2011,8 +2021,12 @@ def text_spearman_rank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     midrank machinery pointed at a correlation.
 
     Scale shape: two filtered token rollups, an equi-join on the token
-    key, ranking windows over the shared-VOCABULARY dimension, 1-row
-    output."""
+    key — then NO per-row ranking window at all: a tied midrank is a
+    pure function of the value's frequency table (midrank(v) = rows
+    below v + (cnt_v + 1)/2), so both rank columns come from a tiny
+    count-of-counts table (one row per DISTINCT frequency value) folded
+    to exclusive prefix offsets and broadcast back. The vocabulary-sized
+    stream never re-shuffles for ranking; 1-row output."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -2026,15 +2040,25 @@ def text_spearman_rank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     joined = freqs(SPEAR_SRC_A, "x").join(freqs(SPEAR_SRC_B, "y"), "token")
-    rx = (
-        F.rank().over(Window.orderBy("x"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("x")) - 1) / 2.0
-    ).cast("decimal(18,1)")
-    ry = (
-        F.rank().over(Window.orderBy("y"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("y")) - 1) / 2.0
-    ).cast("decimal(18,1)")
-    ranked = joined.select(rx.alias("rx"), ry.alias("ry"))
+
+    def midranks(df: DataFrame, col: str, out: str) -> DataFrame:
+        stats = df.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        w_prev = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        offs = stats.select(
+            col,
+            F.coalesce(F.sum("_c").over(w_prev), F.lit(0)).alias("_o"),
+            "_c",
+        )
+        return (
+            df.join(F.broadcast(offs), col)
+            .withColumn(
+                out,
+                (F.col("_o") + (F.col("_c") + 1) / 2.0).cast("decimal(18,1)"),
+            )
+            .drop("_o", "_c")
+        )
+
+    ranked = midranks(midranks(joined, "x", "rx"), "y", "ry").select("rx", "ry")
     s = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("rx").cast("double").alias("sx"),
