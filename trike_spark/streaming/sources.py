@@ -30,13 +30,32 @@ CANNED_MESSAGES = [  # shape of priv/ocs_data.csv lines (proxy_test fixtures)
 
 def socket_chunk_stream(spark: SparkSession, host: str = "localhost", port: int = 8001) -> DataFrame:
     """Dev socket source → CHUNK_SCHEMA-shaped stream (single logical
-    connection; Kinesis source replaces this in production)."""
-    raw = spark.readStream.format("socket").option("host", host).option("port", port).load()
+    connection; Kinesis source replaces this in production, with the
+    shard sequence number as ``arrival_seq``).
+
+    ``arrival_seq`` cannot come from ``monotonically_increasing_id()``
+    (unsupported on streaming relations) and not from any per-partition
+    counter either — the socket source round-robins buffered lines
+    across partitions, so partition-local enumeration scrambles the
+    arrival order (both caught by the live-socket e2e,
+    tests/test_socket_source_e2e.py). The one arrival-order signal the
+    source itself provides is ``includeTimestamp``: each line is stamped
+    when it is READ off the socket, before the round-robin split, so
+    ordering by it reconstructs arrival up to millisecond ties — the dev
+    limitation of this adapter (two lines inside the same ms tie;
+    production uses the Kinesis shard sequence number, which is exact)."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .option("includeTimestamp", True)
+        .load()
+    )
     return raw.select(
         F.lit(f"{host}:{port}").alias("conn_id"),
         F.col("value").alias("chunk"),
-        F.current_timestamp().alias("arrival_ts"),
-        F.monotonically_increasing_id().alias("arrival_seq"),
+        F.col("timestamp").alias("arrival_ts"),
+        F.unix_millis(F.col("timestamp")).alias("arrival_seq"),
     )
 
 
