@@ -41,6 +41,14 @@ SENSITIVE = [
     "agg_salted_two_stage",  # explicit two-stage decimal merge
     "text_js_divergence_langs",  # double entropy sums over pair mixtures
     "sketch_bloom_fpr_curve",  # measured-vs-theory float division
+    # round-6 banded rewrites: global order decomposed over bands — the
+    # exact class of change that could smuggle in partition-dependence
+    "agg_rfm_segmentation",  # three banded exact ntiles
+    "agg_mann_whitney_u",  # banded min-rank + tie counts
+    "sketch_kmv_setops",  # two-stage K-smallest via spark_partition_id
+    "join_nearest_acctbal",  # banded prev/next ignore-nulls fills
+    "text_zipf_slope",  # composite (-freq, prefix) struct band
+    "events_lateness_report",  # banded running-max frontier
 ]
 
 
