@@ -127,6 +127,61 @@ def parse_kinesis_records(records: DataFrame, record_col: str = "record") -> Dat
     )
 
 
+def boto3_consumer_factory(region: str | None = None):
+    """Production consume-side client factory (S2, the replay poller):
+    adapts a real boto3 Kinesis client to the stub-shaped consumer API
+    (``kinesis_stub.read_shard_records`` drives either interchangeably) —
+    the mirror of ``sinks.boto3_client_factory`` on the producer side.
+    Import-gated like its sibling; integration-tested against moto's
+    Kinesis in tests/test_kinesis_moto_integration.py."""
+
+    def make():
+        import boto3  # noqa: PLC0415
+
+        k = boto3.client("kinesis", region_name=region)
+
+        class _Boto3Consumer:
+            def list_shards(self, stream: str) -> list[str]:
+                resp = k.describe_stream(StreamName=stream)
+                return [s["ShardId"] for s in resp["StreamDescription"]["Shards"]]
+
+            def get_shard_iterator(
+                self,
+                stream: str,
+                shard_id: str,
+                iterator_type: str,
+                starting_sequence_number: str | None = None,
+            ) -> dict[str, str]:
+                kwargs = {
+                    "StreamName": stream,
+                    "ShardId": shard_id,
+                    "ShardIteratorType": iterator_type,
+                }
+                if starting_sequence_number is not None:
+                    kwargs["StartingSequenceNumber"] = starting_sequence_number
+                return k.get_shard_iterator(**kwargs)
+
+            def get_records(self, shard_iterator: str, limit: int = 10_000):
+                resp = k.get_records(
+                    ShardIterator=shard_iterator, Limit=min(limit, 10_000)
+                )
+                return {
+                    "Records": [
+                        {
+                            "SequenceNumber": r["SequenceNumber"],
+                            "PartitionKey": r["PartitionKey"],
+                            "Data": r["Data"].decode(),
+                        }
+                        for r in resp["Records"]
+                    ],
+                    "NextShardIterator": resp.get("NextShardIterator"),
+                }
+
+        return _Boto3Consumer()
+
+    return make
+
+
 def replay_scaled(records: DataFrame, raw_col: str = "raw", scale: int = 1) -> DataFrame:
     """S2 replay semantics: duplicate each message ×scale
     (kinesis_source.ex:129-147) — a narrow explode, no shuffle."""
