@@ -2068,3 +2068,118 @@ def curation_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").alias("al_rank"),
         )
     )
+
+
+# --- PII detection + redaction --------------------------------------------------
+
+PII_N = 60  # customers emitting synthetic contact lines
+# conservative regex subset that parses identically under Java regex
+# (Spark) and RE2-ish DuckDB: no lookarounds, no backrefs
+PII_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.com"
+PII_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@register(
+    "curation_pii_redact",
+    f"""
+    WITH raw AS (
+      SELECT c_custkey, c_mktsegment,
+             'reach rep at user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+             || CASE WHEN c_custkey % 2 = 0
+                     THEN ' or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN c_custkey % 5 = 0 THEN ' cc admin@example.com' ELSE '' END
+             || ' re ' || c_name AS text
+      FROM customer WHERE c_custkey <= {PII_N}),
+    scanned AS (
+      SELECT c_mktsegment,
+             len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phones,
+             regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                            '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+      FROM raw)
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS emails_found,
+           CAST(SUM(n_phones) AS BIGINT) AS phones_found,
+           CAST(SUM(CASE WHEN regexp_matches(redacted, '{PII_EMAIL_RE}')
+                           OR regexp_matches(redacted, '{PII_PHONE_RE}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS residual_pii,
+           MIN(redacted) AS sample_redacted
+    FROM scanned GROUP BY 1
+    """,
+    doc=(
+        "PII detect + redact report: per segment, emails/phones found by "
+        "the regex scanners, a sample redacted line, and the residual-PII "
+        "audit column (re-scan of the redacted text — must be 0) that "
+        "makes the scrub self-verifying."
+    ),
+)
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy scrub every training-data pipeline runs before text
+    leaves the raw zone: detect contact-information spans, replace them
+    with typed placeholders, and — the part reviews actually care about —
+    RE-SCAN the redacted output so the report carries its own proof that
+    nothing survived (``residual_pii`` must read 0; a regex that loses a
+    corner case shows up as a nonzero audit cell, not a silent leak).
+    Synthetic contact lines are manufactured deterministically from
+    customer rows (emails always, phones on even keys, a cc on every
+    fifth) because the synthetic corpus carries no real PII — the
+    OPERATOR under test is the scan/replace/re-scan pipeline, the same
+    pattern as the URL-canonicalization face. Completes the privacy
+    family: k-anonymity audit (group sizes), DP release (noisy counts),
+    pseudonymization (key replacement), redaction (span replacement).
+
+    Determinism: a conservative regex subset (no lookarounds, no
+    backrefs) parses identically under Java regex and DuckDB's RE2;
+    counts are exact integers; the sample line is a MIN over strings.
+
+    Scale shape: detection and redaction are narrow scan-fused string
+    expressions (regexp_extract_all / regexp_replace run at read speed,
+    whole-stage codegen); the report is one tiny keyed rollup — at
+    100 TB the scrub costs exactly one pass, which is why it rides the
+    ingest scan rather than running as its own job."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= PII_N)
+    phone_part = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.concat(
+            F.lit(" or +1-555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    cc_part = F.when(
+        F.col("c_custkey") % 5 == 0, F.lit(" cc admin@example.com")
+    ).otherwise(F.lit(""))
+    text = F.concat(
+        F.lit("reach rep at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com"),
+        phone_part,
+        cc_part,
+        F.lit(" re "),
+        F.col("c_name"),
+    )
+    email, phone = F.lit(PII_EMAIL_RE), F.lit(PII_PHONE_RE)
+    scanned = c.select(
+        "c_mktsegment",
+        F.size(F.regexp_extract_all(text, email, F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, phone, F.lit(0))).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(text, email, F.lit("[EMAIL]")), phone, F.lit("[PHONE]")
+        ).alias("redacted"),
+    )
+    residual = (
+        F.when(
+            F.regexp_like(F.col("redacted"), email)
+            | F.regexp_like(F.col("redacted"), phone),
+            1,
+        )
+        .otherwise(0)
+    )
+    return scanned.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_emails").cast("bigint").alias("emails_found"),
+        F.sum("n_phones").cast("bigint").alias("phones_found"),
+        F.sum(residual).cast("bigint").alias("residual_pii"),
+        F.min("redacted").alias("sample_redacted"),
+    )
