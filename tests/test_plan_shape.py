@@ -623,3 +623,15 @@ def test_uncertainty_sample_is_take_ordered(spark):
 
     df = curation_uncertainty_sample(spark, SF_DIR)
     assert "TakeOrderedAndProject" in P.plan_tree(df), P.plan_tree(df)
+
+
+def test_filtered_topk_pushes_label_and_takeordered(spark):
+    """Filtered ANN, pre-filter leg: the label predicate must reach the
+    parquet scan and both legs must plan as TakeOrderedAndProject — the
+    only rank window runs over the bounded shortlist pool."""
+    from trike_spark.queries.vectors import sim_filtered_topk
+
+    df = sim_filtered_topk(spark, SF_DIR)
+    assert plans.has_pushed_filter(df, "label"), plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plans.plan_tree(df)
+    assert plans.unpartitioned_window_count(df) == 1  # 10-row pool rank

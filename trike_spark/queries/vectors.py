@@ -2933,3 +2933,102 @@ def sim_mutual_nn_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("cosine"),
         (F.floor((F.col("margin") + F.col("y_margin")) / 2.0 * 1000000) / 1e6).alias("margin"),
     )
+
+
+# --- metadata-filtered ANN: pre-filter vs post-filter ------------------------------
+
+FILT_LABEL = 3  # ~10% selectivity in the synthetic label distribution
+FILT_TOP_K = 10
+FILT_SHORTLIST = 25  # the unfiltered ANN shortlist the post-filter leg prunes
+
+
+@register(
+    "sim_filtered_topk",
+    f"""
+    WITH scored AS (
+      SELECT b.vec_id, b.label, ROUND({_SQL_COS}, 6) AS cosine
+      FROM (SELECT * FROM embeddings WHERE vec_id = 0) a
+      JOIN embeddings b ON b.vec_id <> 0),
+    pre AS (
+      SELECT vec_id, cosine,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored WHERE label = {FILT_LABEL}),
+    post AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS prk
+        FROM scored)
+      WHERE prk <= {FILT_SHORTLIST} AND label = {FILT_LABEL})
+    SELECT pre.rk, pre.vec_id, pre.cosine,
+           CAST(CASE WHEN post.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+             AS in_postfilter
+    FROM pre LEFT JOIN post ON post.vec_id = pre.vec_id
+    WHERE pre.rk <= {FILT_TOP_K}
+    """,
+    doc=(
+        f"Metadata-filtered ANN: exact top-{FILT_TOP_K} under label = "
+        f"{FILT_LABEL} (predicate pushed into the scan) vs filtering an "
+        f"unfiltered top-{FILT_SHORTLIST} shortlist after the fact — the "
+        "in_postfilter flags show exactly which true neighbors "
+        "post-filtering loses."
+    ),
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN question nobody benchmarks until it bites:
+    'nearest neighbors WHERE lang = en'. Two execution strategies exist
+    and they are NOT equivalent. PRE-filtering pushes the predicate into
+    the scan/index and ranks only qualifying vectors — exact under the
+    filter, and with ~10 % selectivity it reads 10 % of the corpus
+    (PushedFilters on the label column, plan-visible). POST-filtering
+    takes the unfiltered shortlist an ANN index returns and filters it —
+    cheap, but a selective filter decimates the shortlist: of the top-10
+    true label-3 neighbors, only the few that also crack the GLOBAL
+    top-25 survive, and the ``in_postfilter`` flag column shows exactly
+    which (the rest are the recall the post-filter strategy silently
+    loses). This face is the measure-before-you-choose gate for the
+    filtered-search strategy, the same discipline as the recall@k gates
+    on every approximate index in this family.
+
+    Determinism: cosines rounded to 6 dp before ranking with vec_id
+    tie-breaks (ULP rule); both legs are TakeOrdered pools, so the only
+    rank windows run over ≤{FILT_SHORTLIST}-row bounded sets.
+
+    Scale shape: both legs are one broadcast of the query vector + a
+    TakeOrderedAndProject (per-partition heads, no global sort); the
+    pre-filter leg's label predicate reaches the parquet scan. At 100 TB
+    with an IVF/PQ index the same trade appears as filtered-posting-list
+    traversal vs shortlist re-filtering — the flags here price it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+
+    def scored(df):
+        return (
+            df.crossJoin(broadcast(q))
+            .select("vec_id", "label", cos.alias("cosine"))
+        )
+
+    base = emb.filter(F.col("vec_id") != 0)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    pre = (
+        scored(base.filter(F.col("label") == FILT_LABEL))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(FILT_TOP_K)
+        .select(F.row_number().over(w).alias("rk"), "vec_id", "cosine")
+    )
+    post = (
+        scored(base)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(FILT_SHORTLIST)
+        .filter(F.col("label") == FILT_LABEL)
+        .select(F.col("vec_id").alias("post_id"))
+    )
+    return (
+        pre.join(broadcast(post), pre.vec_id == F.col("post_id"), "left")
+        .select(
+            "rk",
+            "vec_id",
+            "cosine",
+            F.col("post_id").isNotNull().cast("int").alias("in_postfilter"),
+        )
+    )
