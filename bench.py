@@ -92,6 +92,11 @@ HEADLINE = [
     "agg_rfm_segmentation",
     "join_nearest_acctbal",
     "text_zipf_slope",
+    # round-7 additions: user-facing production shapes from late round 6
+    # (r6 verdict item 6) + the fused banded pareto rewrite
+    "sim_filtered_topk",
+    "curation_pii_redact",
+    "agg_pareto_revenue_share",
 ]
 
 
@@ -159,19 +164,30 @@ def main() -> None:
         medians[name] = round(med, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "runs_per_query": n_runs,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "runs_per_query": n_runs,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # The driver records only the stdout TAIL (2000 chars), which truncates
+    # the per-query record once the suite is large (r6 verdict item 7).
+    # Persist the complete JSON beside the round artifacts too; round is
+    # taken from SPARK_GRAFT_ROUND when the driver sets it, else "local".
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "local")
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_r{rnd}.json"
     )
+    try:
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line above is still complete
 
 
 if __name__ == "__main__":

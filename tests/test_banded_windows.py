@@ -165,3 +165,44 @@ def test_banded_struct_band_rank(spark, data):
     band_ok = F.struct((-F.col("v")).alias("nv"), F.floor(F.col("id") / 100).alias("sub"))
     got_ok = banded_rank(data, band_ok, order, out="rk").select("id", "rk")
     assert sorted(map(tuple, got_ok.collect())) == sorted(map(tuple, want.collect()))
+
+
+@pytest.mark.parametrize("width", WIDTHS)
+def test_banded_rank_cumsum_fused_matches_global(spark, data, width):
+    """The fused rank+cumsum helper must equal BOTH bare global windows
+    at once (row_number and running sum over the same total order) while
+    paying a single band-stats pass."""
+    from trike_spark.operators.banded import banded_rank_cumsum
+
+    order = [F.col("v"), F.col("id")]
+    w = Window.orderBy(*order)
+    want = data.select(
+        "id",
+        F.row_number().over(w).alias("rk"),
+        F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    got = banded_rank_cumsum(
+        data, F.floor(F.col("v") / width), order, {"cum": "w"}, out_rank="rk"
+    ).select("id", "rk", "cum")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_banded_rank_cumsum_single_stats_window(spark, data):
+    """Plan shape: the fusion's whole point — exactly ONE unpartitioned
+    window (the shared band-stats prefix pass), where separate
+    banded_rank + banded_cumsum calls cost two."""
+    from trike_spark import plans
+    from trike_spark.operators.banded import (
+        banded_cumsum,
+        banded_rank,
+        banded_rank_cumsum,
+    )
+
+    order = [F.col("v"), F.col("id")]
+    band = F.floor(F.col("v") / 7)
+    fused = banded_rank_cumsum(data, band, order, {"cum": "w"}, out_rank="rk")
+    assert plans.unpartitioned_window_count(fused) == 1
+    separate = banded_cumsum(
+        banded_rank(data, band, order, out="rk"), band, order, {"cum": "w"}
+    )
+    assert plans.unpartitioned_window_count(separate) == 2

@@ -280,3 +280,24 @@ def test_e2e_skip_reason_is_only_protobuf_absence(spark):
             "google.protobuf is now available — remove the skip gate and "
             "let test_tws_e2e_through_real_runtime run for real"
         )
+
+
+def test_duplicate_arrival_seq_fails_loudly_both_twins():
+    """A duplicate (conn_id, arrival_seq) pair means the source's order
+    signal has ties (the dev socket source stamps at millisecond
+    resolution) and the stitch order — hence the reassembled frame — is
+    arbitrary. Both stateful twins must refuse loudly rather than frame
+    a possibly-corrupted message (ADVICE r6: 'have framing assert on
+    duplicate pairs so ties fail loudly')."""
+    dup = _batch([("a", MSG1[:10], 7), ("a", MSG1[10:] + EOT, 7)])
+
+    with pytest.raises(ValueError, match="duplicate arrival_seq"):
+        _drive_processor([("a", dup)])
+
+    with pytest.raises(ValueError, match="duplicate arrival_seq"):
+        _drive_apply_in_pandas([("a", dup)])
+
+    # unique seqs on the same payload still frame fine (control)
+    ok = _batch([("a", MSG1[:10], 7), ("a", MSG1[10:] + EOT, 8)])
+    rows, _ = _drive_processor([("a", ok)])
+    assert [r["raw"] for r in rows if r["kind"] == "message"] == [MSG1]

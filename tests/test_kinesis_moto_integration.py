@@ -129,3 +129,229 @@ def test_replay_consumer_through_boto3(spark):
     parsed = parse_kinesis_records(records)
     assert sorted(r["raw"] for r in parsed.collect()) == sorted(MSGS * 2)
     assert replay_scaled(parsed, raw_col="raw", scale=3).count() == 12
+
+
+@pytest.fixture
+def _aws_faithful_split_routing(monkeypatch):
+    """moto 5.2.1 fidelity patch, scoped to this test: its
+    ``Stream.get_shard_for_key`` returns the FIRST hash-range match in
+    shard-creation order and ignores ``is_open``, so after a SplitShard
+    every put still lands on the CLOSED parent (whose range covers the
+    whole ring). Real Kinesis routes to the open child owning the hash.
+    Patch the router to prefer an open shard — everything else (split
+    bookkeeping, per-shard sequences, iterators) stays stock moto."""
+    import moto.kinesis.models as mk
+
+    orig = mk.Stream.get_shard_for_key
+
+    def open_shard_first(self, partition_key, explicit_hash_key):
+        shard = orig(self, partition_key, explicit_hash_key)
+        if shard is not None and not shard.is_open:
+            if explicit_hash_key:
+                int_key = int(explicit_hash_key)
+            else:
+                int_key = int(
+                    mk.md5_hash(partition_key.encode("utf-8")).hexdigest(), 16
+                )
+            for s in self.shards.values():
+                if s.is_open and s.starting_hash <= int_key < s.ending_hash:
+                    return s
+        return shard
+
+    monkeypatch.setattr(mk.Stream, "get_shard_for_key", open_shard_first)
+
+
+@mock_aws
+def test_ordered_sink_survives_shard_split(spark, _aws_faithful_split_routing):
+    """The real-world ordering hazard K1's chain must survive: a
+    resharding event. AWS closes the parent shard on SplitShard and
+    routes new puts to the children; the reference's contract is per-KEY
+    ordering via SequenceNumberForOrdering (kinesis_client.ex:13-15) and
+    the consumer drains parents before children
+    (kinesis_source.ex:171-196). Split the stream's one shard between two
+    micro-batches and assert (a) the sink's chain keeps putting without
+    error across the boundary, (b) post-split puts land on the OPEN
+    children (never the closed parent) with per-shard sequences strictly
+    increasing, and (c) draining parent-then-children yields each key's
+    records in emission order. One deliberate moto divergence: real AWS
+    leaves pre-split records in the closed parent, while moto migrates
+    them into the children — order-preserving, so the per-key contract
+    under the parent-first drain discipline is identical; only the
+    "which shard holds batch 0" expectation differs."""
+    from trike_spark.streaming.kinesis_stub import read_shard_records
+    from trike_spark.streaming.sources import boto3_consumer_factory
+
+    control = boto3.client("kinesis", region_name=REGION)
+    control.create_stream(StreamName="resharded", ShardCount=1)
+
+    sink = KinesisSink(stream="resharded", client=boto3_client_factory(REGION)())
+    framed = spark.createDataFrame(
+        [("conn-1", m, T, "message", i) for i, m in enumerate(MSGS)]
+        + [("conn-2", MSGS[0], T, "message", 0)],
+        FRAMED_SCHEMA,
+    )
+    sink(messages_to_cloud_events(framed), 0)
+
+    desc = control.describe_stream(StreamName="resharded")["StreamDescription"]
+    [parent] = desc["Shards"]
+    lo = int(parent["HashKeyRange"]["StartingHashKey"])
+    hi = int(parent["HashKeyRange"]["EndingHashKey"])
+    control.split_shard(
+        StreamName="resharded",
+        ShardToSplit=parent["ShardId"],
+        NewStartingHashKey=str((lo + hi) // 2),
+    )
+
+    # second micro-batch, same keys: the chain carries each key's PARENT
+    # sequence into a put the service lands on a CHILD shard
+    sink(messages_to_cloud_events(framed), 1)
+
+    shards = control.describe_stream(StreamName="resharded")[
+        "StreamDescription"
+    ]["Shards"]
+    children = [s for s in shards if s.get("ParentShardId") == parent["ShardId"]]
+    assert len(children) == 2
+    # parent is closed: its sequence range has an end
+    closed = [s for s in shards if s["ShardId"] == parent["ShardId"]][0]
+    assert closed["SequenceNumberRange"].get("EndingSequenceNumber")
+
+    consumer = boto3_consumer_factory(REGION)()
+    parent_recs, _ = read_shard_records(consumer, "resharded", parent["ShardId"])
+    child_recs = []
+    for ch in children:
+        recs, _ = read_shard_records(consumer, "resharded", ch["ShardId"])
+        child_recs.extend(recs)
+
+    # (b) nothing lands on the closed parent post-split (moto also
+    # migrated the pre-split records out — see docstring); each key lives
+    # in exactly ONE child (hash routing), its sequences strictly
+    # increasing there. Cross-shard, ordering is the DRAIN DISCIPLINE —
+    # parents before children — real AWS sequences are also only
+    # comparable within a shard.
+    # 2 keys x 2 micro-batches, one batch-encoded record per key per batch
+    assert parent_recs == [] and len(child_recs) == 4
+    by_key: dict[str, list[dict[str, str]]] = {}
+    for r in parent_recs + child_recs:
+        by_key.setdefault(r["PartitionKey"], []).append(r)
+    assert set(by_key) == {"conn-1", "conn-2"}
+    assert len(by_key["conn-1"]) == 2 and len(by_key["conn-2"]) == 2
+    for key, recs in by_key.items():
+        seqs = [int(r["SequenceNumber"]) for r in recs]
+        assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs), key
+    # the parsed payloads replay in the original emission order per key
+    records = spark.createDataFrame(
+        [(r["PartitionKey"], r["Data"]) for r in parent_recs + child_recs],
+        ["partition_key", "record"],
+    )
+    parsed = parse_kinesis_records(records)
+    got = {}
+    for row in parsed.collect():
+        got.setdefault(row["conn_id"], []).append(row["raw"])
+    assert got["conn-2"] == [MSGS[0], MSGS[0]]
+    # conn-1 emitted MSGS[0], MSGS[1] in each batch
+    assert got["conn-1"] == [MSGS[0], MSGS[1], MSGS[0], MSGS[1]]
+
+
+@mock_aws
+def test_ordered_sink_survives_shard_merge(spark):
+    """The inverse resharding event: MergeShards closes BOTH parents and
+    routes subsequent puts to the single child. moto COPIES parent
+    records into the child (parents keep theirs — real AWS leaves them
+    only in the parents), so the parent-then-child drain redelivers
+    batch 0 twice: exactly the at-least-once redelivery the pipeline
+    already tolerates. The contract asserted is the one that must never
+    break: duplicates allowed, REORDERING never — for every key, all
+    batch-0 payloads appear before the first batch-1 payload, and the
+    batch-1 put lands on the open child with its sequence after the
+    migrated copies. (Router patched as in the split test: stock moto
+    routes by first hash match, which would land batch 1 on a closed
+    parent.)"""
+    import moto.kinesis.models as mk
+
+    from trike_spark.streaming.kinesis_stub import read_shard_records
+    from trike_spark.streaming.sources import boto3_consumer_factory
+
+    orig = mk.Stream.get_shard_for_key
+
+    def open_shard_first(self, partition_key, explicit_hash_key):
+        shard = orig(self, partition_key, explicit_hash_key)
+        if shard is not None and not shard.is_open:
+            if explicit_hash_key:
+                int_key = int(explicit_hash_key)
+            else:
+                int_key = int(
+                    mk.md5_hash(partition_key.encode("utf-8")).hexdigest(), 16
+                )
+            for s in self.shards.values():
+                if s.is_open and s.starting_hash <= int_key < s.ending_hash:
+                    return s
+        return shard
+
+    mk.Stream.get_shard_for_key = open_shard_first
+    try:
+        control = boto3.client("kinesis", region_name=REGION)
+        control.create_stream(StreamName="merged", ShardCount=2)
+
+        sink = KinesisSink(stream="merged", client=boto3_client_factory(REGION)())
+        # distinct payloads per batch so redelivered batch-0 copies are
+        # distinguishable from batch-1 records
+        msgs_b = ["6001,TSCH,05:00:06,R,RLD,W", "6002,TSCH,06:00:06,R,RLD,W"]
+        framed_a = spark.createDataFrame(
+            [("conn-1", m, T, "message", i) for i, m in enumerate(MSGS)]
+            + [("conn-2", MSGS[0], T, "message", 0)],
+            FRAMED_SCHEMA,
+        )
+        framed_b = spark.createDataFrame(
+            [("conn-1", m, T, "message", i) for i, m in enumerate(msgs_b)]
+            + [("conn-2", msgs_b[0], T, "message", 0)],
+            FRAMED_SCHEMA,
+        )
+        sink(messages_to_cloud_events(framed_a), 0)
+
+        desc = control.describe_stream(StreamName="merged")["StreamDescription"]
+        s1, s2 = desc["Shards"]
+        control.merge_shards(
+            StreamName="merged",
+            ShardToMerge=s1["ShardId"],
+            AdjacentShardToMerge=s2["ShardId"],
+        )
+        sink(messages_to_cloud_events(framed_b), 1)
+
+        shards = control.describe_stream(StreamName="merged")[
+            "StreamDescription"
+        ]["Shards"]
+        child = [s for s in shards if s.get("ParentShardId") == s1["ShardId"]]
+        assert len(child) == 1 and child[0]["AdjacentParentShardId"] == s2["ShardId"]
+        for parent_id in (s1["ShardId"], s2["ShardId"]):
+            closed = [s for s in shards if s["ShardId"] == parent_id][0]
+            assert closed["SequenceNumberRange"].get("EndingSequenceNumber")
+
+        consumer = boto3_consumer_factory(REGION)()
+        drained = []
+        child_recs = []
+        for shard_id in (s1["ShardId"], s2["ShardId"]):
+            recs, _ = read_shard_records(consumer, "merged", shard_id)
+            drained.extend(recs)
+        assert len(drained) == 2  # parents keep batch 0 (one record per key)
+        child_recs, _ = read_shard_records(consumer, "merged", child[0]["ShardId"])
+        # child = migrated batch-0 copies + the two batch-1 puts, with the
+        # batch-1 sequences after the copies (per-shard, strictly increasing)
+        assert len(child_recs) == 4
+        seqs = [int(r["SequenceNumber"]) for r in child_recs]
+        assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+        drained.extend(child_recs)
+
+        records = spark.createDataFrame(
+            [(r["PartitionKey"], r["Data"]) for r in drained],
+            ["partition_key", "record"],
+        )
+        parsed = parse_kinesis_records(records)
+        got = {}
+        for row in parsed.collect():
+            got.setdefault(row["conn_id"], []).append(row["raw"])
+        # at-least-once, never reordered: batch-0 payloads (original +
+        # migrated redelivery) strictly precede every batch-1 payload
+        assert got["conn-2"] == [MSGS[0], MSGS[0], msgs_b[0]]
+        assert got["conn-1"] == [MSGS[0], MSGS[1], MSGS[0], MSGS[1], msgs_b[0], msgs_b[1]]
+    finally:
+        mk.Stream.get_shard_for_key = orig

@@ -603,8 +603,8 @@ def test_gini_and_pareto_ranks_are_band_partitioned(spark):
     )
 
     _banded_shape(agg_gini_spend(spark, SF_DIR), 1)
-    # pareto composes banded_rank + banded_cumsum: two stats windows
-    _banded_shape(agg_pareto_revenue_share(spark, SF_DIR), 2)
+    # pareto fuses rank + cumsum into ONE stats pass (banded_rank_cumsum)
+    _banded_shape(agg_pareto_revenue_share(spark, SF_DIR), 1)
 
 
 def test_decile_lift_ntile_is_band_partitioned(spark):
@@ -635,3 +635,48 @@ def test_filtered_topk_pushes_label_and_takeordered(spark):
     assert plans.has_pushed_filter(df, "label"), plans.formatted_plan(df)
     assert "TakeOrderedAndProject" in plans.plan_tree(df)
     assert plans.unpartitioned_window_count(df) == 1  # 10-row pool rank
+
+
+# --- gwin allowlist: every unpartitioned window consumes a bounded input ------
+
+import json
+
+import pytest
+
+with open("/root/repo/docs/PLAN_CENSUS.json") as _f:
+    _CENSUS = json.load(_f)
+_GWIN_NAMES = sorted(n for n, v in _CENSUS.items() if v.get("gwin", 0) > 0)
+
+# Operators that bound the cardinality flowing INTO a single-task window:
+# an aggregation (band stats / calendar cell / dimension rollup / sketch
+# merge — one row per group of a bounded domain) or a top-k.
+_BOUNDING_AGG = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+_BOUNDING_TOPK = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+
+
+@pytest.mark.parametrize("name", _GWIN_NAMES)
+def test_gwin_allowlist_windows_consume_bounded_inputs(spark, name):
+    """The census gate is monotone (gwin can't grow), but this holds the
+    REMAINING allowlist to its justification (SCALE.md "sanctioned
+    unpartitioned windows"): each such window's input subtree must contain
+    an aggregation-to-bounded-granularity or a top-k BEFORE the window, so
+    the single task sees band-stats/cell/pool rows, never raw facts.
+    Removing the banding from any allowlisted face fails here even though
+    the monotone count gate alone wouldn't notice."""
+    from trike_spark.cache import release_checkpoints
+    from trike_spark.registry import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    subtrees = plans.unpartitioned_window_subtrees(df)
+    release_checkpoints()
+    assert subtrees, f"{name}: census says gwin>0 but no unpartitioned window found"
+    for sub in subtrees:
+        ops = [op for op, _nid in sub]
+        bounded = any(
+            op.startswith(_BOUNDING_AGG + _BOUNDING_TOPK) for op in ops
+        )
+        assert bounded, (
+            f"{name}: unpartitioned window consumes an unbounded subtree "
+            f"(no aggregate/top-k below it): {ops}"
+        )

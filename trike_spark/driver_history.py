@@ -12,15 +12,15 @@ The sets below are transcribed from the committed correctness reports
 the export order cannot change any query's semantics, and every rotated
 query still carries the same oracle SQL. See docs/QUERY_ORDER.md.
 
-Round-6 state: registry = 354 names at the end of round 5.
-``CORRECTNESS_r05.json`` landed 50/50 green — every r3-stale event/trike
-face, both semantics-changed LSH names, and the never-checked TPC-H
-classics re-proved — so DRIVER_VERIFIED is now r2+r3+r5 (131 names).
-WINDOW_PRIORITY is reseeded with the five faces whose plans round 6
-rewrites (r5 verdict "What's wrong": unpartitioned windows) so their NEW
-plans get a driver-green row; 223 names have never had any driver row and
+Round-7 state: registry = 356 names at the end of round 6.
+``CORRECTNESS_r06.json`` landed 50/50 green with zero overlap against
+rounds 1-5 — including fresh driver rows for all five round-6 banded
+rewrites — so DRIVER_VERIFIED is now r2+r3+r5+r6 minus the round-7
+plan-stale name (181 names). WINDOW_PRIORITY is reseeded with the two
+round-7 new/rewritten plans (curation_pii_redact, the banded
+agg_pareto_revenue_share); ~170 names have never had any driver row and
 rotate in behind them. Coverage accumulates one 50-entry window per round
-(~5 rounds to exhaustion).
+(~3-4 rounds to exhaustion).
 """
 
 from __future__ import annotations
@@ -223,26 +223,88 @@ VERIFIED_R05: frozenset[str] = frozenset(
     }
 )
 
+# CORRECTNESS_r06.json — 50/50 green (rows + schema + hash); zero overlap
+# with rounds 1-5, including re-proofs of all five round-6 banded rewrites
+# (the WINDOW_PRIORITY seed worked as designed).
+VERIFIED_R06: frozenset[str] = frozenset(
+    {
+        "agg_chi2_independence",
+        "agg_counting_quantiles",
+        "agg_eb_shrunk_rates",
+        "agg_mann_whitney_u",
+        "agg_rfm_segmentation",
+        "curation_diversify_coverage",
+        "curation_dp_count_release",
+        "curation_dsir_gumbel_sample",
+        "dedup_editdistance_pairs",
+        "dedup_incremental_lsh",
+        "dedup_lsh_band_sweep",
+        "events_active_streaks",
+        "events_alert_debounce",
+        "events_anomaly_mad",
+        "events_lateness_report",
+        "graph_degree_assortativity",
+        "graph_degree_distribution",
+        "graph_harmonic_centrality_sampled",
+        "join_bloom_prefilter_revenue",
+        "join_exists_flag_mark",
+        "join_interval_binned",
+        "multimodal_frame_dedup",
+        "multimodal_header_parse",
+        "multimodal_resize",
+        "pipeline_dataset_datasheet",
+        "pipeline_incremental_dedup_refresh",
+        "pipeline_tokenizer_corpus_prep",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q20_potential_promotion",
+        "scalar_lambda_funcs",
+        "scalar_math_funcs",
+        "scalar_math_funcs2",
+        "scan_bucketed_join_rollup",
+        "scan_data_quality_rules",
+        "scan_dynamic_partition_pruning",
+        "sim_filtered_topk",
+        "sim_ivf_cell_stats",
+        "sim_ivf_multiprobe",
+        "sketch_bitmap_setops",
+        "sketch_bloom_fpr_curve",
+        "sketch_ddsketch_quantiles",
+        "sketch_kmv_setops",
+        "text_bigram_logprob",
+        "text_bm25_topk",
+        "text_bpe_encode_stats",
+        "text_heaps_law_fit",
+        "window_equidepth_histogram",
+        "window_ewma_trailing",
+        "window_mom_growth",
+    }
+)
+
+# Names whose SEMANTICS/plans changed in round 7, invalidating earlier green
+# rows: agg_pareto_revenue_share moves from a customer-dimension global
+# window (gwin=2) to the banded_rank/banded_cumsum skeleton (r6 verdict
+# "What's wrong" §1). Same oracle expected, but the plan is new. (It has no
+# prior driver row, so the subtraction is a no-op today; recorded for the
+# audit trail.)
+STALE_R07: frozenset[str] = frozenset({"agg_pareto_revenue_share"})
+
 # Union of every name hard-verified by a past driver round and still valid.
 # The r5 window re-proved every stale name, so the stale subtractions are
 # re-added through VERIFIED_R05.
 DRIVER_VERIFIED: frozenset[str] = (
-    ((VERIFIED_R02 - STALE_R02) | VERIFIED_R03) - STALE_R04
-) | VERIFIED_R05
+    ((((VERIFIED_R02 - STALE_R02) | VERIFIED_R03) - STALE_R04)
+     | VERIFIED_R05 | VERIFIED_R06) - STALE_R07
+)
 
-# Round-6 window seed: the five faces whose plans this round rewrites from
-# unpartitioned global windows to banded/two-stage shapes (r5 verdict,
-# "What's wrong" §1-4). Same oracle hashes expected, but the PLANS are new,
-# so they rank first for a fresh driver-green row; the remaining 223
-# never-verified names fill the rest of the window. (The verdict's fourth
-# item says "text_ngram_novelty" but cites text.py:2127 — the unpartitioned
-# cumulative window lives in text_heaps_law_fit; novelty has no window.)
+# Round-7 window seed (r6 verdict "Next round" §1-2): the faces whose plans
+# are new or rewritten this round — the self-auditing PII scrub registered
+# after r6's window closed, and the banded pareto rewrite — rank first so
+# the driver signs their plans before anything else; the remaining
+# never-verified names fill the rest of the window.
 WINDOW_PRIORITY: frozenset[str] = frozenset(
     {
-        "events_lateness_report",
-        "sketch_kmv_setops",
-        "agg_mann_whitney_u",
-        "agg_rfm_segmentation",
-        "text_heaps_law_fit",
+        "curation_pii_redact",
+        "agg_pareto_revenue_share",
     }
 )

@@ -28,6 +28,22 @@ points; #bands only sets parallelism and the stats table's size, so a few
 hundred to a few thousand is plenty. The census ``gwin`` metric counts
 the remaining unpartitioned windows; the ones these helpers emit run over
 the band-stats table only.
+
+Two further contract clauses (both latent today — no call site can
+violate them — but load-bearing for new callers):
+
+* **``band`` must be NON-NULL for every row.** The helpers re-attach the
+  band offsets with an inner equi-join on ``_band``; a row whose band
+  expression evaluates to NULL (e.g. a NULL ordering key) would be
+  silently dropped rather than placed NULLS FIRST/LAST the way the bare
+  window would. Derive the band from a non-null key, or
+  ``coalesce``/filter NULL keys into an explicit band first.
+* **Columns summed by :func:`banded_cumsum` / :func:`banded_rank_cumsum`
+  must be NON-NULL.** A band whose prefix rows are all NULL would yield
+  ``_off + NULL = NULL`` where the bare window carries the earlier-band
+  running sum forward, and the first band's offset is coalesced to 0
+  where a bare window over an all-NULL global prefix returns NULL.
+  ``coalesce`` the measure to 0 at the call site if NULLs can occur.
 """
 
 from __future__ import annotations
@@ -113,6 +129,43 @@ def banded_cumsum(
     for out, src in sums.items():
         j = j.withColumn(out, F.col(f"_off_{out}") + F.sum(src).over(w_band))
     return j.drop(_BAND, *[f"_off_{out}" for out in sums])
+
+
+def banded_rank_cumsum(
+    df: DataFrame,
+    band: Column,
+    order: Sequence[Column | str],
+    sums: dict[str, str],
+    out_rank: str = "rk",
+    kind: str = "row_number",
+) -> DataFrame:
+    """Fused global rank + running SUMs over one total order: ONE
+    band-stats pass carries the per-band row count and every measure's
+    subtotal, and ONE unpartitioned window over that stats table emits
+    all the prefix offsets together (calling :func:`banded_rank` then
+    :func:`banded_cumsum` separately costs two stats aggregations, two
+    broadcasts, and two gwin entries for the same answer)."""
+    fn = {"row_number": F.row_number, "rank": F.rank}[kind]
+    banded = df.withColumn(_BAND, band)
+    stats = banded.groupBy(_BAND).agg(
+        F.count(F.lit(1)).alias("_b_n"),
+        *[F.sum(src).alias(f"_b_{out}") for out, src in sums.items()],
+    )
+    w_prev = Window.orderBy(_BAND).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        _BAND,
+        F.coalesce(F.sum("_b_n").over(w_prev), F.lit(0)).alias("_off_n"),
+        *[
+            F.coalesce(F.sum(f"_b_{out}").over(w_prev), F.lit(0)).alias(f"_off_{out}")
+            for out in sums
+        ],
+    )
+    j = banded.join(F.broadcast(offsets), _BAND)
+    w_cum = _order_window(order).rowsBetween(Window.unboundedPreceding, 0)
+    j = j.withColumn(out_rank, F.col("_off_n") + fn().over(_order_window(order)))
+    for out, src in sums.items():
+        j = j.withColumn(out, F.col(f"_off_{out}") + F.sum(src).over(w_cum))
+    return j.drop(_BAND, "_off_n", *[f"_off_{out}" for out in sums])
 
 
 def banded_cummax(

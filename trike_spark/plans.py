@@ -105,6 +105,59 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     return n
 
 
+def _tree_nodes(df: DataFrame) -> list[tuple[int, str, int]]:
+    """(indent, operator name, node id) per tree line, in tree order.
+    Indent is the position of the ``+-``/``:-`` branch marker (-1 for the
+    root), which is immune to the ``* `` codegen star the lstrip-based
+    depth would trip on."""
+    out: list[tuple[int, str, int]] = []
+    for line in plan_tree(df).splitlines():
+        m = re.search(r"([A-Za-z][A-Za-z0-9_ ]*?)\s*\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        indent = max(line.find("+-"), line.find(":-"))
+        out.append((indent, m.group(1).strip(), int(m.group(2))))
+    return out
+
+
+def scan_locations(df: DataFrame) -> dict[int, str]:
+    """node id -> Location line of each parquet scan (names the table)."""
+    plan = formatted_plan(df)
+    return {
+        int(m.group(1)): m.group(2)
+        for m in re.finditer(
+            r"\((\d+)\) Scan parquet[^\n]*\n(?:[^\n]*\n)*?Location: ([^\n]*)", plan
+        )
+    }
+
+
+def unpartitioned_window_subtrees(df: DataFrame) -> list[list[tuple[str, int]]]:
+    """For each unpartitioned Window node, the (operator name, id) list of
+    its INPUT subtree — what the single-task window actually consumes.
+    The scale-safety contract for every allowlisted gwin is that this
+    subtree bounds its own cardinality (an aggregation to band/cell/dim
+    granularity, a top-k, or a bounded dim scan) BEFORE the window; tests
+    walk these subtrees to hold that claim structurally."""
+    plan = formatted_plan(df)
+    ids = set()
+    for m in re.finditer(r"\((\d+)\) Window\s*\nInput[^\n]*\nArguments: ([^\n]*)", plan):
+        groups = _top_level_bracket_groups(m.group(2))
+        if not any("NULLS" not in g for g in groups[1:]):
+            ids.add(int(m.group(1)))
+    nodes = _tree_nodes(df)
+    subtrees: list[list[tuple[str, int]]] = []
+    for i, (indent, _name, nid) in enumerate(nodes):
+        if nid not in ids:
+            continue
+        sub: list[tuple[str, int]] = []
+        for s_indent, s_name, s_nid in nodes[i + 1 :]:
+            if s_indent <= indent:
+                break
+            sub.append((s_name, s_nid))
+        subtrees.append(sub)
+    return subtrees
+
+
 def window_partition_specs(df: DataFrame) -> list[str]:
     """Partition-spec text of every Window node ('' when unpartitioned) —
     lets tests assert the heavy window runs keyed (e.g. by a band column)

@@ -554,25 +554,27 @@ def agg_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding boundary.
 
     Scale shape: one o_custkey shuffle builds per-customer spend; the
-    cumulative window runs over the CUSTOMER DIMENSION (not facts), the
-    same sanctioned dimension-sized global window as the equi-depth
-    histogram — at 100 TB the swap is a two-pass cutpoint search over
-    percentile sketches of the spend distribution, same output contract."""
-    from pyspark.sql import Window
-
+    global row_number AND the running decimal sum both run BANDED
+    (operators/banded.banded_rank_cumsum — band = negated spend bucket,
+    monotone along the DESC order), so no window ever sees the full
+    customer dimension on one task: per-band windows are partitioned by
+    band, and the single unpartitioned prefix window runs over the
+    one-row-per-band stats table. At a billion sources this is the
+    two-pass cutpoint search (band = coarse spend histogram cell; the
+    crossing band found in the stats pass, the exact crossing row found
+    within that band) fused into one plan."""
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("spend"))
     tot = spend.agg(F.sum("spend").alias("total"), F.count(F.lit(1)).alias("n"))
-    # both the global row_number and the running decimal sum run BANDED
-    # (operators/banded): band = negated spend bucket, monotone along the
-    # DESC order, so the two per-band windows share one band partitioning
     order = [F.col("spend").desc(), F.col("o_custkey")]
     band = -F.floor(F.col("spend") / 10_000)
-    from trike_spark.operators.banded import banded_cumsum, banded_rank
+    from trike_spark.operators.banded import banded_rank_cumsum
 
-    ranked = banded_cumsum(
-        banded_rank(spend, band, order, out="rk"), band, order, {"cum": "spend"}
-    ).crossJoin(broadcast(tot)).select("rk", "cum", "total", "n")
+    ranked = (
+        banded_rank_cumsum(spend, band, order, {"cum": "spend"}, out_rank="rk")
+        .crossJoin(broadcast(tot))
+        .select("rk", "cum", "total", "n")
+    )
     return (
         ranked.filter(F.lit(5) * F.col("cum") >= F.lit(4) * F.col("total"))
         .agg(

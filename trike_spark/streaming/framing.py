@@ -106,8 +106,24 @@ def frame_and_session(
 
     buffer, nseq = state.get if state.exists else ("", 0)
     rows: dict[str, list[Any]] = {"conn_id": [], "raw": [], "time": [], "kind": [], "seq": []}
+    # ``arrival_seq`` is the ONLY intra-key order signal; a duplicate
+    # (conn_id, arrival_seq) pair means the source cannot tell two chunks
+    # apart (e.g. the dev socket source's same-millisecond tie) and the
+    # stitch order — hence the reassembled frame — would be arbitrary.
+    # Fail loudly instead of framing corrupted messages; the production
+    # Kinesis source's shard sequence numbers are unique by construction.
+    seen_seq: set[int] = set()
     for pdf in pdfs:
         pdf = pdf.sort_values("arrival_seq")
+        for seq in pdf["arrival_seq"]:
+            if seq in seen_seq:
+                raise ValueError(
+                    f"duplicate arrival_seq {seq} for conn_id {conn_id!r}: "
+                    "the source's order signal has ties (dev socket "
+                    "sources stamp at millisecond resolution) — frame "
+                    "reassembly would be order-ambiguous"
+                )
+            seen_seq.add(seq)
         for chunk, ts in zip(pdf["chunk"], pdf["arrival_ts"]):
             messages, buffer = extract(buffer + chunk)
             for m in messages:

@@ -95,8 +95,19 @@ class FramingProcessor(StatefulProcessor):
         out: dict[str, list[Any]] = {
             "conn_id": [], "raw": [], "time": [], "kind": [], "seq": [],
         }
+        # duplicate (conn_id, arrival_seq) = order-ambiguous stitch: fail
+        # loudly (same contract as framing.frame_and_session)
+        seen_seq: set[int] = set()
         for pdf in rows:
             pdf = pdf.sort_values("arrival_seq")
+            for seq in pdf["arrival_seq"]:
+                if seq in seen_seq:
+                    raise ValueError(
+                        f"duplicate arrival_seq {seq} for conn_id "
+                        f"{conn_id!r}: frame reassembly would be "
+                        "order-ambiguous"
+                    )
+                seen_seq.add(seq)
             for chunk, ts in zip(pdf["chunk"], pdf["arrival_ts"]):
                 messages, buffer = extract(buffer + chunk)
                 for m in messages:

@@ -43,7 +43,10 @@ def socket_chunk_stream(spark: SparkSession, host: str = "localhost", port: int 
     when it is READ off the socket, before the round-robin split, so
     ordering by it reconstructs arrival up to millisecond ties — the dev
     limitation of this adapter (two lines inside the same ms tie;
-    production uses the Kinesis shard sequence number, which is exact)."""
+    production uses the Kinesis shard sequence number, which is exact).
+    Ties no longer corrupt silently: framing raises on a duplicate
+    (conn_id, arrival_seq) pair, so a same-ms tie fails the query loudly
+    (tests/test_framing_tws.py::test_duplicate_arrival_seq_fails_loudly_both_twins)."""
     raw = (
         spark.readStream.format("socket")
         .option("host", host)
