@@ -125,3 +125,33 @@ def test_cap_one_equals_full_grid(spark):
     uncapped = _pairs(lsh_bucket_cosine_pairs(emb, planes, threshold=0.5, bucket_cap=None))
     fully_split = _pairs(lsh_bucket_cosine_pairs(emb, planes, threshold=0.5, bucket_cap=1))
     assert fully_split == uncapped
+
+
+def test_lsh_schedule_pins_occupancy_and_recall():
+    """The corpus-size-adaptive (rotations, planes) schedule: exactly the
+    registered 4x6 at every correctness SF (oracle hashes untouched),
+    occupancy pinned ~LSH_TARGET_OCCUPANCY above them (candidate work
+    linear in n — the r7 sf1->sf5 probe measured the fixed table
+    super-linear, alpha 1.49), and recall restored by rotation growth."""
+    from trike_spark.queries.dedup import (
+        LSH_NEARDUP_COLLISION_P,
+        LSH_TARGET_OCCUPANCY,
+        LSH_TARGET_RECALL,
+        _lsh_schedule,
+    )
+
+    # all driver/test scales: the registered configuration, bit-for-bit
+    for n in (20, 200, 2000):
+        assert _lsh_schedule(n) == (4, 6), n
+
+    prev_planes = 0
+    for n in (20_000, 100_000, 10**6, 10**8):
+        rotations, planes = _lsh_schedule(n)
+        # occupancy bounded: n / 2^planes stays within 2x of the target
+        assert n / 2**planes <= 2 * LSH_TARGET_OCCUPANCY, n
+        # monotone: more data never means fewer buckets
+        assert planes >= max(prev_planes, 6)
+        prev_planes = planes
+        # recall restored: 1 - (1 - p^P)^R >= target
+        p_band = LSH_NEARDUP_COLLISION_P**planes
+        assert 1 - (1 - p_band) ** rotations >= LSH_TARGET_RECALL, n
