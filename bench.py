@@ -178,6 +178,10 @@ def main() -> None:
     # the per-query record once the suite is large (r6 verdict item 7).
     # Persist the complete JSON beside the round artifacts too; round is
     # taken from SPARK_GRAFT_ROUND when the driver sets it, else "local".
+    # A SPARK_GRAFT_BENCH_ONLY run is a partial suite (contract tests,
+    # quick spot checks): never let it overwrite a full round artifact.
+    if only:
+        return
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "local")
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_r{rnd}.json"

@@ -301,3 +301,51 @@ def test_duplicate_arrival_seq_fails_loudly_both_twins():
     ok = _batch([("a", MSG1[:10], 7), ("a", MSG1[10:] + EOT, 8)])
     rows, _ = _drive_processor([("a", ok)])
     assert [r["raw"] for r in rows if r["kind"] == "message"] == [MSG1]
+
+
+def test_cross_chunk_order_restored_before_stitch():
+    """Arrow may deliver one key's micro-batch as SEVERAL chunks in
+    arbitrary order; the framing twins must sort the CONCATENATION by
+    arrival_seq (a per-chunk sort would stitch later bytes first and
+    corrupt the frame silently). Feed the later half of a split frame in
+    the FIRST chunk and assert both twins still reassemble it."""
+    first_half = _batch([("a", MSG1[:10], 3)])
+    second_half = _batch([("a", MSG1[10:] + EOT, 8)])
+
+    # applyInPandasWithState function, chunks delivered out of order
+    from trike_spark.streaming.framing import frame_and_session
+
+    class _St:
+        value = None
+        hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self.value is not None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    out = []
+    for pdf in frame_and_session(("a",), iter([second_half, first_half]), _St(), 60_000):
+        out.extend(pdf.to_dict("records"))
+    assert [r["raw"] for r in out if r["kind"] == "message"] == [MSG1]
+
+    # transformWithState twin, same delivery order
+    proc = FramingProcessor(stale_timeout_ms=60_000)
+    handle = FakeHandle()
+    proc.init(handle)
+    handle.current_key = "a"
+    rows = []
+    for pdf in proc.handleInputRows(
+        ("a",), iter([second_half, first_half]), FakeTimerValues(1_000_000)
+    ):
+        rows.extend(pdf.to_dict("records"))
+    assert [r["raw"] for r in rows if r["kind"] == "message"] == [MSG1]

@@ -253,7 +253,7 @@ def test_ordered_sink_survives_shard_split(spark, _aws_faithful_split_routing):
 
 
 @mock_aws
-def test_ordered_sink_survives_shard_merge(spark):
+def test_ordered_sink_survives_shard_merge(spark, _aws_faithful_split_routing):
     """The inverse resharding event: MergeShards closes BOTH parents and
     routes subsequent puts to the single child. moto COPIES parent
     records into the child (parents keep theirs — real AWS leaves them
@@ -266,92 +266,70 @@ def test_ordered_sink_survives_shard_merge(spark):
     migrated copies. (Router patched as in the split test: stock moto
     routes by first hash match, which would land batch 1 on a closed
     parent.)"""
-    import moto.kinesis.models as mk
-
     from trike_spark.streaming.kinesis_stub import read_shard_records
     from trike_spark.streaming.sources import boto3_consumer_factory
 
-    orig = mk.Stream.get_shard_for_key
+    control = boto3.client("kinesis", region_name=REGION)
+    control.create_stream(StreamName="merged", ShardCount=2)
 
-    def open_shard_first(self, partition_key, explicit_hash_key):
-        shard = orig(self, partition_key, explicit_hash_key)
-        if shard is not None and not shard.is_open:
-            if explicit_hash_key:
-                int_key = int(explicit_hash_key)
-            else:
-                int_key = int(
-                    mk.md5_hash(partition_key.encode("utf-8")).hexdigest(), 16
-                )
-            for s in self.shards.values():
-                if s.is_open and s.starting_hash <= int_key < s.ending_hash:
-                    return s
-        return shard
+    sink = KinesisSink(stream="merged", client=boto3_client_factory(REGION)())
+    # distinct payloads per batch so redelivered batch-0 copies are
+    # distinguishable from batch-1 records
+    msgs_b = ["6001,TSCH,05:00:06,R,RLD,W", "6002,TSCH,06:00:06,R,RLD,W"]
+    framed_a = spark.createDataFrame(
+        [("conn-1", m, T, "message", i) for i, m in enumerate(MSGS)]
+        + [("conn-2", MSGS[0], T, "message", 0)],
+        FRAMED_SCHEMA,
+    )
+    framed_b = spark.createDataFrame(
+        [("conn-1", m, T, "message", i) for i, m in enumerate(msgs_b)]
+        + [("conn-2", msgs_b[0], T, "message", 0)],
+        FRAMED_SCHEMA,
+    )
+    sink(messages_to_cloud_events(framed_a), 0)
 
-    mk.Stream.get_shard_for_key = open_shard_first
-    try:
-        control = boto3.client("kinesis", region_name=REGION)
-        control.create_stream(StreamName="merged", ShardCount=2)
+    desc = control.describe_stream(StreamName="merged")["StreamDescription"]
+    s1, s2 = desc["Shards"]
+    control.merge_shards(
+        StreamName="merged",
+        ShardToMerge=s1["ShardId"],
+        AdjacentShardToMerge=s2["ShardId"],
+    )
+    sink(messages_to_cloud_events(framed_b), 1)
 
-        sink = KinesisSink(stream="merged", client=boto3_client_factory(REGION)())
-        # distinct payloads per batch so redelivered batch-0 copies are
-        # distinguishable from batch-1 records
-        msgs_b = ["6001,TSCH,05:00:06,R,RLD,W", "6002,TSCH,06:00:06,R,RLD,W"]
-        framed_a = spark.createDataFrame(
-            [("conn-1", m, T, "message", i) for i, m in enumerate(MSGS)]
-            + [("conn-2", MSGS[0], T, "message", 0)],
-            FRAMED_SCHEMA,
-        )
-        framed_b = spark.createDataFrame(
-            [("conn-1", m, T, "message", i) for i, m in enumerate(msgs_b)]
-            + [("conn-2", msgs_b[0], T, "message", 0)],
-            FRAMED_SCHEMA,
-        )
-        sink(messages_to_cloud_events(framed_a), 0)
+    shards = control.describe_stream(StreamName="merged")[
+        "StreamDescription"
+    ]["Shards"]
+    child = [s for s in shards if s.get("ParentShardId") == s1["ShardId"]]
+    assert len(child) == 1 and child[0]["AdjacentParentShardId"] == s2["ShardId"]
+    for parent_id in (s1["ShardId"], s2["ShardId"]):
+        closed = [s for s in shards if s["ShardId"] == parent_id][0]
+        assert closed["SequenceNumberRange"].get("EndingSequenceNumber")
 
-        desc = control.describe_stream(StreamName="merged")["StreamDescription"]
-        s1, s2 = desc["Shards"]
-        control.merge_shards(
-            StreamName="merged",
-            ShardToMerge=s1["ShardId"],
-            AdjacentShardToMerge=s2["ShardId"],
-        )
-        sink(messages_to_cloud_events(framed_b), 1)
+    consumer = boto3_consumer_factory(REGION)()
+    drained = []
+    child_recs = []
+    for shard_id in (s1["ShardId"], s2["ShardId"]):
+        recs, _ = read_shard_records(consumer, "merged", shard_id)
+        drained.extend(recs)
+    assert len(drained) == 2  # parents keep batch 0 (one record per key)
+    child_recs, _ = read_shard_records(consumer, "merged", child[0]["ShardId"])
+    # child = migrated batch-0 copies + the two batch-1 puts, with the
+    # batch-1 sequences after the copies (per-shard, strictly increasing)
+    assert len(child_recs) == 4
+    seqs = [int(r["SequenceNumber"]) for r in child_recs]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    drained.extend(child_recs)
 
-        shards = control.describe_stream(StreamName="merged")[
-            "StreamDescription"
-        ]["Shards"]
-        child = [s for s in shards if s.get("ParentShardId") == s1["ShardId"]]
-        assert len(child) == 1 and child[0]["AdjacentParentShardId"] == s2["ShardId"]
-        for parent_id in (s1["ShardId"], s2["ShardId"]):
-            closed = [s for s in shards if s["ShardId"] == parent_id][0]
-            assert closed["SequenceNumberRange"].get("EndingSequenceNumber")
-
-        consumer = boto3_consumer_factory(REGION)()
-        drained = []
-        child_recs = []
-        for shard_id in (s1["ShardId"], s2["ShardId"]):
-            recs, _ = read_shard_records(consumer, "merged", shard_id)
-            drained.extend(recs)
-        assert len(drained) == 2  # parents keep batch 0 (one record per key)
-        child_recs, _ = read_shard_records(consumer, "merged", child[0]["ShardId"])
-        # child = migrated batch-0 copies + the two batch-1 puts, with the
-        # batch-1 sequences after the copies (per-shard, strictly increasing)
-        assert len(child_recs) == 4
-        seqs = [int(r["SequenceNumber"]) for r in child_recs]
-        assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
-        drained.extend(child_recs)
-
-        records = spark.createDataFrame(
-            [(r["PartitionKey"], r["Data"]) for r in drained],
-            ["partition_key", "record"],
-        )
-        parsed = parse_kinesis_records(records)
-        got = {}
-        for row in parsed.collect():
-            got.setdefault(row["conn_id"], []).append(row["raw"])
-        # at-least-once, never reordered: batch-0 payloads (original +
-        # migrated redelivery) strictly precede every batch-1 payload
-        assert got["conn-2"] == [MSGS[0], MSGS[0], msgs_b[0]]
-        assert got["conn-1"] == [MSGS[0], MSGS[1], MSGS[0], MSGS[1], msgs_b[0], msgs_b[1]]
-    finally:
-        mk.Stream.get_shard_for_key = orig
+    records = spark.createDataFrame(
+        [(r["PartitionKey"], r["Data"]) for r in drained],
+        ["partition_key", "record"],
+    )
+    parsed = parse_kinesis_records(records)
+    got = {}
+    for row in parsed.collect():
+        got.setdefault(row["conn_id"], []).append(row["raw"])
+    # at-least-once, never reordered: batch-0 payloads (original +
+    # migrated redelivery) strictly precede every batch-1 payload
+    assert got["conn-2"] == [MSGS[0], MSGS[0], msgs_b[0]]
+    assert got["conn-1"] == [MSGS[0], MSGS[1], MSGS[0], MSGS[1], msgs_b[0], msgs_b[1]]

@@ -155,3 +155,28 @@ def test_lsh_schedule_pins_occupancy_and_recall():
         # recall restored: 1 - (1 - p^P)^R >= target
         p_band = LSH_NEARDUP_COLLISION_P**planes
         assert 1 - (1 - p_band) ** rotations >= LSH_TARGET_RECALL, n
+
+
+def test_lsh_schedule_is_registered_config_at_actual_testdata_sizes():
+    """The oracle SQL is pinned to the 4x6 configuration, so the Spark
+    side's adaptive schedule MUST reduce to (4, 6) at the real row count
+    of every oracle-checked/benched embeddings table — asserted against
+    the parquet metadata itself, not hard-coded n values, so a testdata
+    regeneration that crosses the 2048-row flip point fails here with a
+    clear message instead of as a confusing driver hash mismatch."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from trike_spark.queries.dedup import LSH_ROT_PLANES, LSH_ROTATIONS, _lsh_schedule
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = sum(
+            pq.ParquetFile(part).metadata.num_rows
+            for part in Path(f"/root/testdata/{sf}/embeddings.parquet").glob("*.parquet")
+        )
+        assert _lsh_schedule(n) == (LSH_ROTATIONS, LSH_ROT_PLANES), (
+            f"{sf}: embeddings has {n} rows — the adaptive LSH schedule "
+            f"gives {_lsh_schedule(n)} there, diverging from the oracle's "
+            f"pinned {LSH_ROTATIONS}x{LSH_ROT_PLANES} configuration"
+        )

@@ -649,17 +649,22 @@ _GWIN_NAMES = sorted(n for n, v in _CENSUS.items() if v.get("gwin", 0) > 0)
 
 # Operators that bound the cardinality flowing INTO a single-task window:
 # an aggregation (band stats / calendar cell / dimension rollup / sketch
-# merge — one row per group of a bounded domain) or a top-k.
+# merge — one row per group of a bounded domain) or a top-k. A scan of a
+# bounded dimension table (nation/region) also qualifies.
 _BOUNDING_AGG = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 _BOUNDING_TOPK = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+_BOUNDED_DIM_TABLES = ("nation", "region")
 
 
 @pytest.mark.parametrize("name", _GWIN_NAMES)
 def test_gwin_allowlist_windows_consume_bounded_inputs(spark, name):
     """The census gate is monotone (gwin can't grow), but this holds the
     REMAINING allowlist to its justification (SCALE.md "sanctioned
-    unpartitioned windows"): each such window's input subtree must contain
-    an aggregation-to-bounded-granularity or a top-k BEFORE the window, so
+    unpartitioned windows"): walking each such window's leftmost input
+    SPINE (the streamed data lineage — not any join branch, so a
+    broadcast 1-row total crossJoined onto raw facts can't vouch for
+    them), the first cardinality-shaping operator reached must be an
+    aggregation-to-bounded-granularity, a top-k, or a bounded dim scan —
     the single task sees band-stats/cell/pool rows, never raw facts.
     Removing the banding from any allowlisted face fails here even though
     the monotone count gate alone wouldn't notice."""
@@ -668,15 +673,24 @@ def test_gwin_allowlist_windows_consume_bounded_inputs(spark, name):
 
     load_all_query_modules()
     df = REGISTRY[name].fn(spark, SF_DIR)
-    subtrees = plans.unpartitioned_window_subtrees(df)
+    spines = plans.unpartitioned_window_spines(df)
+    scan_locs = plans.scan_locations(df)
     release_checkpoints()
-    assert subtrees, f"{name}: census says gwin>0 but no unpartitioned window found"
-    for sub in subtrees:
-        ops = [op for op, _nid in sub]
-        bounded = any(
-            op.startswith(_BOUNDING_AGG + _BOUNDING_TOPK) for op in ops
-        )
-        assert bounded, (
-            f"{name}: unpartitioned window consumes an unbounded subtree "
-            f"(no aggregate/top-k below it): {ops}"
+    assert spines, f"{name}: census says gwin>0 but no unpartitioned window found"
+    for spine in spines:
+        verdict = "no bounding operator on the spine"
+        for op, nid in spine:
+            if op.startswith(_BOUNDING_AGG + _BOUNDING_TOPK):
+                verdict = "bounded"
+                break
+            if op.startswith("Scan parquet"):
+                loc = scan_locs.get(nid, "")
+                if any(t in loc for t in _BOUNDED_DIM_TABLES):
+                    verdict = "bounded"
+                else:
+                    verdict = f"raw fact scan reached first: {loc}"
+                break
+        assert verdict == "bounded", (
+            f"{name}: unpartitioned window's input spine is unbounded "
+            f"({verdict}); spine = {[op for op, _ in spine]}"
         )

@@ -84,25 +84,29 @@ def _top_level_bracket_groups(s: str) -> list[str]:
     return groups
 
 
+def _unpartitioned_window_ids(plan: str) -> list[int]:
+    """Node ids of WindowExec nodes with NO partition spec. In
+    ``explain("formatted")`` a Window node's Arguments line is
+    ``[exprs], [partition], [order]``; either trailing group may be
+    absent. A node is unpartitioned iff no plain-column partition group
+    remains after the exprs — i.e. it has only an order group (every
+    order element carries a NULLS FIRST/LAST marker) or nothing. The one
+    detection heuristic shared by the census count, the partition-spec
+    lister, and the subtree walker — fix it here, every consumer agrees."""
+    ids: list[int] = []
+    for m in re.finditer(r"\((\d+)\) Window\s*\nInput[^\n]*\nArguments: ([^\n]*)", plan):
+        groups = _top_level_bracket_groups(m.group(2))
+        if not any("NULLS" not in g for g in groups[1:]):
+            ids.append(int(m.group(1)))
+    return ids
+
+
 def unpartitioned_window_count(df: DataFrame) -> int:
-    """WindowExec nodes with NO partition spec — each one collapses its
+    """Count of Window nodes with no partition spec — each collapses its
     whole input onto a single task (the classic global-window scale
-    killer). In ``explain("formatted")`` a Window node's Arguments line is
-    ``[exprs], [partition], [order]``; either trailing group may be absent.
-    A node is unpartitioned iff no plain-column partition group remains
-    after the exprs — i.e. it has only an order group (every order element
-    carries a NULLS FIRST/LAST marker) or nothing. Bounded inputs (sketch
-    registers, band stats) are the only sanctioned uses; the census
-    baseline is the allowlist."""
-    plan = formatted_plan(df)
-    n = 0
-    for m in re.finditer(r"\(\d+\) Window\s*\nInput[^\n]*\nArguments: ([^\n]*)", plan):
-        groups = _top_level_bracket_groups(m.group(1))
-        tail = groups[1:]
-        has_partition = any("NULLS" not in g for g in tail)
-        if not has_partition:
-            n += 1
-    return n
+    killer). Bounded inputs (sketch registers, band stats) are the only
+    sanctioned uses; the census baseline is the allowlist."""
+    return len(_unpartitioned_window_ids(formatted_plan(df)))
 
 
 def _tree_nodes(df: DataFrame) -> list[tuple[int, str, int]]:
@@ -138,12 +142,7 @@ def unpartitioned_window_subtrees(df: DataFrame) -> list[list[tuple[str, int]]]:
     subtree bounds its own cardinality (an aggregation to band/cell/dim
     granularity, a top-k, or a bounded dim scan) BEFORE the window; tests
     walk these subtrees to hold that claim structurally."""
-    plan = formatted_plan(df)
-    ids = set()
-    for m in re.finditer(r"\((\d+)\) Window\s*\nInput[^\n]*\nArguments: ([^\n]*)", plan):
-        groups = _top_level_bracket_groups(m.group(2))
-        if not any("NULLS" not in g for g in groups[1:]):
-            ids.add(int(m.group(1)))
+    ids = set(_unpartitioned_window_ids(formatted_plan(df)))
     nodes = _tree_nodes(df)
     subtrees: list[list[tuple[str, int]]] = []
     for i, (indent, _name, nid) in enumerate(nodes):
@@ -158,14 +157,39 @@ def unpartitioned_window_subtrees(df: DataFrame) -> list[list[tuple[str, int]]]:
     return subtrees
 
 
+def unpartitioned_window_spines(df: DataFrame) -> list[list[tuple[str, int]]]:
+    """For each unpartitioned Window node, the LEFTMOST root-to-leaf path
+    of its input subtree — the streamed data lineage the window actually
+    orders. Stricter than :func:`unpartitioned_window_subtrees` for
+    bounded-input assertions: an aggregate sitting on a broadcast join
+    BRANCH (e.g. a crossJoined 1-row total) is NOT on the spine, so a
+    window over raw facts × broadcast-agg fails a spine check where the
+    whole-subtree check would pass."""
+    ids = set(_unpartitioned_window_ids(formatted_plan(df)))
+    nodes = _tree_nodes(df)
+    spines: list[list[tuple[str, int]]] = []
+    for i, (indent, _name, nid) in enumerate(nodes):
+        if nid not in ids:
+            continue
+        spine: list[tuple[str, int]] = []
+        prev_indent = indent
+        for s_indent, s_name, s_nid in nodes[i + 1 :]:
+            if s_indent <= prev_indent:
+                break  # left the strictly-descending first-child chain
+            spine.append((s_name, s_nid))
+            prev_indent = s_indent
+        spines.append(spine)
+    return spines
+
+
 def window_partition_specs(df: DataFrame) -> list[str]:
     """Partition-spec text of every Window node ('' when unpartitioned) —
     lets tests assert the heavy window runs keyed (e.g. by a band column)
     while the only unpartitioned ones sit on bounded stats tables."""
     plan = formatted_plan(df)
     specs: list[str] = []
-    for m in re.finditer(r"\(\d+\) Window\s*\nInput[^\n]*\nArguments: ([^\n]*)", plan):
-        groups = _top_level_bracket_groups(m.group(1))
+    for m in re.finditer(r"\((\d+)\) Window\s*\nInput[^\n]*\nArguments: ([^\n]*)", plan):
+        groups = _top_level_bracket_groups(m.group(2))
         part = [g for g in groups[1:] if "NULLS" not in g]
         specs.append(part[0] if part else "")
     return specs

@@ -106,34 +106,40 @@ def frame_and_session(
 
     buffer, nseq = state.get if state.exists else ("", 0)
     rows: dict[str, list[Any]] = {"conn_id": [], "raw": [], "time": [], "kind": [], "seq": []}
-    # ``arrival_seq`` is the ONLY intra-key order signal; a duplicate
+    # A key's micro-batch may arrive as SEVERAL Arrow chunks (anything
+    # past arrow.maxRecordsPerBatch) in no particular order, so the sort
+    # must run over the concatenation — per-chunk sorting would stitch
+    # later-chunk bytes ahead of earlier ones with no error raised.
+    # ``arrival_seq`` is also the ONLY intra-key order signal; a duplicate
     # (conn_id, arrival_seq) pair means the source cannot tell two chunks
     # apart (e.g. the dev socket source's same-millisecond tie) and the
     # stitch order — hence the reassembled frame — would be arbitrary.
     # Fail loudly instead of framing corrupted messages; the production
     # Kinesis source's shard sequence numbers are unique by construction.
-    seen_seq: set[int] = set()
-    for pdf in pdfs:
-        pdf = pdf.sort_values("arrival_seq")
-        for seq in pdf["arrival_seq"]:
-            if seq in seen_seq:
-                raise ValueError(
-                    f"duplicate arrival_seq {seq} for conn_id {conn_id!r}: "
-                    "the source's order signal has ties (dev socket "
-                    "sources stamp at millisecond resolution) — frame "
-                    "reassembly would be order-ambiguous"
-                )
-            seen_seq.add(seq)
-        for chunk, ts in zip(pdf["chunk"], pdf["arrival_ts"]):
-            messages, buffer = extract(buffer + chunk)
-            for m in messages:
-                rows["conn_id"].append(conn_id)
-                rows["raw"].append(m)
-                # one shared timestamp per packet (proxy.ex:150)
-                rows["time"].append(ts)
-                rows["kind"].append("message")
-                rows["seq"].append(nseq)
-                nseq += 1
+    parts = [p for p in pdfs if not p.empty]
+    batch = (
+        pd.concat(parts, ignore_index=True).sort_values("arrival_seq", kind="stable")
+        if parts
+        else pd.DataFrame({"arrival_seq": [], "chunk": [], "arrival_ts": []})
+    )
+    if batch["arrival_seq"].duplicated().any():
+        dup = int(batch["arrival_seq"][batch["arrival_seq"].duplicated()].iloc[0])
+        raise ValueError(
+            f"duplicate arrival_seq {dup} for conn_id {conn_id!r}: "
+            "the source's order signal has ties (dev socket sources "
+            "stamp at millisecond resolution) — frame reassembly would "
+            "be order-ambiguous"
+        )
+    for chunk, ts in zip(batch["chunk"], batch["arrival_ts"]):
+        messages, buffer = extract(buffer + chunk)
+        for m in messages:
+            rows["conn_id"].append(conn_id)
+            rows["raw"].append(m)
+            # one shared timestamp per packet (proxy.ex:150)
+            rows["time"].append(ts)
+            rows["kind"].append("message")
+            rows["seq"].append(nseq)
+            nseq += 1
     state.update((buffer, nseq))
     # ANY traffic re-arms the stale timer, even if it framed no message
     if stale_timeout_ms is not None:

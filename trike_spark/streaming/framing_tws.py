@@ -95,28 +95,36 @@ class FramingProcessor(StatefulProcessor):
         out: dict[str, list[Any]] = {
             "conn_id": [], "raw": [], "time": [], "kind": [], "seq": [],
         }
-        # duplicate (conn_id, arrival_seq) = order-ambiguous stitch: fail
-        # loudly (same contract as framing.frame_and_session)
-        seen_seq: set[int] = set()
-        for pdf in rows:
-            pdf = pdf.sort_values("arrival_seq")
-            for seq in pdf["arrival_seq"]:
-                if seq in seen_seq:
-                    raise ValueError(
-                        f"duplicate arrival_seq {seq} for conn_id "
-                        f"{conn_id!r}: frame reassembly would be "
-                        "order-ambiguous"
-                    )
-                seen_seq.add(seq)
-            for chunk, ts in zip(pdf["chunk"], pdf["arrival_ts"]):
-                messages, buffer = extract(buffer + chunk)
-                for m in messages:
-                    out["conn_id"].append(conn_id)
-                    out["raw"].append(m)
-                    out["time"].append(ts)  # shared per-packet ts (proxy.ex:150)
-                    out["kind"].append("message")
-                    out["seq"].append(nseq)
-                    nseq += 1
+        # Concat-then-sort: Arrow may deliver one key's batch as several
+        # chunks in arbitrary order, so a per-chunk sort cannot order
+        # rows ACROSS chunks. A duplicate (conn_id, arrival_seq) is an
+        # order-ambiguous stitch: fail loudly (same contract as
+        # framing.frame_and_session).
+        parts = [p for p in rows if not p.empty]
+        batch = (
+            pd.concat(parts, ignore_index=True).sort_values(
+                "arrival_seq", kind="stable"
+            )
+            if parts
+            else pd.DataFrame({"arrival_seq": [], "chunk": [], "arrival_ts": []})
+        )
+        if batch["arrival_seq"].duplicated().any():
+            dup = int(
+                batch["arrival_seq"][batch["arrival_seq"].duplicated()].iloc[0]
+            )
+            raise ValueError(
+                f"duplicate arrival_seq {dup} for conn_id {conn_id!r}: "
+                "frame reassembly would be order-ambiguous"
+            )
+        for chunk, ts in zip(batch["chunk"], batch["arrival_ts"]):
+            messages, buffer = extract(buffer + chunk)
+            for m in messages:
+                out["conn_id"].append(conn_id)
+                out["raw"].append(m)
+                out["time"].append(ts)  # shared per-packet ts (proxy.ex:150)
+                out["kind"].append("message")
+                out["seq"].append(nseq)
+                nseq += 1
         self.buf.update((buffer, nseq))
         self._rearm(timerValues)
         if out["conn_id"]:

@@ -46,7 +46,13 @@ def socket_chunk_stream(spark: SparkSession, host: str = "localhost", port: int 
     production uses the Kinesis shard sequence number, which is exact).
     Ties no longer corrupt silently: framing raises on a duplicate
     (conn_id, arrival_seq) pair, so a same-ms tie fails the query loudly
-    (tests/test_framing_tws.py::test_duplicate_arrival_seq_fails_loudly_both_twins)."""
+    (tests/test_framing_tws.py::test_duplicate_arrival_seq_fails_loudly_both_twins).
+    Consequence: a burst that lands two lines inside one millisecond
+    KILLS a query fed by this adapter — deliberately, because the
+    alternative is a possibly-corrupted frame. For burst traffic use
+    ``fake_chunk_stream`` (dense integer seqs) in dev or the Kinesis
+    source (exact shard sequence numbers) in production; this socket
+    adapter is for low-rate interactive sessions."""
     raw = (
         spark.readStream.format("socket")
         .option("host", host)
