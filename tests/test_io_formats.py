@@ -99,3 +99,91 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
         ).collect()[0]["fp"]
 
     assert fingerprint(a) == fingerprint(b)
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC round-trips losslessly and its scan gets the same pushdown
+    treatment as parquet (predicate reaches the reader, schema pruned)."""
+    from trike_spark.io import read_orc, write_orc
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    path = str(tmp_path / "lineitem_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    assert back.schema == li.schema
+
+    q = read_orc(spark, path).filter("l_quantity > 30").select("l_orderkey")
+    plan = plans.formatted_plan(q)
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters", 1)[1][:200]
+    # column pruning: ReadSchema carries only the two referenced columns
+    read_schema = plan.split("ReadSchema", 1)[1][:200]
+    assert "l_orderkey" in read_schema and "l_shipdate" not in read_schema
+
+
+def test_orc_partitioned_prunes(spark, tmp_path):
+    from trike_spark.io import read_orc, write_orc
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc_part")
+    write_orc(orders, path, partition_by=["o_orderstatus"])
+    back = read_orc(spark, path).filter("o_orderstatus = 'F'")
+    plan = plans.formatted_plan(back)
+    assert "PartitionFilters" in plan
+    assert 0 < back.count() < read_orc(spark, path).count()
+
+
+def test_text_line_round_trip(spark, tmp_path):
+    """Line-mode text: one row per line, lossless for plain lines."""
+    from pyspark.sql import functions as F
+
+    from trike_spark.io import read_text, write_text
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        F.concat_ws("\t", "doc_id", "lang").alias("value")
+    )
+    path = str(tmp_path / "docs_txt")
+    write_text(docs, path)
+    back = read_text(spark, path)
+    assert back.columns == ["value"]
+    assert {r["value"] for r in back.collect()} == {r["value"] for r in docs.collect()}
+
+
+def test_text_wholefile_one_row_per_file(spark, tmp_path):
+    from trike_spark.io import read_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo\n")
+    whole = read_text(spark, str(d), whole=True)
+    assert whole.count() == 2
+    vals = sorted(r["value"] for r in whole.collect())
+    assert vals[0] == "line one\nline two\n"
+    lines = read_text(spark, str(d))
+    assert lines.count() == 3
+
+
+def test_binary_files_ingest_glob_and_size_filter(spark, tmp_path):
+    """binaryFile ingest: content is byte-exact, pathGlobFilter prunes at
+    listing time, and the length filter is a metadata predicate (evaluated
+    without reading content)."""
+    from trike_spark.io import read_binary_files
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    payload_small = b"\x89PNG\r\n\x1a\n" + bytes(range(64))
+    payload_big = b"\x89PNG\r\n\x1a\n" + bytes(1024)
+    (d / "a.png").write_bytes(payload_small)
+    (d / "b.png").write_bytes(payload_big)
+    (d / "c.wav").write_bytes(b"RIFFxxxxWAVE")
+
+    pngs = read_binary_files(spark, str(d), glob="*.png")
+    assert pngs.count() == 2
+    small = read_binary_files(spark, str(d), glob="*.png", max_bytes=200)
+    rows = small.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["content"]) == payload_small
+    assert rows[0]["length"] == len(payload_small)

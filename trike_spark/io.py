@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from trike_spark.schemas import TESTDATA_TABLES
 
@@ -180,6 +181,68 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar lake format Spark ships natively.
+    Same pushdown story as parquet (predicate pushdown, column pruning,
+    min/max stripe skipping via ``spark.sql.orc.filterPushdown``, on by
+    default in Spark 4), so a warehouse already materialized as ORC
+    (classic Hive estates) plugs into every query here unchanged."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-oriented text source → one ``value`` string column (plus the
+    standard ``_metadata`` struct for provenance). ``whole=True`` reads
+    each FILE as one row instead — the shape raw-crawl document ingest
+    wants (file = document) before any parsing. At 100 TB prefer
+    line-mode: whole-file rows are unsplittable, so one giant file
+    becomes one task."""
+    # Must go through the .text() kwarg: DataFrameReader.text re-sets
+    # wholetext from its own signature, silently clobbering a prior
+    # .option("wholetext", ...).
+    return spark.read.text(path, wholetext=whole)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Sink for single-string-column frames (Spark requires exactly one
+    column; callers concat/serialize first)."""
+    df.write.mode(mode).text(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """binaryFile source: each file → (path, modificationTime, length,
+    content binary). This is the ingest edge of the multimodal model
+    (queries/multimodal.py): raw image/audio files land as opaque
+    ``binary`` + typed metadata, then header-parse / feature-extract run
+    as vectorized stages over the content column.
+
+    ``glob`` pushes a pathGlobFilter (prunes at LISTING time — no bytes
+    read for non-matching files); ``max_bytes`` filters on the ``length``
+    metadata column, which Spark evaluates before loading content, so
+    oversized blobs never transit the scan. Each file is one row and one
+    task unit — fine for KB–MB media objects; shard multi-GB archives
+    upstream."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
 
 
 def write_zorder(
