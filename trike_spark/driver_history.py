@@ -306,5 +306,8 @@ WINDOW_PRIORITY: frozenset[str] = frozenset(
     {
         "curation_pii_redact",
         "agg_pareto_revenue_share",
+        # registered mid-round-7: the Hilbert clustering face (new plan —
+        # unrolled curve walk + cell agg) should get driver-signed first
+        "scan_hilbert_cells",
     }
 )

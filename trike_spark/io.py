@@ -274,6 +274,36 @@ def write_zorder(
     )
 
 
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    qx: str,
+    qy: str,
+    bits: int = 8,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Hilbert-clustered parquet layout: the same range-partition +
+    sort-within-file recipe as :func:`write_zorder`, keyed by the Hilbert
+    distance instead of the Morton code. Because consecutive Hilbert keys
+    are always geometrically adjacent (no quadrant-boundary jumps), each
+    file's contiguous key range tiles a compact region and its min/max
+    footer stats are tighter in BOTH dims — measured against the Z-order
+    layout on identical data by ``tests/test_hilbert_layout.py``.
+    ``qx``/``qy`` must be non-negative integer columns below ``2**bits``
+    (quantize first)."""
+    from trike_spark.operators.hilbert import with_hilbert_key
+
+    (
+        with_hilbert_key(df, qx, qy, out="_h", bits=bits)
+        .repartitionByRange(n_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,

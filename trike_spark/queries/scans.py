@@ -285,6 +285,69 @@ def scan_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Hilbert-curve clustering cells ------------------------------------------
+
+from trike_spark.operators.hilbert import hilbert_cte_sql, with_hilbert_key  # noqa: E402
+
+# Same quantizers as the Z-order face, clamped to the Hilbert walk's
+# [0, 2^bits) domain (dates before 1995 make qd negative; the Morton
+# bit-interleave tolerates that, the Hilbert rotation arithmetic does not).
+_SQL_HP = f"GREATEST(0, {_SQL_QP})"
+_SQL_HD_DUCK = f"GREATEST(0, {_SQL_QD_DUCK})"
+_SQL_HD_SPARK = f"GREATEST(0, {_SQL_QD_SPARK})"
+_HILBERT_SRC_DUCK = (
+    f"SELECT {_SQL_HP} AS qx, {_SQL_HD_DUCK} AS qy, o_totalprice, o_orderdate FROM orders"
+)
+
+
+@register(
+    "scan_hilbert_cells",
+    f"""
+    SELECT hkey // 256 AS cell, COUNT(*) AS n_rows,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+           CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date
+    FROM ({hilbert_cte_sql(_HILBERT_SRC_DUCK, "qx", "qy", _Z_BITS, carry=["o_totalprice", "o_orderdate"])})
+    GROUP BY hkey // 256
+    """,
+    doc=(
+        "Hilbert-curve cell report over (price, date): like the Z-order "
+        "face but on the curve with NO long jumps — contiguous key ranges "
+        "tile compact squares, so per-cell bounding boxes stay uniformly "
+        "tight for 2-D predicate skipping."
+    ),
+)
+def scan_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analysis face of the Hilbert layout (`io.write_hilbert` is the
+    write side; `tests/test_hilbert_layout.py` proves key parity with the
+    classic xy→d walk and measures the bounding-box win over Morton on the
+    same data). Quantize (o_totalprice, o_orderdate) to 8 bits each, map
+    through `operators.hilbert.with_hilbert_key` — the unrolled walk is a
+    chain of integer CASE projections, fused by whole-stage codegen, zero
+    Python — and report per 256-key cell the row count and min/max
+    BOUNDING BOX of both source dims, the exact stats parquet footers use
+    to prune. The oracle runs the identical level expressions as a DuckDB
+    CTE chain, so the driver's value-hash certifies the curve bit-for-bit
+    (which is the property a layout must hold cluster-wide: every writer
+    node must agree on the key)."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.select(
+        F.expr(_SQL_HP).alias("qx"),
+        F.expr(_SQL_HD_SPARK).alias("qy"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    h = with_hilbert_key(q, "qx", "qy", bits=_Z_BITS)
+    return h.groupBy(F.expr("hkey div 256").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.min(F.col("o_orderdate").cast("date")).cast("string").alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).cast("string").alias("max_date"),
+    )
+
+
 # --- join-key skew report ---------------------------------------------------
 
 SKEW_TOP_N = 10
