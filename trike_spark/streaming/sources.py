@@ -115,6 +115,47 @@ CLOUD_EVENT_JSON_SCHEMA = (
 )
 
 
+SPOOL_SCHEMA = "conn_id string, chunk string, arrival_seq bigint"
+
+
+def spool_chunk_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Spool-directory file source: ingest chunk rows from JSON-lines
+    files dropped into ``spool_dir`` — the batch-friendly sibling of the
+    socket/Kinesis sources (the reference's file-based test source,
+    fake_source.ex:17-36, reads its canned CSV the same drop-a-file way).
+
+    Each line is one chunk row in the shared chunk shape: ``conn_id``,
+    ``chunk``, and an EXACT ``arrival_seq`` written by whatever archived
+    the traffic (the replay-archive contract — unlike the dev socket
+    adapter's millisecond timestamps, file replays carry the original
+    sequence numbers, so framing is tie-free). ``arrival_ts`` is stamped
+    at read time (ingest clock, T2). Frames may span FILE boundaries:
+    the stateful framing buffers per conn_id across micro-batches, so a
+    partial frame at the end of one spool file completes when the next
+    file arrives (asserted by tests/test_spool_source_e2e.py).
+
+    Scale posture: the schema is explicit (no inference pass);
+    ``maxFilesPerTrigger`` bounds micro-batch size for backfills (drop a
+    day of archives in one go and the query drains at a controlled
+    rate); files are line-splittable JSON so a huge spool file still
+    parallelizes per block."""
+    return (
+        spark.readStream.schema(SPOOL_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(spool_dir)
+        .select(
+            "conn_id",
+            "chunk",
+            F.current_timestamp().alias("arrival_ts"),
+            "arrival_seq",
+        )
+    )
+
+
 def parse_kinesis_records(records: DataFrame, record_col: str = "record") -> DataFrame:
     """Kinesis-native ingest (the replay path, kinesis_source.ex:123-147):
     each Kinesis record is a JSON ARRAY of CloudEvents (our sink's F4
