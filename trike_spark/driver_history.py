@@ -16,9 +16,10 @@ Round-7 state: registry = 356 names at the end of round 6.
 ``CORRECTNESS_r06.json`` landed 50/50 green with zero overlap against
 rounds 1-5 — including fresh driver rows for all five round-6 banded
 rewrites — so DRIVER_VERIFIED is now r2+r3+r5+r6 minus the round-7
-plan-stale name (181 names). WINDOW_PRIORITY is reseeded with the two
+plan-stale names (180 names). WINDOW_PRIORITY is reseeded with the
 round-7 new/rewritten plans (curation_pii_redact, the banded
-agg_pareto_revenue_share); ~170 names have never had any driver row and
+agg_pareto_revenue_share, the Hilbert face, the scaled-long q1);
+~170 names have never had any driver row and
 rotate in behind them. Coverage accumulates one 50-entry window per round
 (~3-4 rounds to exhaustion).
 """
@@ -287,7 +288,11 @@ VERIFIED_R06: frozenset[str] = frozenset(
 # "What's wrong" §1). Same oracle expected, but the plan is new. (It has no
 # prior driver row, so the subtraction is a no-op today; recorded for the
 # audit trail.)
-STALE_R07: frozenset[str] = frozenset({"agg_pareto_revenue_share"})
+# Also stale this round: q1_pricing_summary moves from per-row decimal(18,4)
+# sums to scaled-long split accumulators (decimal only in the 4-row
+# post-agg scale shift) — measured ~1.9x faster at sf0.1, same oracle
+# text, same hash; the new plan needs a fresh driver signature.
+STALE_R07: frozenset[str] = frozenset({"agg_pareto_revenue_share", "q1_pricing_summary"})
 
 # Union of every name hard-verified by a past driver round and still valid.
 # The r5 window re-proved every stale name, so the stale subtractions are
@@ -309,5 +314,7 @@ WINDOW_PRIORITY: frozenset[str] = frozenset(
         # registered mid-round-7: the Hilbert clustering face (new plan —
         # unrolled curve walk + cell agg) should get driver-signed first
         "scan_hilbert_cells",
+        # rewritten mid-round-7: scaled-long q1 (see STALE_R07 note)
+        "q1_pricing_summary",
     }
 )
