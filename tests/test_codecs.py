@@ -1,0 +1,131 @@
+"""functions/codecs.py: the stdlib PNG/WAV codecs behind the multimodal
+round-trip faces. Round-trips, filter reconstruction against an
+independently-built PNG, and the unsupported-shape quarantine contract."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from trike_spark.functions.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+)
+
+
+def _rng(seed: int) -> np.random.Generator:
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("shape", [(7, 5), (4, 4, 3), (3, 9, 4)])
+def test_png_round_trip_gray_rgb_rgba(shape):
+    pixels = _rng(42).integers(0, 256, size=shape, dtype=np.uint8)
+    w, h, c, back = decode_png(encode_png(pixels))
+    assert (w, h) == (shape[1], shape[0])
+    assert c == (1 if len(shape) == 2 else shape[2])
+    assert np.array_equal(back.reshape(shape), pixels)
+
+
+def _png_with_filters(pixels: np.ndarray, filters: list[int]) -> bytes:
+    """Independently build a PNG using explicit per-scanline filters —
+    exercises the decoder's Sub/Up/Average/Paeth reconstruction, which our
+    own filter-0 encoder never emits."""
+    h, w, c = pixels.shape
+    stride = w * c
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+    flat = pixels.reshape(h, stride).astype(int)
+    raw = bytearray()
+    for y, ft in enumerate(filters):
+        raw.append(ft)
+        for x in range(stride):
+            v = flat[y][x]
+            a = flat[y][x - c] if x >= c else 0
+            b = flat[y - 1][x] if y >= 1 else 0
+            cc = flat[y - 1][x - c] if (x >= c and y >= 1) else 0
+            if ft == 0:
+                enc = v
+            elif ft == 1:
+                enc = v - a
+            elif ft == 2:
+                enc = v - b
+            elif ft == 3:
+                enc = v - (a + b) // 2
+            else:
+                enc = v - paeth(a, b, cc)
+            raw.append(enc & 0xFF)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_reconstructs_all_five_filters():
+    pixels = _rng(7).integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    data = _png_with_filters(pixels, [0, 1, 2, 3, 4])
+    w, h, c, back = decode_png(data)
+    assert (w, h, c) == (6, 5, 3)
+    assert np.array_equal(back, pixels)
+
+
+def test_png_rejects_unsupported_shapes():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF not a png")
+    # 16-bit depth header on an otherwise valid container
+    pixels = _rng(1).integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    good = encode_png(pixels)
+    bad = bytearray(good)
+    bad[24] = 16  # IHDR bit-depth byte
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        encode_png(pixels.astype(np.int32))
+
+
+def test_wav_round_trip_mono_and_stereo():
+    mono = _rng(3).integers(-32768, 32767, size=64, dtype=np.int16)
+    rate, n_ch, n_fr, back = decode_wav(encode_wav(mono, 8_000))
+    assert (rate, n_ch, n_fr) == (8_000, 1, 64)
+    assert np.array_equal(back, mono)
+
+    stereo = _rng(4).integers(-32768, 32767, size=(32, 2), dtype=np.int16)
+    rate, n_ch, n_fr, back = decode_wav(encode_wav(stereo, 44_100))
+    assert (rate, n_ch, n_fr) == (44_100, 2, 32)
+    assert np.array_equal(back, stereo)
+
+
+def test_wav_rejects_non_pcm16():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)  # 8-bit
+        wf.setframerate(8000)
+        wf.writeframes(bytes(16))
+    with pytest.raises(ValueError, match="PCM-16"):
+        decode_wav(buf.getvalue())
+    with pytest.raises(ValueError):
+        encode_wav(np.zeros(4, dtype=np.float32))

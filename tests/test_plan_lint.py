@@ -35,7 +35,9 @@ ARROW_PYTHON_OK = {
     "multimodal_assemble",
     "multimodal_decode_features",
     "multimodal_frame_sample",
+    "multimodal_png_roundtrip",  # REAL stdlib codec runs inside the Arrow stage
     "multimodal_resize",
+    "multimodal_wav_roundtrip",  # REAL stdlib codec runs inside the Arrow stage
     "pipeline_chunk_dedup",
     "pipeline_training_data_prep",
     "events_alert_debounce",  # greedy cooldown chain is applyInPandas per user

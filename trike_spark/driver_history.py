@@ -316,5 +316,8 @@ WINDOW_PRIORITY: frozenset[str] = frozenset(
         "scan_hilbert_cells",
         # rewritten mid-round-7: scaled-long q1 (see STALE_R07 note)
         "q1_pricing_summary",
+        # registered mid-round-7: REAL stdlib PNG/WAV codec round-trips
+        "multimodal_png_roundtrip",
+        "multimodal_wav_roundtrip",
     }
 )

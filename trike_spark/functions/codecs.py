@@ -1,0 +1,168 @@
+"""Real, dependency-free media codecs for the multimodal column model.
+
+The multimodal faces treat image/audio as opaque binary + typed metadata
+(SURVEY.md §2.6 "multimodal"), with the DECODE step historically stubbed
+because PIL/ffmpeg aren't in the runtime. These two codecs remove the
+stub for the formats the standard library can actually handle:
+
+* **PNG** — container parsing + zlib inflate + the five scanline filters
+  reconstructed in numpy (spec: RFC 2083). 8-bit depth, color types
+  gray(0)/RGB(2)/RGBA(6), non-interlaced — the overwhelmingly common
+  case for ML image corpora. Unsupported shapes raise ``ValueError``
+  (the honest boundary: a real corpus routes those to a quarantine
+  sink, tested in ``tests/test_codecs.py``).
+* **WAV** — stdlib ``wave`` (PCM int16), samples exposed as numpy.
+
+Both directions exist (encode + decode) so the Spark faces can prove the
+full loop: derive deterministic pixels/samples from table bytes →
+encode → decode → hash, while the DuckDB oracle hashes the derived bytes
+directly — a hash match certifies the codec round-trips bit-for-bit
+through the Arrow batch plumbing.
+
+These run inside ``mapInPandas`` batches (vectorized I/O, per-row codec
+work — the same shape a PIL/ffmpeg deployment has). At 100 TB the codec
+is embarrassingly parallel per row; the knobs that matter are upstream
+(binaryFile ``max_bytes`` guard, partition sizing), not here.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type → samples per pixel
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG writer: 8-bit, filter 0, one IDAT. ``pixels`` is
+    (h, w) gray, or (h, w, 3|4) RGB/RGBA, dtype uint8."""
+    if pixels.dtype != np.uint8:
+        raise ValueError(f"encode_png wants uint8, got {pixels.dtype}")
+    if pixels.ndim == 2:
+        color_type = 0
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type = 2
+    elif pixels.ndim == 3 and pixels.shape[2] == 4:
+        color_type = 6
+    else:
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    h, w = pixels.shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a PNG → (width, height, channels, uint8 array (h, w, c)).
+
+    Handles all five scanline filters (None/Sub/Up/Average/Paeth) per
+    RFC 2083 §6; rejects interlace, palette, and non-8-bit depth with
+    ``ValueError`` so callers can quarantine rather than mis-decode."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color_type} interlace={interlace})"
+        )
+    c = _CHANNELS[color_type]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = line + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0  # left
+                b = int(prev[x])  # up
+                if ftype == 1:
+                    cur[x] = (int(line[x]) + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (int(line[x]) + (a + b) // 2) & 0xFF
+                else:
+                    cc = int(prev[x - c]) if x >= c else 0  # up-left
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return w, h, c, out.reshape(h, w, c)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """PCM int16 mono/stereo WAV via stdlib ``wave``. ``samples`` is
+    (n,) mono or (n, 2) stereo, dtype int16."""
+    import io
+    import wave
+
+    if samples.dtype != np.int16:
+        raise ValueError(f"encode_wav wants int16, got {samples.dtype}")
+    n_ch = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_ch)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode WAV → (sample_rate, n_channels, n_frames, int16 array).
+    PCM-16 only; anything else raises ``ValueError``."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError(f"only PCM-16 supported, width={wf.getsampwidth()}")
+        rate, n_ch, n_fr = wf.getframerate(), wf.getnchannels(), wf.getnframes()
+        pcm = np.frombuffer(wf.readframes(n_fr), dtype=np.int16)
+    if n_ch > 1:
+        pcm = pcm.reshape(-1, n_ch)
+    return rate, n_ch, n_fr, pcm

@@ -2,10 +2,15 @@
 opaque binary payloads + typed metadata travel together through the plan;
 decode/feature-extraction runs as Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is a
+The container has no PIL/ffmpeg, so the general decode stage is a
 DETERMINISTIC FAKE (md5-derived pseudo-features) behind the real Spark
 plumbing — schema, batch iteration, partitioning are exactly what a real
 decoder would use; swap ``_fake_decode_batch`` for PIL/ffmpeg in prod.
+For the formats the standard library CAN handle the decode is REAL:
+``multimodal_png_roundtrip`` / ``multimodal_wav_roundtrip`` run actual
+PNG (zlib + filter reconstruction) and WAV (RIFF PCM) codecs from
+``trike_spark.functions.codecs`` inside the Arrow stage, certified
+byte-exact by the driver hash.
 
 Scale notes: binary payloads stay columnar (parquet BYTE_ARRAY) end-to-end;
 mapInPandas streams Arrow batches so one task never materializes more than
@@ -565,3 +570,145 @@ def multimodal_striding_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         patch_sum.cast("bigint").alias("patch_sum"),
         (patch_sum / (PATCH_SIZE * PATCH_SIZE)).cast("bigint").alias("patch_mean"),
     )
+
+
+# --- REAL codec round-trips (stdlib PNG + WAV) --------------------------------
+#
+# These two faces remove the "decode is stubbed" boundary for the formats
+# the standard library can genuinely handle (functions/codecs.py): pixels/
+# samples are derived deterministically from table bytes, ENCODED to a real
+# container, DECODED back inside the mapInPandas stage, and hashed. The
+# oracle hashes the derived bytes directly — so a driver hash match
+# certifies the whole codec loop (struct layout, zlib, filters, Arrow batch
+# transfer) is bit-exact, not merely that a decoder ran.
+
+_PNG_RT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pix_sha", StringType()),
+    ]
+)
+
+
+def _png_roundtrip_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    import numpy as np
+
+    from trike_spark.functions.codecs import decode_png, encode_png
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            hx = b"".join(
+                hashlib.md5(f"{text}p{i}".encode()).digest() for i in range(3)
+            )
+            pixels = np.frombuffer(hx, dtype=np.uint8).reshape(4, 4, 3)
+            w, h, c, arr = decode_png(encode_png(pixels))
+            rows.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    c,
+                    hashlib.sha256(arr.tobytes().hex().encode()).hexdigest(),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _PNG_RT_SCHEMA.fields])
+
+
+@register(
+    "multimodal_png_roundtrip",
+    """
+    SELECT doc_id, 4 AS width, 4 AS height, 3 AS channels,
+           sha256(md5(text || 'p0') || md5(text || 'p1') || md5(text || 'p2')) AS pix_sha
+    FROM documents
+    """,
+    doc=(
+        "REAL PNG codec round-trip (stdlib zlib + numpy unfiltering): "
+        "derive 4x4 RGB pixels from doc bytes, encode->decode->sha256; "
+        "oracle hashes the derived bytes directly, so a match certifies "
+        "the codec loop bit-for-bit."
+    ),
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlike the `_fake_decode_batch` faces, the codec here is REAL
+    (functions/codecs.py): a spec-compliant PNG writer/reader pair runs
+    inside the Arrow-batched stage. The derived-pixels construction makes
+    encode∘decode = identity checkable by an engine with no codec at all —
+    the DuckDB oracle just hashes the same 48 bytes — so the driver's
+    value-hash is an end-to-end proof the container format, compression,
+    filter reconstruction, and Arrow transfer preserved every byte. The
+    stage is a narrow map (no shuffle); per-row codec work is the same
+    shape a PIL deployment has."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_png_roundtrip_batch, schema=_PNG_RT_SCHEMA)
+
+
+_WAV_RT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("pcm_sha", StringType()),
+    ]
+)
+
+
+def _wav_roundtrip_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    import numpy as np
+
+    from trike_spark.functions.codecs import decode_wav, encode_wav
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            hx = b"".join(
+                hashlib.md5(f"{text}w{i}".encode()).digest() for i in range(4)
+            )
+            samples = np.frombuffer(hx, dtype="<i2")  # 32 little-endian int16
+            rate, n_ch, n_fr, pcm = decode_wav(encode_wav(samples, 8_000))
+            rows.append(
+                (
+                    doc_id,
+                    rate,
+                    n_ch,
+                    n_fr,
+                    hashlib.sha256(
+                        pcm.astype("<i2").tobytes().hex().encode()
+                    ).hexdigest(),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _WAV_RT_SCHEMA.fields])
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    """
+    SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels, 32 AS n_frames,
+           sha256(md5(text || 'w0') || md5(text || 'w1') ||
+                  md5(text || 'w2') || md5(text || 'w3')) AS pcm_sha
+    FROM documents
+    """,
+    doc=(
+        "REAL WAV codec round-trip (stdlib wave, PCM int16): derive 32 "
+        "samples from doc bytes, encode->decode->sha256 of the PCM; "
+        "oracle hashes the derived bytes directly."
+    ),
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of `multimodal_png_roundtrip`: a real RIFF/WAVE
+    container written and re-read by the stdlib codec inside the Arrow
+    stage, certified byte-exact by the oracle hashing the same derived
+    PCM. Narrow map, no shuffle; the sample payload is deliberately tiny
+    (32 frames) because the face certifies the CODEC PATH — the
+    throughput story for real audio lives in the binaryFile ingest
+    (io.read_binary_files) + partition sizing, not here."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_wav_roundtrip_batch, schema=_WAV_RT_SCHEMA)
