@@ -12,7 +12,8 @@ The sets below are transcribed from the committed correctness reports
 the export order cannot change any query's semantics, and every rotated
 query still carries the same oracle SQL. See docs/QUERY_ORDER.md.
 
-Round-7 state: registry = 356 names at the end of round 6.
+Round-7 state: registry = 356 names at the end of round 6 (359 after the
+mid-round-7 additions: scan_hilbert_cells and the two codec round-trips).
 ``CORRECTNESS_r06.json`` landed 50/50 green with zero overlap against
 rounds 1-5 — including fresh driver rows for all five round-6 banded
 rewrites — so DRIVER_VERIFIED is now r2+r3+r5+r6 minus the round-7
