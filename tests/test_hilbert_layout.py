@@ -120,3 +120,39 @@ def test_hilbert_boxes_beat_natural_and_match_or_beat_zorder(spark, tmp_path):
 
     # the layout must not lose or alter rows
     assert spark.read.parquet(hpath).count() == o.count()
+
+
+def test_hilbert_2d_predicate_skips_files(spark, tmp_path):
+    """File-level pruning proxy, mirroring the Z-order variant: footer
+    boxes of most Hilbert-clustered files must miss a narrow price band."""
+    o = load_table(spark, SF_DIR, "orders")
+    q = o.selectExpr(f"{_QP} AS qx", f"{_QD} AS qy", "*")
+    hpath = str(tmp_path / "h2")
+    write_hilbert(q, hpath, "qx", "qy", bits=8, n_files=32)
+
+    lo_p, hi_p = 130_000.0, 150_000.0
+    files = glob.glob(hpath + "/*.parquet")
+    touched = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        ps = meta.row_group(0).column(names["o_totalprice"]).statistics
+        pmin, pmax = ps.min, ps.max
+        for rg in range(1, meta.num_row_groups):
+            s = meta.row_group(rg).column(names["o_totalprice"]).statistics
+            pmin, pmax = min(pmin, s.min), max(pmax, s.max)
+        if not (pmax < lo_p or pmin > hi_p):
+            touched += 1
+    assert len(files) >= 16
+    assert touched <= len(files) // 2, (touched, len(files))
+
+    # pruning must not change answers
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.read.parquet(hpath)
+        .filter(F.col("o_totalprice").between(lo_p, hi_p))
+        .count()
+    )
+    want = o.filter(F.col("o_totalprice").between(lo_p, hi_p)).count()
+    assert got == want
