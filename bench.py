@@ -97,6 +97,10 @@ HEADLINE = [
     "sim_filtered_topk",
     "curation_pii_redact",
     "agg_pareto_revenue_share",
+    # mid-round-7 additions: the new layout face, the real-codec stage,
+    # and the q1 rewrite is already tracked above
+    "scan_hilbert_cells",
+    "multimodal_png_roundtrip",
 ]
 
 
