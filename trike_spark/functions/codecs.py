@@ -112,14 +112,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             cur = line
         elif ftype == 2:  # Up
             cur = line + prev
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+        elif ftype == 1:  # Sub: per-channel-lane prefix sum (mod 256 is
+            # preserved by cumsum in a wider dtype + truncation)
+            cur = (
+                np.cumsum(line.reshape(-1, c).astype(np.int64), axis=0) & 0xFF
+            ).astype(np.uint8).reshape(-1)
+        elif ftype in (3, 4):  # Average / Paeth: true left-to-right recursion
             cur = line
             for x in range(stride):
                 a = int(cur[x - c]) if x >= c else 0  # left
                 b = int(prev[x])  # up
-                if ftype == 1:
-                    cur[x] = (int(line[x]) + a) & 0xFF
-                elif ftype == 3:
+                if ftype == 3:
                     cur[x] = (int(line[x]) + (a + b) // 2) & 0xFF
                 else:
                     cc = int(prev[x - c]) if x >= c else 0  # up-left
