@@ -199,3 +199,32 @@ def test_binaryfile_ingest_to_real_decode_end_to_end(spark, tmp_path):
         r = got[name]
         assert (r["width"], r["height"], r["channels"], r["nbytes"]) == (7, 5, 3, 105)
         assert r["pix_sha"] == sha
+
+
+def test_corrupt_containers_raise_valueerror_not_library_errors():
+    """The quarantine contract covers CORRUPT bytes, not just unsupported
+    shapes: truncation and bit-flips must surface as ValueError (routable
+    to a bad-file sink), never struct.error/zlib.error/wave.Error (which
+    would kill the Spark task)."""
+    pixels = _rng(9).integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    good = encode_png(pixels)
+    with pytest.raises(ValueError):
+        decode_png(good[:20])  # truncated mid-IHDR
+    flipped = bytearray(good)
+    flipped[45] ^= 0xFF  # inside the IDAT zlib stream
+    with pytest.raises(ValueError):
+        decode_png(bytes(flipped))
+
+    wav = encode_wav(np.zeros(8, dtype=np.int16))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFgarbage")
+    with pytest.raises(ValueError):
+        decode_wav(wav[:16])  # truncated header
+
+
+def test_decoded_arrays_are_writable():
+    pixels = _rng(10).integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    _, _, _, arr = decode_png(encode_png(pixels))
+    arr[0, 0, 0] = 7  # must not raise
+    _, _, _, pcm = decode_wav(encode_wav(np.zeros(8, dtype=np.int16)))
+    pcm[0] = 7  # must not raise

@@ -156,3 +156,22 @@ def test_hilbert_2d_predicate_skips_files(spark, tmp_path):
     )
     want = o.filter(F.col("o_totalprice").between(lo_p, hi_p)).count()
     assert got == want
+
+
+def test_hilbert_out_of_domain_fails_loudly(spark):
+    """Values ≥ 2**bits are off-curve and the oracle runs the SAME
+    arithmetic, so the hash gate is blind to them — the operator must
+    raise instead of silently degrading the layout."""
+    import pytest
+
+    df = spark.createDataFrame([(300, 2)], "qx long, qy long")
+    with pytest.raises(Exception, match="hilbert key out of"):
+        with_hilbert_key(df, "qx", "qy", bits=8).collect()
+
+
+def test_hilbert_reserved_column_collision_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2, 3)], "qx long, qy long, _hx long")
+    with pytest.raises(ValueError, match="reserves column name"):
+        with_hilbert_key(df, "qx", "qy")

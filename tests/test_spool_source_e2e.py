@@ -15,7 +15,14 @@ from trike_spark.streaming.sources import spool_chunk_stream
 
 
 def _write_spool(path, rows):
-    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    # Atomic publish: write outside the watched dir, then rename in — the
+    # file source lists a file ONCE; a partially-written file it catches
+    # mid-write would be recorded as processed and never re-read.
+    import os
+
+    tmp = path.parent.parent / (path.name + ".tmp")
+    tmp.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    os.rename(tmp, path)
 
 
 def test_spool_source_end_to_end_with_cross_file_frame(spark, tmp_path):

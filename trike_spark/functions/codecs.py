@@ -78,17 +78,23 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
+    # Truncated/corrupt containers must surface as ValueError too — the
+    # quarantine contract — not as struct.error/zlib.error, which would
+    # kill the Spark task instead of routing the row to the bad-file sink.
+    try:
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+    except struct.error as e:
+        raise ValueError(f"truncated PNG chunk structure: {e}") from e
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
@@ -98,7 +104,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         )
     c = _CHANNELS[color_type]
     stride = w * c
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
@@ -157,15 +166,22 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
 
 def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode WAV → (sample_rate, n_channels, n_frames, int16 array).
-    PCM-16 only; anything else raises ``ValueError``."""
+    PCM-16 only; anything else — including corrupt/truncated RIFF
+    containers — raises ``ValueError`` (quarantine contract)."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(data), "rb") as wf:
-        if wf.getsampwidth() != 2:
-            raise ValueError(f"only PCM-16 supported, width={wf.getsampwidth()}")
-        rate, n_ch, n_fr = wf.getframerate(), wf.getnchannels(), wf.getnframes()
-        pcm = np.frombuffer(wf.readframes(n_fr), dtype=np.int16)
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                raise ValueError(f"only PCM-16 supported, width={wf.getsampwidth()}")
+            rate, n_ch, n_fr = wf.getframerate(), wf.getnchannels(), wf.getnframes()
+            frames = wf.readframes(n_fr)
+    except (wave.Error, EOFError, struct.error) as e:
+        raise ValueError(f"corrupt WAV container: {e}") from e
+    # .copy(): frombuffer is a read-only view; decoded samples must be
+    # writable like decode_png's output (consistent mutability contract)
+    pcm = np.frombuffer(frames, dtype=np.int16).copy()
     if n_ch > 1:
         pcm = pcm.reshape(-1, n_ch)
     return rate, n_ch, n_fr, pcm

@@ -264,11 +264,22 @@ def write_zorder(
     balanced even when the dims are skewed (the same mechanism a sort
     shuffle uses); asserted by ``tests/test_zorder_layout.py`` comparing
     summed row-group bounding boxes against a natural-order write."""
+    if "_z" in df.columns:
+        raise ValueError("write_zorder reserves column name '_z'; rename it first")
+    _write_clustered(df.withColumn("_z", z_col), path, "_z", n_files, mode)
+
+
+def _write_clustered(
+    df: DataFrame, path: str, key: str, n_files: int, mode: str
+) -> None:
+    """Shared layout recipe for curve-clustered writes (Z-order, Hilbert):
+    range-partition on the key (sampled split points balance skew), sort
+    within each file, drop the key, write parquet. One definition so the
+    two layouts can never silently diverge."""
     (
-        df.withColumn("_z", z_col)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        df.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .drop(key)
         .write.mode(mode)
         .parquet(path)
     )
@@ -291,16 +302,12 @@ def write_hilbert(
     footer stats are tighter in BOTH dims — measured against the Z-order
     layout on identical data by ``tests/test_hilbert_layout.py``.
     ``qx``/``qy`` must be non-negative integer columns below ``2**bits``
-    (quantize first)."""
+    (quantize first — out-of-domain values fail the job loudly via the
+    operator's raise_error guard)."""
     from trike_spark.operators.hilbert import with_hilbert_key
 
-    (
-        with_hilbert_key(df, qx, qy, out="_h", bits=bits)
-        .repartitionByRange(n_files, "_h")
-        .sortWithinPartitions("_h")
-        .drop("_h")
-        .write.mode(mode)
-        .parquet(path)
+    _write_clustered(
+        with_hilbert_key(df, qx, qy, out="_h", bits=bits), path, "_h", n_files, mode
     )
 
 

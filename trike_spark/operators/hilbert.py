@@ -125,11 +125,32 @@ def with_hilbert_key(
     optimizer collapses the chain into a single whole-stage-codegen
     projection (verified by the layout test's plan check), so the cost
     is straight-line integer math per row, zero shuffles, zero Python.
-    ``qx``/``qy`` must be non-negative integers below ``2**bits``.
+
+    ``qx``/``qy`` must be non-negative integers below ``2**bits`` — the
+    walk's ``>= s`` quadrant test only equals the classic bit test inside
+    that domain, and an out-of-domain key would be silently off-curve
+    (the DuckDB oracle runs the same arithmetic, so the hash gate can't
+    catch it). Enforced here with a per-row ``raise_error`` guard: a bad
+    quantizer fails the job loudly instead of degrading the layout.
     """
-    cur = df.withColumn("_hx", F.col(qx).cast("bigint")).withColumn(
-        "_hy", F.col(qy).cast("bigint")
-    ).withColumn("_hd", F.lit(0).cast("bigint"))
+    n = 1 << bits
+    for tmp in ("_hx", "_hy", "_hd", out):
+        if tmp in df.columns:
+            raise ValueError(
+                f"with_hilbert_key reserves column name {tmp!r}; rename it first"
+            )
+    in_domain = (
+        (F.col(qx) >= 0) & (F.col(qx) < n) & (F.col(qy) >= 0) & (F.col(qy) < n)
+    )
+    err = F.expr(
+        f"raise_error(CONCAT('hilbert key out of [0, {n}) domain: qx=', "
+        f"CAST({qx} AS STRING), ' qy=', CAST({qy} AS STRING)))"
+    )
+    cur = (
+        df.withColumn("_hx", F.when(in_domain, F.col(qx)).otherwise(err).cast("bigint"))
+        .withColumn("_hy", F.col(qy).cast("bigint"))
+        .withColumn("_hd", F.lit(0).cast("bigint"))
+    )
     for d_term, nx, ny in hilbert_level_exprs(qx, qy, bits):
         d = _subst(d_term, "_hx", "_hy")
         x = _subst(nx, "_hx", "_hy")
