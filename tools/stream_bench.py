@@ -1,0 +1,115 @@
+"""Streaming-throughput bench: the reference is a single-node message
+proxy, so "matches-or-beats its throughput" is a STREAMING number — this
+harness measures events/sec through the complete ingest path
+
+    rate source (S3 fake, EOT-framed, heartbeats every 5th tick)
+      → stateful framing (F1)  → heartbeat filter (F2)
+      → CloudEvent projection (F3) → per-key batch-encode (F4)
+      → ordered Kinesis sink (K1 semantics, fake client)
+
+i.e. every stage the reference proxy runs, live under Structured
+Streaming micro-batches. Reported as one JSON line:
+
+    {"metric": "ingest_events_per_sec", "value": N, ...}
+
+Method: drive the rate source at --rows-per-second for --duration
+seconds, count the CloudEvents that actually reached the sink (decoded
+from the JSON-array records, so framing/projection/encode are all in the
+measured path), and divide by the span between the first and last
+micro-batch arrival — start-up (JVM, state-store init) is excluded,
+steady-state is what a long-lived proxy sees. The offered rate should be
+set ABOVE sustainable throughput to measure capacity, not the generator:
+the rate source back-pressures by letting batches grow, so delivered/sec
+converges on pipeline capacity.
+
+Usage:
+    python tools/stream_bench.py [--rows-per-second 50000]
+                                 [--duration 30] [--connections 8]
+
+The reference publishes no throughput figures (BASELINE.md), so the
+number is recorded in docs/BENCH_NOTES.md for round-over-round
+comparison, like the batch bench.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows-per-second", type=int, default=50_000)
+    ap.add_argument("--duration", type=float, default=30.0)
+    ap.add_argument("--connections", type=int, default=8)
+    args = ap.parse_args()
+
+    from trike_spark.session import get_spark
+    from trike_spark.streaming.pipeline import build_ingest_pipeline
+    from trike_spark.streaming.sinks import FakeKinesisClient, KinesisSink
+    from trike_spark.streaming.sources import fake_chunk_stream
+
+    spark = get_spark("stream-bench")
+    client = FakeKinesisClient()
+    sink = KinesisSink(stream="console", client=client)
+    batch_times: list[tuple[float, int]] = []  # (arrival wall clock, n_events)
+
+    def timed_sink(df, batch_id):
+        sink(df, batch_id)
+        n = sum(len(json.loads(c["data"])) for c in client.calls)
+        batch_times.append((time.time(), n))
+        client.calls.clear()
+
+    chunks = fake_chunk_stream(
+        spark,
+        rows_per_second=args.rows_per_second,
+        n_connections=args.connections,
+        heartbeat_every=5,
+    )
+    events = build_ingest_pipeline(chunks, stale_timeout_ms=600_000)
+    q = (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_bench_ckpt_"))
+        .foreachBatch(timed_sink)
+        .start()
+    )
+    deadline = time.time() + args.duration
+    try:
+        while time.time() < deadline:
+            if q.exception():
+                raise RuntimeError(str(q.exception()))
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    # steady state: drop the first batch (cold start), measure from its
+    # arrival to the last batch's arrival
+    if len(batch_times) < 3:
+        raise SystemExit("too few micro-batches; raise --duration")
+    t0, _ = batch_times[0]
+    t1, _ = batch_times[-1]
+    delivered = sum(n for _, n in batch_times[1:])
+    span = t1 - t0
+    print(
+        json.dumps(
+            {
+                "metric": "ingest_events_per_sec",
+                "value": round(delivered / span, 1),
+                "unit": "events/sec",
+                "events_delivered": delivered,
+                "span_sec": round(span, 2),
+                "micro_batches": len(batch_times),
+                "offered_rows_per_sec": args.rows_per_second,
+                "connections": args.connections,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
