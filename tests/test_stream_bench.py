@@ -1,0 +1,36 @@
+"""tools/stream_bench.py: the streaming-throughput harness must run the
+full ingest path and emit one well-formed JSON line (the contract the
+round notes and future drivers consume)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def test_stream_bench_emits_contract_json():
+    out = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/tools/stream_bench.py",
+            "--rows-per-second",
+            "1500",
+            "--duration",
+            "14",
+            "--connections",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["metric"] == "ingest_events_per_sec"
+    assert payload["unit"] == "events/sec"
+    assert payload["value"] > 0
+    assert payload["events_delivered"] > 0
+    assert payload["micro_batches"] >= 3
+    assert payload["connections"] == 4
