@@ -293,7 +293,12 @@ VERIFIED_R06: frozenset[str] = frozenset(
 # sums to scaled-long split accumulators (decimal only in the 4-row
 # post-agg scale shift) — measured ~1.9x faster at sf0.1, same oracle
 # text, same hash; the new plan needs a fresh driver signature.
-STALE_R07: frozenset[str] = frozenset({"agg_pareto_revenue_share", "q1_pricing_summary"})
+# And dedup_lsh_band_sweep: the per-config self-joins fused into one
+# unified (n_bands, band_idx, band_hash) candidate join — same oracle,
+# same hash, new plan (6.12 -> 5.34 s best-of-3 at sf0.1).
+STALE_R07: frozenset[str] = frozenset(
+    {"agg_pareto_revenue_share", "q1_pricing_summary", "dedup_lsh_band_sweep"}
+)
 
 # Union of every name hard-verified by a past driver round and still valid.
 # The r5 window re-proved every stale name, so the stale subtractions are
@@ -320,5 +325,7 @@ WINDOW_PRIORITY: frozenset[str] = frozenset(
         # registered mid-round-7: REAL stdlib PNG/WAV codec round-trips
         "multimodal_png_roundtrip",
         "multimodal_wav_roundtrip",
+        # rewritten mid-round-7: unified band-sweep join (see STALE_R07)
+        "dedup_lsh_band_sweep",
     }
 )
