@@ -12,15 +12,17 @@ The sets below are transcribed from the committed correctness reports
 the export order cannot change any query's semantics, and every rotated
 query still carries the same oracle SQL. See docs/QUERY_ORDER.md.
 
-Round-7 state: registry = 356 names at the end of round 6 (359 after the
-mid-round-7 additions: scan_hilbert_cells and the two codec round-trips).
+Round-7 state: registry = 356 names at the end of round 6 (361 after the
+mid-round-7 additions: scan_hilbert_cells, the two codec round-trips,
+the epoch shuffle, and the token-budget selection).
 ``CORRECTNESS_r06.json`` landed 50/50 green with zero overlap against
 rounds 1-5 — including fresh driver rows for all five round-6 banded
 rewrites — so DRIVER_VERIFIED is now r2+r3+r5+r6 minus the round-7
-plan-stale names (180 names). WINDOW_PRIORITY is reseeded with the
+plan-stale names (179 names). WINDOW_PRIORITY is reseeded with the
 round-7 new/rewritten plans (curation_pii_redact, the banded
-agg_pareto_revenue_share, the Hilbert face, the scaled-long q1);
-~170 names have never had any driver row and
+agg_pareto_revenue_share, the Hilbert face, the scaled-long q1, the
+fused band-sweep, the codec round-trips, and the two banded curation
+faces); ~175 names have never had any driver row and
 rotate in behind them. Coverage accumulates one 50-entry window per round
 (~3-4 rounds to exhaustion).
 """
@@ -327,5 +329,9 @@ WINDOW_PRIORITY: frozenset[str] = frozenset(
         "multimodal_wav_roundtrip",
         # rewritten mid-round-7: unified band-sweep join (see STALE_R07)
         "dedup_lsh_band_sweep",
+        # registered mid-round-7: epoch shuffle + token-budget selection
+        # (both on the banded skeleton — new plans, sign them this round)
+        "curation_epoch_shuffle",
+        "curation_token_budget_select",
     }
 )

@@ -2183,3 +2183,136 @@ def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(residual).cast("bigint").alias("residual_pii"),
         F.min("redacted").alias("sample_redacted"),
     )
+
+
+# --- epoch shuffle + token-budget selection ------------------------------------
+
+EPOCH_SEED = "epoch1"  # a new seed per epoch re-permutes the whole corpus
+N_EPOCH_SHARDS = 8  # training readers; shard = rank-round-robin
+TOKEN_BUDGET = 4000  # whitespace tokens the selection may spend
+
+
+@register(
+    "curation_epoch_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             md5(CONCAT('{EPOCH_SEED}:', CAST(doc_id AS VARCHAR))) AS k
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rk
+      FROM keyed)
+    SELECT doc_id, lang,
+           CAST(rk AS BIGINT) AS shuffle_rank,
+           CAST((rk - 1) % {N_EPOCH_SHARDS} AS BIGINT) AS shard
+    FROM ranked
+    """,
+    doc=(
+        "Deterministic epoch shuffle: md5(seed:doc_id) permutation rank "
+        "plus round-robin shard assignment — reproducible training-epoch "
+        "order with no RNG state."
+    ),
+)
+def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-epoch layout op: every epoch a trainer needs the
+    corpus in a fresh, REPRODUCIBLE global random order, split round-robin
+    across reader shards. ``md5(seed || ':' || doc_id)`` is that order —
+    a keyed permutation any re-run (or the DuckDB oracle) reproduces
+    bit-for-bit, with a new seed per epoch re-permuting everything and no
+    RNG state to checkpoint.
+
+    Scale shape: the permutation rank is a global ``row_number`` over the
+    hash key, which runs BANDED (operators/banded.banded_rank — band =
+    the key's first two hex chars, trivially monotone in the key order),
+    so ranking a billion documents is 256-way parallel and the only
+    unpartitioned window sees the 256-row band-stats table. At 100 TB the
+    rank itself is optional — ``repartitionByRange`` on the same key IS
+    the shuffle, and the shard column is what the writer partitions by —
+    but the rank is what makes the permutation auditable (and
+    driver-hashable) here."""
+    from trike_spark.operators.banded import banded_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(f"{EPOCH_SEED}:"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", "lang", key.alias("_k"))
+    ranked = banded_rank(
+        keyed,
+        F.substring(F.col("_k"), 1, 2),
+        [F.col("_k"), F.col("doc_id")],
+        out="shuffle_rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.col("shuffle_rank").cast("bigint").alias("shuffle_rank"),
+        ((F.col("shuffle_rank") - 1) % N_EPOCH_SHARDS).cast("bigint").alias("shard"),
+    )
+
+
+@register(
+    "curation_token_budget_select",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS toks,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents),
+    ranked AS (
+      SELECT lang, toks, ttr,
+             SUM(toks) OVER (ORDER BY ttr DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM scored)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS tokens_selected,
+           ROUND(MIN(ttr), 6) AS cut_ttr
+    FROM ranked WHERE cum <= {TOKEN_BUDGET}
+    GROUP BY lang
+    """,
+    doc=(
+        "Token-budget selection: spend a fixed token budget on the "
+        "highest-lexical-diversity documents (global running token sum, "
+        "banded), reported per language."
+    ),
+)
+def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'fill the training budget best-first' op: rank the corpus by a
+    quality priority (type-token ratio here — any score column slots in)
+    and keep documents until their cumulative whitespace-token count
+    exhausts a fixed budget. The report is per-language docs/tokens taken
+    plus the cut quality — the number a data-mixture owner actually reads
+    (how deep into the quality distribution did the budget reach?).
+
+    Scale shape: the priority and token count are per-row array
+    expressions (zero shuffle); the running token sum over the global
+    quality order runs BANDED (operators/banded.banded_cumsum — band =
+    negated TTR octile, monotone along the DESC order), so the selection
+    scan is band-parallel and only the one-row-per-band stats table
+    crosses an unpartitioned window. At a billion documents this is the
+    same two-pass cutpoint search as agg_pareto_revenue_share: the stats
+    pass finds the crossing band, the in-band window finds the exact
+    crossing row."""
+    from trike_spark.operators.banded import banded_cumsum
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    scored = d.select("doc_id", "lang", n_tok.alias("toks"), ttr.alias("ttr"))
+    ranked = banded_cumsum(
+        scored,
+        -F.floor(F.col("ttr") * 8),
+        [F.col("ttr").desc(), F.col("doc_id")],
+        {"cum": "toks"},
+    )
+    return (
+        ranked.filter(F.col("cum") <= TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("tokens_selected"),
+            F.round(F.min("ttr"), 6).alias("cut_ttr"),
+        )
+    )
