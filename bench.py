@@ -101,6 +101,9 @@ HEADLINE = [
     # and the q1 rewrite is already tracked above
     "scan_hilbert_cells",
     "multimodal_png_roundtrip",
+    # session-3 additions: the banded training-epoch layout faces
+    "curation_epoch_shuffle",
+    "curation_token_budget_select",
 ]
 
 

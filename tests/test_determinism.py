@@ -49,6 +49,10 @@ SENSITIVE = [
     "join_nearest_acctbal",  # banded prev/next ignore-nulls fills
     "text_zipf_slope",  # composite (-freq, prefix) struct band
     "events_lateness_report",  # banded running-max frontier
+    # round-7 session-3 banded faces: global permutation rank / budget
+    # cutpoint — both decompose a global order over hash/TTR bands
+    "curation_epoch_shuffle",  # banded row_number over md5 key
+    "curation_token_budget_select",  # banded running token sum + cut
 ]
 
 
