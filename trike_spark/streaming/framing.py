@@ -30,8 +30,8 @@ changes are breaking by default — this note is the contract reminder.
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
-from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -105,7 +105,6 @@ def frame_and_session(
         return
 
     buffer, nseq = state.get if state.exists else ("", 0)
-    rows: dict[str, list[Any]] = {"conn_id": [], "raw": [], "time": [], "kind": [], "seq": []}
     # A key's micro-batch may arrive as SEVERAL Arrow chunks (anything
     # past arrow.maxRecordsPerBatch) in no particular order, so the sort
     # must run over the concatenation — per-chunk sorting would stitch
@@ -130,22 +129,43 @@ def frame_and_session(
             "stamp at millisecond resolution) — frame reassembly would "
             "be order-ambiguous"
         )
-    for chunk, ts in zip(batch["chunk"], batch["arrival_ts"]):
-        messages, buffer = extract(buffer + chunk)
-        for m in messages:
-            rows["conn_id"].append(conn_id)
-            rows["raw"].append(m)
-            # one shared timestamp per packet (proxy.ex:150)
-            rows["time"].append(ts)
-            rows["kind"].append("message")
-            rows["seq"].append(nseq)
-            nseq += 1
+    # Vectorized equivalent of the per-chunk loop
+    #     for chunk, ts: messages, buffer = extract(buffer + chunk); emit …
+    # Every EOT terminates exactly one message, and a message's timestamp
+    # is the arrival_ts of the PACKET whose chunk contains its terminating
+    # EOT (one shared timestamp per packet, proxy.ex:150). So: count EOTs
+    # per chunk (C-level), split the whole concatenation once (C-level),
+    # and repeat each packet's ts by its EOT count — identical output to
+    # the loop, without ~1 Python iteration per message (the framing
+    # kernel is the ingest path's hot loop; this is the measured
+    # bottleneck at 100k+ events/s, docs/BENCH_NOTES.md).
+    n_eot = batch["chunk"].str.count(EOT).to_numpy() if len(batch) else None
+    total = int(n_eot.sum()) if n_eot is not None else 0
+    if total:
+        messages = (buffer + "".join(batch["chunk"])).split(EOT)
+        buffer = messages[-1]
+        out = pd.DataFrame(
+            {
+                "conn_id": conn_id,
+                "raw": messages[:-1],
+                "time": np.repeat(batch["arrival_ts"].to_numpy(), n_eot),
+                "kind": "message",
+                "seq": np.arange(nseq, nseq + total, dtype="int64"),
+            }
+        )
+        nseq += total
+    elif len(batch):
+        # no frame completed this batch — only the carry buffer grows
+        buffer = buffer + "".join(batch["chunk"])
+        out = None
+    else:
+        out = None
     state.update((buffer, nseq))
     # ANY traffic re-arms the stale timer, even if it framed no message
     if stale_timeout_ms is not None:
         state.setTimeoutDuration(stale_timeout_ms)
-    if rows["conn_id"]:
-        yield pd.DataFrame(rows)
+    if total:
+        yield out
 
 
 def framed_stream(
