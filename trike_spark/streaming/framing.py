@@ -81,6 +81,75 @@ def extract(buffer: str) -> tuple[list[str], str]:
     return parts[:-1], parts[-1]
 
 
+def sorted_key_batch(conn_id: str, pdfs: Iterable[pd.DataFrame]) -> pd.DataFrame:
+    """Concatenate one key's Arrow chunks and sort by ``arrival_seq``.
+
+    A key's micro-batch may arrive as SEVERAL Arrow chunks (anything past
+    arrow.maxRecordsPerBatch) in no particular order, so the sort must run
+    over the concatenation — per-chunk sorting would stitch later-chunk
+    bytes ahead of earlier ones with no error raised. ``arrival_seq`` is
+    also the ONLY intra-key order signal; a duplicate (conn_id,
+    arrival_seq) pair means the source cannot tell two chunks apart (e.g.
+    the dev socket source's same-millisecond tie) and the stitch order —
+    hence the reassembled frame — would be arbitrary. Fail loudly instead
+    of framing corrupted messages; the production Kinesis source's shard
+    sequence numbers are unique by construction."""
+    parts = [p for p in pdfs if not p.empty]
+    batch = (
+        pd.concat(parts, ignore_index=True).sort_values("arrival_seq", kind="stable")
+        if parts
+        else pd.DataFrame({"arrival_seq": [], "chunk": [], "arrival_ts": []})
+    )
+    if batch["arrival_seq"].duplicated().any():
+        dup = int(batch["arrival_seq"][batch["arrival_seq"].duplicated()].iloc[0])
+        raise ValueError(
+            f"duplicate arrival_seq {dup} for conn_id {conn_id!r}: "
+            "the source's order signal has ties (dev socket sources "
+            "stamp at millisecond resolution) — frame reassembly would "
+            "be order-ambiguous"
+        )
+    return batch
+
+
+def frame_batch(
+    conn_id: str, batch: pd.DataFrame, buffer: str, nseq: int
+) -> tuple[pd.DataFrame | None, str, int]:
+    """Vectorized framing of one key's sorted micro-batch — the shared
+    kernel of both stateful twins (applyInPandasWithState and
+    transformWithState). Equivalent to the per-chunk loop
+
+        for chunk, ts: messages, buffer = extract(buffer + chunk); emit …
+
+    Every EOT terminates exactly one message, and a message's timestamp is
+    the arrival_ts of the PACKET whose chunk contains its terminating EOT
+    (one shared timestamp per packet, proxy.ex:150). So: count EOTs per
+    chunk (C-level), split the whole concatenation once (C-level), and
+    repeat each packet's ts by its EOT count — identical output to the
+    loop, without ~1 Python iteration per message (the framing kernel is
+    the ingest path's hot loop; the loop form was the measured bottleneck
+    at 100k+ events/s, docs/BENCH_NOTES.md).
+
+    Returns ``(framed-rows DataFrame or None, new_buffer, new_nseq)``."""
+    if not len(batch):
+        return None, buffer, nseq
+    n_eot = batch["chunk"].str.count(EOT).to_numpy()
+    total = int(n_eot.sum())
+    if not total:
+        # no frame completed this batch — only the carry buffer grows
+        return None, buffer + "".join(batch["chunk"]), nseq
+    messages = (buffer + "".join(batch["chunk"])).split(EOT)
+    out = pd.DataFrame(
+        {
+            "conn_id": conn_id,
+            "raw": messages[:-1],
+            "time": np.repeat(batch["arrival_ts"].to_numpy(), n_eot),
+            "kind": "message",
+            "seq": np.arange(nseq, nseq + total, dtype="int64"),
+        }
+    )
+    return out, messages[-1], nseq + total
+
+
 def frame_and_session(
     key: tuple[str],
     pdfs: Iterable[pd.DataFrame],
@@ -105,66 +174,13 @@ def frame_and_session(
         return
 
     buffer, nseq = state.get if state.exists else ("", 0)
-    # A key's micro-batch may arrive as SEVERAL Arrow chunks (anything
-    # past arrow.maxRecordsPerBatch) in no particular order, so the sort
-    # must run over the concatenation — per-chunk sorting would stitch
-    # later-chunk bytes ahead of earlier ones with no error raised.
-    # ``arrival_seq`` is also the ONLY intra-key order signal; a duplicate
-    # (conn_id, arrival_seq) pair means the source cannot tell two chunks
-    # apart (e.g. the dev socket source's same-millisecond tie) and the
-    # stitch order — hence the reassembled frame — would be arbitrary.
-    # Fail loudly instead of framing corrupted messages; the production
-    # Kinesis source's shard sequence numbers are unique by construction.
-    parts = [p for p in pdfs if not p.empty]
-    batch = (
-        pd.concat(parts, ignore_index=True).sort_values("arrival_seq", kind="stable")
-        if parts
-        else pd.DataFrame({"arrival_seq": [], "chunk": [], "arrival_ts": []})
-    )
-    if batch["arrival_seq"].duplicated().any():
-        dup = int(batch["arrival_seq"][batch["arrival_seq"].duplicated()].iloc[0])
-        raise ValueError(
-            f"duplicate arrival_seq {dup} for conn_id {conn_id!r}: "
-            "the source's order signal has ties (dev socket sources "
-            "stamp at millisecond resolution) — frame reassembly would "
-            "be order-ambiguous"
-        )
-    # Vectorized equivalent of the per-chunk loop
-    #     for chunk, ts: messages, buffer = extract(buffer + chunk); emit …
-    # Every EOT terminates exactly one message, and a message's timestamp
-    # is the arrival_ts of the PACKET whose chunk contains its terminating
-    # EOT (one shared timestamp per packet, proxy.ex:150). So: count EOTs
-    # per chunk (C-level), split the whole concatenation once (C-level),
-    # and repeat each packet's ts by its EOT count — identical output to
-    # the loop, without ~1 Python iteration per message (the framing
-    # kernel is the ingest path's hot loop; this is the measured
-    # bottleneck at 100k+ events/s, docs/BENCH_NOTES.md).
-    n_eot = batch["chunk"].str.count(EOT).to_numpy() if len(batch) else None
-    total = int(n_eot.sum()) if n_eot is not None else 0
-    if total:
-        messages = (buffer + "".join(batch["chunk"])).split(EOT)
-        buffer = messages[-1]
-        out = pd.DataFrame(
-            {
-                "conn_id": conn_id,
-                "raw": messages[:-1],
-                "time": np.repeat(batch["arrival_ts"].to_numpy(), n_eot),
-                "kind": "message",
-                "seq": np.arange(nseq, nseq + total, dtype="int64"),
-            }
-        )
-        nseq += total
-    elif len(batch):
-        # no frame completed this batch — only the carry buffer grows
-        buffer = buffer + "".join(batch["chunk"])
-        out = None
-    else:
-        out = None
+    batch = sorted_key_batch(conn_id, pdfs)
+    out, buffer, nseq = frame_batch(conn_id, batch, buffer, nseq)
     state.update((buffer, nseq))
     # ANY traffic re-arms the stale timer, even if it framed no message
     if stale_timeout_ms is not None:
         state.setTimeoutDuration(stale_timeout_ms)
-    if total:
+    if out is not None:
         yield out
 
 

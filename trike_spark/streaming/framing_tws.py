@@ -47,7 +47,8 @@ from pyspark.sql.streaming.stateful_processor import (
 from trike_spark.streaming.framing import (
     DEFAULT_STALE_TIMEOUT_MS,
     FRAMED_SCHEMA,
-    extract,
+    frame_batch,
+    sorted_key_batch,
 )
 
 _BUF_SCHEMA = "buffer STRING, nseq BIGINT"
@@ -92,43 +93,15 @@ class FramingProcessor(StatefulProcessor):
         conn_id = key[0]
         got = self.buf.get()
         buffer, nseq = got if got is not None else ("", 0)
-        out: dict[str, list[Any]] = {
-            "conn_id": [], "raw": [], "time": [], "kind": [], "seq": [],
-        }
-        # Concat-then-sort: Arrow may deliver one key's batch as several
-        # chunks in arbitrary order, so a per-chunk sort cannot order
-        # rows ACROSS chunks. A duplicate (conn_id, arrival_seq) is an
-        # order-ambiguous stitch: fail loudly (same contract as
-        # framing.frame_and_session).
-        parts = [p for p in rows if not p.empty]
-        batch = (
-            pd.concat(parts, ignore_index=True).sort_values(
-                "arrival_seq", kind="stable"
-            )
-            if parts
-            else pd.DataFrame({"arrival_seq": [], "chunk": [], "arrival_ts": []})
-        )
-        if batch["arrival_seq"].duplicated().any():
-            dup = int(
-                batch["arrival_seq"][batch["arrival_seq"].duplicated()].iloc[0]
-            )
-            raise ValueError(
-                f"duplicate arrival_seq {dup} for conn_id {conn_id!r}: "
-                "frame reassembly would be order-ambiguous"
-            )
-        for chunk, ts in zip(batch["chunk"], batch["arrival_ts"]):
-            messages, buffer = extract(buffer + chunk)
-            for m in messages:
-                out["conn_id"].append(conn_id)
-                out["raw"].append(m)
-                out["time"].append(ts)  # shared per-packet ts (proxy.ex:150)
-                out["kind"].append("message")
-                out["seq"].append(nseq)
-                nseq += 1
+        # concat-then-sort + duplicate-arrival_seq fail-loud, then the
+        # vectorized kernel — both SHARED with framing.frame_and_session
+        # so the twins cannot drift
+        batch = sorted_key_batch(conn_id, rows)
+        out, buffer, nseq = frame_batch(conn_id, batch, buffer, nseq)
         self.buf.update((buffer, nseq))
         self._rearm(timerValues)
-        if out["conn_id"]:
-            yield pd.DataFrame(out)
+        if out is not None:
+            yield out
 
     def handleExpiredTimer(
         self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
