@@ -57,12 +57,19 @@ def main() -> None:
     spark = get_spark("stream-bench")
     client = FakeKinesisClient()
     sink = KinesisSink(stream="console", client=client)
-    batch_times: list[tuple[float, int]] = []  # (arrival wall clock, n_events)
+    # (arrival wall clock, raw JSON-array records) per micro-batch; the
+    # decode-and-count runs AFTER the stream stops — parsing millions of
+    # events with the driver's single-threaded json module inside the
+    # foreachBatch callback would throttle the pipeline under test and
+    # report the harness's speed, not the engine's. Holding the raw
+    # strings costs offered_rate × duration × ~40 B (hundreds of MB at
+    # the rates probed here), and every event still has to decode for
+    # the run to count.
+    batch_times: list[tuple[float, list[str]]] = []
 
     def timed_sink(df, batch_id):
         sink(df, batch_id)
-        n = sum(len(json.loads(c["data"])) for c in client.calls)
-        batch_times.append((time.time(), n))
+        batch_times.append((time.time(), [c["data"] for c in client.calls]))
         client.calls.clear()
 
     chunks = fake_chunk_stream(
@@ -93,7 +100,9 @@ def main() -> None:
         raise SystemExit("too few micro-batches; raise --duration")
     t0, _ = batch_times[0]
     t1, _ = batch_times[-1]
-    delivered = sum(n for _, n in batch_times[1:])
+    delivered = sum(
+        len(json.loads(rec)) for _, recs in batch_times[1:] for rec in recs
+    )
     span = t1 - t0
     print(
         json.dumps(
