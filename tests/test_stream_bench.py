@@ -10,21 +10,31 @@ import sys
 
 
 def test_stream_bench_emits_contract_json():
-    out = subprocess.run(
-        [
-            sys.executable,
-            "/root/repo/tools/stream_bench.py",
-            "--rows-per-second",
-            "1500",
-            "--duration",
-            "14",
-            "--connections",
-            "4",
-        ],
-        capture_output=True,
-        text=True,
-        timeout=180,
-    )
+    # One retry with a longer window: when the whole suite (its own Spark
+    # JVM on all cores) runs alongside, the subprocess can start micro-
+    # batches slowly enough that a short run yields < 3 of them — that is
+    # harness-under-load noise, not a contract violation. A genuine
+    # contract break (bad JSON, wrong keys) fails on both attempts.
+    for duration in ("14", "30"):
+        out = subprocess.run(
+            [
+                sys.executable,
+                "/root/repo/tools/stream_bench.py",
+                "--rows-per-second",
+                "1500",
+                "--duration",
+                duration,
+                "--connections",
+                "4",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=180,
+        )
+        if out.returncode == 0 or "too few micro-batches" not in (
+            out.stderr + out.stdout
+        ):
+            break
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
     payload = json.loads(line)
