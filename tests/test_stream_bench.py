@@ -8,8 +8,11 @@ import json
 import subprocess
 import sys
 
+import pytest
 
-def test_stream_bench_emits_contract_json():
+
+@pytest.mark.parametrize("sink", ["driver", "distributed"])
+def test_stream_bench_emits_contract_json(sink):
     # One retry with a longer window: when the whole suite (its own Spark
     # JVM on all cores) runs alongside, the subprocess can start micro-
     # batches slowly enough that a short run yields < 3 of them — that is
@@ -26,6 +29,8 @@ def test_stream_bench_emits_contract_json():
                 duration,
                 "--connections",
                 "4",
+                "--sink",
+                sink,
             ],
             capture_output=True,
             text=True,
@@ -44,3 +49,4 @@ def test_stream_bench_emits_contract_json():
     assert payload["events_delivered"] > 0
     assert payload["micro_batches"] >= 3
     assert payload["connections"] == 4
+    assert payload["sink"] == sink

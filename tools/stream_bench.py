@@ -25,6 +25,18 @@ converges on pipeline capacity.
 Usage:
     python tools/stream_bench.py [--rows-per-second 50000]
                                  [--duration 30] [--connections 8]
+                                 [--sink driver|distributed]
+
+``--sink driver`` (default) is the strict-chaining :class:`KinesisSink`
+(reference semantics: one driver-side writer, SequenceNumberForOrdering
+chained across batches). ``--sink distributed`` is the horizontal-scale
+:class:`DistributedKinesisSink` (records repartition by key; each
+executor partition puts its disjoint key set) — the configuration a real
+cluster runs, measured here so the two sink postures have comparable
+single-node numbers. In distributed mode delivered events are counted
+with a Spark accumulator fed by the executor-side fake clients (the
+records never exist on the driver), decoding each record where it was
+written — in parallel, unlike the driver sink's post-stop decode.
 
 The reference publishes no throughput figures (BASELINE.md), so the
 number is recorded in docs/BENCH_NOTES.md for round-over-round
@@ -47,30 +59,70 @@ def main() -> None:
     ap.add_argument("--rows-per-second", type=int, default=50_000)
     ap.add_argument("--duration", type=float, default=30.0)
     ap.add_argument("--connections", type=int, default=8)
+    ap.add_argument("--sink", choices=("driver", "distributed"), default="driver")
     args = ap.parse_args()
 
     from trike_spark.session import get_spark
     from trike_spark.streaming.pipeline import build_ingest_pipeline
-    from trike_spark.streaming.sinks import FakeKinesisClient, KinesisSink
+    from trike_spark.streaming.sinks import (
+        DistributedKinesisSink,
+        FakeKinesisClient,
+        KinesisSink,
+    )
     from trike_spark.streaming.sources import fake_chunk_stream
 
     spark = get_spark("stream-bench")
-    client = FakeKinesisClient()
-    sink = KinesisSink(stream="console", client=client)
-    # (arrival wall clock, raw JSON-array records) per micro-batch; the
-    # decode-and-count runs AFTER the stream stops — parsing millions of
-    # events with the driver's single-threaded json module inside the
-    # foreachBatch callback would throttle the pipeline under test and
-    # report the harness's speed, not the engine's. Holding the raw
-    # strings costs offered_rate × duration × ~40 B (hundreds of MB at
-    # the rates probed here), and every event still has to decode for
-    # the run to count.
-    batch_times: list[tuple[float, list[str]]] = []
+    if args.sink == "driver":
+        client = FakeKinesisClient()
+        sink = KinesisSink(stream="console", client=client)
+        # (arrival wall clock, raw JSON-array records) per micro-batch; the
+        # decode-and-count runs AFTER the stream stops — parsing millions
+        # of events with the driver's single-threaded json module inside
+        # the foreachBatch callback would throttle the pipeline under test
+        # and report the harness's speed, not the engine's. Holding the
+        # raw strings costs offered_rate × duration × ~40 B (hundreds of
+        # MB at the rates probed here), and every event still has to
+        # decode for the run to count.
+        batch_times: list[tuple[float, list[str]]] = []
 
-    def timed_sink(df, batch_id):
-        sink(df, batch_id)
-        batch_times.append((time.time(), [c["data"] for c in client.calls]))
-        client.calls.clear()
+        def timed_sink(df, batch_id):
+            sink(df, batch_id)
+            batch_times.append((time.time(), [c["data"] for c in client.calls]))
+            client.calls.clear()
+
+        def batch_counts():
+            return [
+                sum(len(json.loads(rec)) for rec in recs)
+                for _, recs in batch_times
+            ]
+
+    else:
+        # Executor-side records never reach the driver: count delivered
+        # events with an accumulator fed by each partition's fake client,
+        # decoding each record where it was written (parallel).
+        acc = spark.sparkContext.accumulator(0)
+
+        def factory(_acc=acc):
+            base = FakeKinesisClient()
+            put = base.put_record
+
+            class _Counting:
+                def put_record(self, stream, partition_key, data, **kw):
+                    _acc.add(len(json.loads(data)))
+                    return put(stream, partition_key, data, **kw)
+
+            return _Counting()
+
+        sink = DistributedKinesisSink(stream="console", client_factory=factory)
+        batch_times = []  # (arrival wall clock, cumulative delivered)
+
+        def timed_sink(df, batch_id):
+            sink(df, batch_id)
+            batch_times.append((time.time(), acc.value))
+
+        def batch_counts():
+            totals = [n for _, n in batch_times]
+            return [b - a for a, b in zip([0] + totals[:-1], totals)]
 
     chunks = fake_chunk_stream(
         spark,
@@ -100,9 +152,7 @@ def main() -> None:
         raise SystemExit("too few micro-batches; raise --duration")
     t0, _ = batch_times[0]
     t1, _ = batch_times[-1]
-    delivered = sum(
-        len(json.loads(rec)) for _, recs in batch_times[1:] for rec in recs
-    )
+    delivered = sum(batch_counts()[1:])
     span = t1 - t0
     print(
         json.dumps(
@@ -115,6 +165,7 @@ def main() -> None:
                 "micro_batches": len(batch_times),
                 "offered_rows_per_sec": args.rows_per_second,
                 "connections": args.connections,
+                "sink": args.sink,
             }
         )
     )
