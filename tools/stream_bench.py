@@ -154,6 +154,15 @@ def main() -> None:
     t1, _ = batch_times[-1]
     delivered = sum(batch_counts()[1:])
     span = t1 - t0
+    # Inter-batch arrival gap ≈ micro-batch duration once the trigger is
+    # saturated (default trigger: next batch starts when the previous
+    # commits) — the proxy's freshness number: an event waits at most one
+    # gap between hitting the source and leaving the sink.
+    gaps = sorted(
+        b[0] - a[0] for a, b in zip(batch_times[1:], batch_times[2:])
+    ) or [0.0]
+    p50 = gaps[len(gaps) // 2]
+    p95 = gaps[min(len(gaps) - 1, int(len(gaps) * 0.95))]
     print(
         json.dumps(
             {
@@ -166,6 +175,8 @@ def main() -> None:
                 "offered_rows_per_sec": args.rows_per_second,
                 "connections": args.connections,
                 "sink": args.sink,
+                "batch_gap_p50_sec": round(p50, 2),
+                "batch_gap_p95_sec": round(p95, 2),
             }
         )
     )
