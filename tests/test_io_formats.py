@@ -187,3 +187,35 @@ def test_binary_files_ingest_glob_and_size_filter(spark, tmp_path):
     assert len(rows) == 1
     assert bytes(rows[0]["content"]) == payload_small
     assert rows[0]["length"] == len(payload_small)
+
+
+def test_epoch_shard_write_reproducible_and_balanced(spark, tmp_path):
+    """write_epoch_shards: every input row lands in exactly one shard
+    partition; the same seed rewrites the IDENTICAL shard membership
+    (epoch reproducibility with no RNG state); a different seed
+    re-permutes; shards are roughly balanced (hash-ranged assignment)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trike_spark.io import write_epoch_shards
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    p1, p1b, p2 = str(tmp_path / "e1"), str(tmp_path / "e1b"), str(tmp_path / "e2")
+    write_epoch_shards(df, p1, seed="epoch1")
+    write_epoch_shards(df, p1b, seed="epoch1")
+    write_epoch_shards(df, p2, seed="epoch2")
+
+    r1 = spark.read.parquet(p1)
+    assert sorted(os.listdir(p1) and [c for c in r1.columns]) == ["doc_id", "shard"]
+    # lossless: every doc exactly once
+    assert r1.count() == 2000 and r1.select("doc_id").distinct().count() == 2000
+    m1 = {r["doc_id"]: r["shard"] for r in r1.collect()}
+    m1b = {r["doc_id"]: r["shard"] for r in spark.read.parquet(p1b).collect()}
+    m2 = {r["doc_id"]: r["shard"] for r in spark.read.parquet(p2).collect()}
+    assert m1 == m1b, "same seed must reproduce identical shard membership"
+    assert m1 != m2, "a new seed must re-permute"
+    # hash-ranged balance: no shard more than 2x the ideal share
+    sizes = r1.groupBy("shard").count().collect()
+    assert len(sizes) == 8
+    assert max(s["count"] for s in sizes) < 2 * (2000 / 8)

@@ -311,6 +311,50 @@ def write_hilbert(
     )
 
 
+def write_epoch_shards(
+    df: DataFrame,
+    path: str,
+    seed: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Training-epoch layout write: the at-scale form of
+    ``curation_epoch_shuffle`` (queries/curation.py). The query face
+    proves the permutation with an auditable banded rank; at write time
+    the rank is unnecessary — ``repartitionByRange`` on the
+    ``md5(seed:id)`` key IS the shuffle (sampled split points spread the
+    uniform hash evenly), a within-file sort by the key fixes the read
+    order, and the round-robin shard becomes the partition column a
+    trainer's readers each claim. A new ``seed`` re-permutes everything;
+    re-running the same seed rewrites the identical layout (no RNG
+    state), which is what makes epoch data reproducible across retries.
+
+    Shard assignment here is hash-ranged (shard = first byte of the key
+    scaled to ``n_shards``) rather than rank-modulo: identical
+    reader-balance in expectation, zero global coordination — each row
+    knows its shard from its own bytes, so the write is one range
+    shuffle at any corpus size."""
+    if "_ek" in df.columns or "shard" in df.columns:
+        raise ValueError("write_epoch_shards reserves '_ek' and 'shard'; rename first")
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    (
+        df.withColumn("_ek", key)
+        .withColumn(
+            "shard",
+            (F.conv(F.substring("_ek", 1, 2), 16, 10).cast("int") * n_shards / 256).cast(
+                "int"
+            ),
+        )
+        .repartitionByRange(n_shards, "_ek")
+        .sortWithinPartitions("_ek")
+        .drop("_ek")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,
