@@ -2227,8 +2227,9 @@ def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key's first two hex chars, trivially monotone in the key order),
     so ranking a billion documents is 256-way parallel and the only
     unpartitioned window sees the 256-row band-stats table. At 100 TB the
-    rank itself is optional — ``repartitionByRange`` on the same key IS
-    the shuffle, and the shard column is what the writer partitions by —
+    rank itself is optional — ``io.write_epoch_shards`` is the real
+    writer form (one ``repartitionByRange`` on the same key, hash-ranged
+    shard partition column; same-seed rewrite proven bit-identical) —
     but the rank is what makes the permutation auditable (and
     driver-hashable) here."""
     from trike_spark.operators.banded import banded_rank
