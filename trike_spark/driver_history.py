@@ -298,8 +298,17 @@ VERIFIED_R06: frozenset[str] = frozenset(
 # And dedup_lsh_band_sweep: the per-config self-joins fused into one
 # unified (n_bands, band_idx, band_hash) candidate join — same oracle,
 # same hash, new plan (6.12 -> 5.34 s best-of-3 at sf0.1).
+# And sketch_quantiles_approx: its r5 driver row was a rows-only check of
+# the old approx-value output; the face is now an oracle-backed
+# certification (exact leg + bound booleans) — different output, so the
+# old signature no longer covers it.
 STALE_R07: frozenset[str] = frozenset(
-    {"agg_pareto_revenue_share", "q1_pricing_summary", "dedup_lsh_band_sweep"}
+    {
+        "agg_pareto_revenue_share",
+        "q1_pricing_summary",
+        "dedup_lsh_band_sweep",
+        "sketch_quantiles_approx",
+    }
 )
 
 # Union of every name hard-verified by a past driver round and still valid.
@@ -333,5 +342,11 @@ WINDOW_PRIORITY: frozenset[str] = frozenset(
         # (both on the banded skeleton — new plans, sign them this round)
         "curation_epoch_shuffle",
         "curation_token_budget_select",
+        # converted mid-round-7 from rows-only to oracle-backed
+        # certification faces (exact leg + bound booleans): their first
+        # ever hash-gated driver row should land this round
+        "agg_approx_distinct",
+        "scalar_hash_spark_native",
+        "sketch_quantiles_approx",
     }
 )

@@ -448,18 +448,59 @@ def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Golden values pinned from Spark's implementations (seed-42 xxhash64 /
+# murmur3, standard crc32): if any hash function's output ever changed,
+# shuffle placement, bucketing layout, and every md5-free fingerprint in
+# a deployment would silently reshuffle — so the face fails the driver
+# hash instead.
+_XXH64_TRIKE = 1388479953241485912
+_CRC32_TRIKE = 4153478673
+_MURMUR3_TRIKE = -492938234
+
+
 @register(
     "scalar_hash_spark_native",
-    None,  # xxhash64/crc32 are engine-specific → rows-only
-    doc="Spark-native hashes (xxhash64 — the shuffle/bucketing hash; crc32).",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           TRUE AS xxh64_injective_here,
+           TRUE AS xxh64_golden_ok,
+           TRUE AS crc32_golden_ok,
+           TRUE AS murmur3_golden_ok
+    FROM documents
+    """,
+    doc=(
+        "Spark-native hashes (xxhash64/crc32/murmur3) certified: golden "
+        "literals pinned and xxhash64 collision-free on the corpus, or "
+        "the driver hash goes red."
+    ),
 )
 def scalar_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's own hash family (xxhash64 drives shuffle and
+    bucketing; murmur3 is `hash()`; crc32 the checksum scalar). The raw
+    values are engine-specific — DuckDB cannot recompute them — so the
+    driver-hashed output carries the deterministic CONTRACT instead:
+    each function still produces its pinned golden value for a fixed
+    literal (implementation stability — a changed hash would silently
+    re-place every shuffle and bucket layout), and xxhash64 over the
+    corpus has exactly as many distinct values as the texts it hashes
+    (no collisions at this size; count distinct IS DuckDB-computable)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.xxhash64("text").alias("text_xxh64"),
-        F.crc32("text").alias("text_crc32"),
-        F.hash("text").alias("text_murmur3"),
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("ndt"),
+        F.countDistinct(F.xxhash64("text")).alias("ndx"),
+        F.min(F.xxhash64(F.lit("trike"))).alias("gx"),
+        F.min(F.crc32(F.lit("trike"))).alias("gc"),
+        F.min(F.hash(F.lit("trike"))).alias("gm"),
+    )
+    return agg.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("ndt").cast("bigint").alias("n_distinct_texts"),
+        (F.col("ndx") == F.col("ndt")).alias("xxh64_injective_here"),
+        (F.col("gx") == F.lit(_XXH64_TRIKE)).alias("xxh64_golden_ok"),
+        (F.col("gc") == F.lit(_CRC32_TRIKE)).alias("crc32_golden_ok"),
+        (F.col("gm") == F.lit(_MURMUR3_TRIKE)).alias("murmur3_golden_ok"),
     )
 
 

@@ -182,28 +182,53 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GK_QUANTILE_BOUND = 0.02  # certified |approx − exact| / exact ceiling
+
+
 @register(
     "sketch_quantiles_approx",
-    None,  # rows-only: DuckDB's approx_quantile is a different sketch —
-    # cross-engine value equality is undefined by design; the pytest
-    # bounded-error check against exact percentiles is the real gate.
-    doc="Approximate per-group quantiles (Spark percentile_approx, "
-    "GK-sketch): the bounded-memory scale path exact percentile is the "
-    "baseline for; error-bound-tested against agg_percentiles.",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS median_within_bound,
+           TRUE AS p90_within_bound
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Approximate per-group quantiles (Spark percentile_approx, "
+        "GK sketch) certified against the exact percentile: within "
+        f"{GK_QUANTILE_BOUND:.0%} per group or the driver hash goes red."
+    ),
 )
 def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx runs the Greenwald-Khanna sketch with map-side
     partial merge — fixed memory per group regardless of row count, the
     100 TB replacement for the exact sort-based percentile. ``accuracy``
-    10000 → rank error ≤ n/10000. Deterministic given the data (the
-    sketch is order-insensitive on merge), but not bit-comparable to
-    DuckDB's different approx sketch, so the oracle is omitted and
-    tests/test_sketch_quantiles.py pins |approx − exact| instead."""
+    10000 → rank error ≤ n/10000. The sketch's values are not
+    bit-comparable to DuckDB's different approx sketch, so the
+    driver-hashed output carries the deterministic certification
+    instead: per group, the approx median/p90 must land within 2 % of
+    the EXACT percentile computed in the same query (generous vs the
+    rank bound; tight enough that a wrong-column or wrong-sketch
+    regression flips the boolean). Same pattern as the ANN recall gates;
+    tests/test_sketch_quantiles.py additionally pins the raw values."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_approx"),
-        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+    agg = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("ma"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("pa"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("me"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("pe"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+    def within(a: str, e: str):
+        return F.abs(F.col(a) - F.col(e)) <= F.lit(GK_QUANTILE_BOUND) * F.col(e)
+
+    return agg.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        within("ma", "me").alias("median_within_bound"),
+        within("pa", "pe").alias("p90_within_bound"),
     )
 
 
