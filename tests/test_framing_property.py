@@ -60,9 +60,7 @@ def test_trailing_partial_stays_buffered(msgs, partial):
 # --- vectorized kernel ≡ loop reference ---------------------------------------
 
 chunk_lists = st.lists(
-    st.text(alphabet=st.characters(blacklist_characters=EOT, max_codepoint=0x2FF), max_size=12).map(
-        lambda s: s.replace("\x00", "")
-    ),
+    st.text(alphabet=st.characters(blacklist_characters=EOT, max_codepoint=0x2FF), max_size=12),
     min_size=0,
     max_size=8,
 )

@@ -207,7 +207,9 @@ def test_epoch_shard_write_reproducible_and_balanced(spark, tmp_path):
     write_epoch_shards(df, p2, seed="epoch2")
 
     r1 = spark.read.parquet(p1)
-    assert sorted(os.listdir(p1) and [c for c in r1.columns]) == ["doc_id", "shard"]
+    assert sorted(r1.columns) == ["doc_id", "shard"]
+    # the shard must be a real partition directory, not just a column
+    assert any(d.startswith("shard=") for d in os.listdir(p1))
     # lossless: every doc exactly once
     assert r1.count() == 2000 and r1.select("doc_id").distinct().count() == 2000
     m1 = {r["doc_id"]: r["shard"] for r in r1.collect()}

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 import tempfile
 import time
@@ -161,8 +162,10 @@ def main() -> None:
     gaps = sorted(
         b[0] - a[0] for a, b in zip(batch_times[1:], batch_times[2:])
     ) or [0.0]
-    p50 = gaps[len(gaps) // 2]
-    p95 = gaps[min(len(gaps) - 1, int(len(gaps) * 0.95))]
+    # nearest-rank percentiles: ceil(q·n)-1, NOT int(q·n) (which selects
+    # the maximum for any n ≤ 20 — p100 masquerading as p95)
+    p50 = gaps[max(0, math.ceil(0.50 * len(gaps)) - 1)]
+    p95 = gaps[max(0, math.ceil(0.95 * len(gaps)) - 1)]
     print(
         json.dumps(
             {

@@ -18,7 +18,8 @@ the epoch shuffle, and the token-budget selection).
 ``CORRECTNESS_r06.json`` landed 50/50 green with zero overlap against
 rounds 1-5 — including fresh driver rows for all five round-6 banded
 rewrites — so DRIVER_VERIFIED is now r2+r3+r5+r6 minus the round-7
-plan-stale names (179 names). WINDOW_PRIORITY is reseeded with the
+plan-stale names (178 names after the sketch_quantiles_approx
+rows-only row went stale). WINDOW_PRIORITY is reseeded with the
 round-7 new/rewritten plans (curation_pii_redact, the banded
 agg_pareto_revenue_share, the Hilbert face, the scaled-long q1, the
 fused band-sweep, the codec round-trips, and the two banded curation

@@ -330,21 +330,24 @@ def write_epoch_shards(
     re-running the same seed rewrites the identical layout (no RNG
     state), which is what makes epoch data reproducible across retries.
 
-    Shard assignment here is hash-ranged (shard = first byte of the key
-    scaled to ``n_shards``) rather than rank-modulo: identical
-    reader-balance in expectation, zero global coordination — each row
-    knows its shard from its own bytes, so the write is one range
-    shuffle at any corpus size."""
+    Shard assignment here is hash-ranged (shard = the key's first 16
+    bits scaled to ``n_shards``) rather than rank-modulo: near-identical
+    reader-balance in expectation (a non-divisor of 65536 skews adjacent
+    shards by at most one 1/65536 bucket), zero global coordination —
+    each row knows its shard from its own bytes, so the write is one
+    range shuffle at any corpus size."""
     if "_ek" in df.columns or "shard" in df.columns:
         raise ValueError("write_epoch_shards reserves '_ek' and 'shard'; rename first")
+    if not 1 <= n_shards <= 65536:
+        raise ValueError("n_shards must be in [1, 65536] (16-bit hash-ranged shards)")
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     (
         df.withColumn("_ek", key)
         .withColumn(
             "shard",
-            (F.conv(F.substring("_ek", 1, 2), 16, 10).cast("int") * n_shards / 256).cast(
-                "int"
-            ),
+            (
+                F.conv(F.substring("_ek", 1, 4), 16, 10).cast("long") * n_shards / 65536
+            ).cast("int"),
         )
         .repartitionByRange(n_shards, "_ek")
         .sortWithinPartitions("_ek")

@@ -217,15 +217,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("ep"),
     )
 
-    def within(a: str, e: str):
-        return F.abs(F.col(a) - F.col(e)) <= F.lit(APPROX_DISTINCT_BOUND) * F.col(e)
+    from trike_spark.functions.certify import within_rel_bound
 
     return agg.select(
         "l_returnflag",
         F.col("eo").cast("bigint").alias("n_orders_exact"),
         F.col("ep").cast("bigint").alias("n_parts_exact"),
-        within("ao", "eo").alias("orders_est_within_bound"),
-        within("ap", "ep").alias("parts_est_within_bound"),
+        within_rel_bound("ao", "eo", APPROX_DISTINCT_BOUND).alias("orders_est_within_bound"),
+        within_rel_bound("ap", "ep", APPROX_DISTINCT_BOUND).alias("parts_est_within_bound"),
     )
 
 

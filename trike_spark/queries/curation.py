@@ -2229,7 +2229,7 @@ def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window sees the 256-row band-stats table. At 100 TB the
     rank itself is optional — ``io.write_epoch_shards`` is the real
     writer form (one ``repartitionByRange`` on the same key, hash-ranged
-    shard partition column; same-seed rewrite proven bit-identical) —
+    shard partition column; same-seed rewrite proven membership-identical) —
     but the rank is what makes the permutation auditable (and
     driver-hashable) here."""
     from trike_spark.operators.banded import banded_rank

@@ -221,14 +221,13 @@ def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
 
-    def within(a: str, e: str):
-        return F.abs(F.col(a) - F.col(e)) <= F.lit(GK_QUANTILE_BOUND) * F.col(e)
+    from trike_spark.functions.certify import within_rel_bound
 
     return agg.select(
         "o_orderpriority",
         F.col("n").cast("bigint").alias("n"),
-        within("ma", "me").alias("median_within_bound"),
-        within("pa", "pe").alias("p90_within_bound"),
+        within_rel_bound("ma", "me", GK_QUANTILE_BOUND).alias("median_within_bound"),
+        within_rel_bound("pa", "pe", GK_QUANTILE_BOUND).alias("p90_within_bound"),
     )
 
 
