@@ -106,12 +106,66 @@ def _arrival_ordered_record() -> F.Column:
     )
 
 
+# Public AWS PutRecord data limit. The reference never approaches it (it
+# batches per TCP packet, proxy.ex:164-175); micro-batching CAN — one busy
+# key's events for a whole micro-batch land in one record, and a backlog
+# batch multiplies that. A >1 MiB put fails with ValidationException and
+# the whole micro-batch retries forever: a correctness cliff, not a perf
+# knob.
+KINESIS_MAX_RECORD_BYTES = 1 << 20
+
+
+def _encoded_records(batch_df: DataFrame, max_bytes: int) -> DataFrame:
+    """Per-key arrival-ordered JSON-array records, each GUARANTEED under
+    ``max_bytes``: events split into consecutive chunks by running encoded
+    size before the group-encode.
+
+    Bound argument: with budget b = max_bytes // 2, chunk i holds the
+    events whose exclusive running size lies in [i·b, (i+1)·b); its total
+    is < b + (size of its last event) ≤ 2b ≤ max_bytes, provided no single
+    event exceeds b — which is asserted in-plan (raise_error), because an
+    unsplittable >b event would exceed the service limit anyway and MUST
+    fail loudly rather than wedge the retry loop. The running-size window
+    is partitioned BY KEY (never global) and ordered by the framing seq,
+    so chunk boundaries preserve arrival order; chunks put in ascending
+    ``chunk`` order ride the same per-key sequence chain as whole records.
+
+    Returns (partitionkey, chunk, record) — one row per put."""
+    from pyspark.sql import Window
+
+    budget = max(1, max_bytes // 2)
+    w = Window.partitionBy("partitionkey").orderBy("seq")
+    ev_len = F.length(F.to_json(F.col("event"))) + F.lit(1)  # + array comma
+    guarded = F.when(
+        ev_len > budget,
+        F.raise_error(
+            F.concat(
+                F.lit(f"single event exceeds the {budget}-byte chunk budget "),
+                F.lit("(service record limit would reject it): key="),
+                F.col("partitionkey"),
+            )
+        ).cast("long"),
+    ).otherwise(ev_len)
+    cum_before = F.coalesce(
+        F.sum("_evlen").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        batch_df.withColumn("_evlen", guarded)
+        .withColumn("_chunk", F.floor(cum_before / F.lit(budget)))
+        .groupBy(F.col("partitionkey"), F.col("_chunk").alias("chunk"))
+        .agg(_arrival_ordered_record().alias("record"))
+    )
+
+
 @dataclass
 class KinesisSink:
     """foreachBatch sink with per-key sequence-number chaining."""
 
     stream: str = "console"
     client: Any = None  # injectable, like the reference's put_record_fn
+    # service record-size ceiling; each encoded record is guaranteed under
+    # it by _encoded_records' chunking (tests shrink it to force splits)
+    max_record_bytes: int = KINESIS_MAX_RECORD_BYTES
     # sequence ledger: partition_key → last SequenceNumber (proxy.ex:203-204)
     _last_seq: dict[str, str] = field(default_factory=dict)
 
@@ -121,17 +175,19 @@ class KinesisSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # F4 batch-encode: all events of one key in this micro-batch →
-        # one JSON-array record in ARRIVAL order (sort key = the framing
+        # JSON-array record(s) in ARRIVAL order (sort key = the framing
         # operator's per-connection seq counter; sorting the bare event
         # struct would order by its first FIELD, i.e. content, and shuffle
         # events from different packets alphabetically — K1's contract is
-        # arrival order, proxy.ex:164-204)
+        # arrival order, proxy.ex:164-204). A key whose batch outgrows the
+        # service record limit is split into consecutive chunks, put in
+        # chunk order on the same sequence chain.
         records = (
-            batch_df.groupBy("partitionkey")
-            .agg(_arrival_ordered_record().alias("record"))
-            .collect()  # one row per live key — bounded, not event-volume
+            _encoded_records(batch_df, self.max_record_bytes)
+            # one row per live (key, chunk) — bounded, not event-volume
+            .collect()
         )
-        for row in sorted(records, key=lambda r: r["partitionkey"]):
+        for row in sorted(records, key=lambda r: (r["partitionkey"], r["chunk"])):
             key = row["partitionkey"]
             t0 = time.perf_counter()
             resp = self.client.put_record(
@@ -168,12 +224,14 @@ class DistributedKinesisSink:
 
     stream: str
     client_factory: Callable[[], Any]
+    max_record_bytes: int = KINESIS_MAX_RECORD_BYTES
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         records = (
-            batch_df.groupBy("partitionkey")
-            .agg(_arrival_ordered_record().alias("record"))
+            _encoded_records(batch_df, self.max_record_bytes)
             .repartition("partitionkey")
+            # per-key chunks must put in chunk order on one writer
+            .sortWithinPartitions("partitionkey", "chunk")
         )
         stream, factory = self.stream, self.client_factory
 
