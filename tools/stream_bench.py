@@ -166,6 +166,33 @@ def main() -> None:
     # the maximum for any n ≤ 20 — p100 masquerading as p95)
     p50 = gaps[max(0, math.ceil(0.50 * len(gaps)) - 1)]
     p95 = gaps[max(0, math.ceil(0.95 * len(gaps)) - 1)]
+    # Per-EVENT end-to-end latency (driver-sink mode only, where the raw
+    # records reach the driver): each CloudEvent carries its ingest time
+    # (the rate-source tick, stamped before framing), so put_wall − time
+    # is the true source→sink wait — batch gap bounds it, this measures
+    # it. Same clock in local mode; decoded post-stop like the counts.
+    lat_fields: dict[str, float] = {}
+    if args.sink == "driver":
+        from datetime import datetime, timezone
+
+        lats: list[float] = []
+        for put_wall, recs in batch_times[1:]:
+            for rec in recs:
+                for ev in json.loads(rec):
+                    t = datetime.fromisoformat(
+                        ev["time"].replace("Z", "+00:00")
+                    ).timestamp()
+                    lats.append(put_wall - t)
+        lats.sort()
+        if lats:
+            lat_fields = {
+                "event_latency_p50_sec": round(
+                    lats[max(0, math.ceil(0.50 * len(lats)) - 1)], 2
+                ),
+                "event_latency_p95_sec": round(
+                    lats[max(0, math.ceil(0.95 * len(lats)) - 1)], 2
+                ),
+            }
     print(
         json.dumps(
             {
@@ -180,6 +207,7 @@ def main() -> None:
                 "sink": args.sink,
                 "batch_gap_p50_sec": round(p50, 2),
                 "batch_gap_p95_sec": round(p95, 2),
+                **lat_fields,
             }
         )
     )
