@@ -173,7 +173,7 @@ def main() -> None:
     # it. Same clock in local mode; decoded post-stop like the counts.
     lat_fields: dict[str, float] = {}
     if args.sink == "driver":
-        from datetime import datetime, timezone
+        from datetime import datetime
 
         lats: list[float] = []
         for put_wall, recs in batch_times[1:]:
