@@ -135,7 +135,13 @@ def _encoded_records(batch_df: DataFrame, max_bytes: int) -> DataFrame:
 
     budget = max(1, max_bytes // 2)
     w = Window.partitionBy("partitionkey").orderBy("seq")
-    ev_len = F.length(F.to_json(F.col("event"))) + F.lit(1)  # + array comma
+    # per-event encoded size (+1 array comma). Production events are the
+    # CloudEvent struct; tests also feed pre-encoded STRING events, which
+    # to_json cannot take — measure those directly (+2 JSON quotes).
+    if dict(batch_df.dtypes)["event"] == "string":
+        ev_len = F.length(F.col("event")) + F.lit(3)
+    else:
+        ev_len = F.length(F.to_json(F.col("event"))) + F.lit(1)
     guarded = F.when(
         ev_len > budget,
         F.raise_error(
