@@ -61,6 +61,15 @@ def main() -> None:
     ap.add_argument("--duration", type=float, default=30.0)
     ap.add_argument("--connections", type=int, default=8)
     ap.add_argument("--sink", choices=("driver", "distributed"), default="driver")
+    ap.add_argument(
+        "--trigger-ms",
+        type=int,
+        default=0,
+        help="processingTime trigger interval; 0 = default saturated "
+        "trigger (next batch when the previous commits). Sub-capacity "
+        "rates + a short trigger trade throughput headroom for event "
+        "latency — this flag measures that operating point.",
+    )
     args = ap.parse_args()
 
     from trike_spark.session import get_spark
@@ -132,12 +141,14 @@ def main() -> None:
         heartbeat_every=5,
     )
     events = build_ingest_pipeline(chunks, stale_timeout_ms=600_000)
-    q = (
+    writer = (
         events.writeStream.outputMode("append")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_bench_ckpt_"))
         .foreachBatch(timed_sink)
-        .start()
     )
+    if args.trigger_ms:
+        writer = writer.trigger(processingTime=f"{args.trigger_ms} milliseconds")
+    q = writer.start()
     deadline = time.time() + args.duration
     try:
         while time.time() < deadline:
@@ -205,6 +216,7 @@ def main() -> None:
                 "offered_rows_per_sec": args.rows_per_second,
                 "connections": args.connections,
                 "sink": args.sink,
+                "trigger_ms": args.trigger_ms,
                 "batch_gap_p50_sec": round(p50, 2),
                 "batch_gap_p95_sec": round(p95, 2),
                 **lat_fields,
