@@ -34,6 +34,7 @@ ARROW_PYTHON_OK = {
     "dedup_cluster_canonical",  # seeds from jaccard pairs; CC may persist kernels
     "multimodal_assemble",
     "multimodal_decode_features",
+    "multimodal_decode_quarantine",  # REAL codec + ValueError quarantine routing
     "multimodal_frame_sample",
     "multimodal_png_roundtrip",  # REAL stdlib codec runs inside the Arrow stage
     "multimodal_resize",

@@ -62,6 +62,51 @@ def test_chunked_records_bounded_and_order_preserving(spark):
     ), "limit was not small enough to force a split — test is vacuous"
 
 
+def test_chunked_records_bounded_in_bytes_not_chars(spark):
+    # r7 ADVICE: the limit is BYTES and the transport UTF-8-encodes, so a
+    # non-ASCII payload (3 bytes/char here) must be sized by octet_length
+    # — the old character-count measure passed chunks that exceeded the
+    # byte limit by ~3x.
+    rows = [
+        ("conn-u", "4000," + "日本語テスト" * 10, T + timedelta(seconds=i), "message", i)
+        for i in range(30)
+    ]
+    ev = messages_to_cloud_events(spark.createDataFrame(rows, FRAMED_SCHEMA))
+    limit = 3000
+    client = FakeKinesisClient()
+    KinesisSink(stream="s", client=client, max_record_bytes=limit)(ev, 0)
+    assert client.calls, "nothing reached the sink"
+    stressed = False
+    for c in client.calls:
+        nbytes = len(c["data"].encode())
+        assert nbytes <= limit, f"record is {nbytes} B > {limit} B service limit"
+        stressed = stressed or nbytes > len(c["data"])
+    assert stressed, "fixture never exercised multi-byte encoding — vacuous"
+    # arrival order still survives the byte-measured split
+    got = [e for c in client.calls for e in json.loads(c["data"])]
+    assert len(got) == 30
+
+
+def test_string_event_path_bounded_with_escapes_and_non_ascii(spark):
+    # the pre-encoded STRING event path must measure the ESCAPED encoded
+    # form: embedded quotes/backslashes/control chars inflate the JSON
+    # literal, and non-ASCII inflates the UTF-8 bytes.
+    payload = 'say "héllo"\\path\tπ' * 8
+    df = spark.createDataFrame(
+        [("conn-s", i, payload) for i in range(40)],
+        "partitionkey string, seq long, event string",
+    )
+    limit = 2000
+    client = FakeKinesisClient()
+    KinesisSink(stream="s", client=client, max_record_bytes=limit)(df, 0)
+    assert len(client.calls) > 1, "limit did not force a split — vacuous"
+    for c in client.calls:
+        nbytes = len(c["data"].encode())
+        assert nbytes <= limit, f"record is {nbytes} B > {limit} B service limit"
+    got = [e for c in client.calls for e in json.loads(c["data"])]
+    assert got == [payload] * 40  # escaping round-trips, order preserved
+
+
 def test_oversized_single_event_fails_loudly(spark):
     rows = [("conn-a", "x" * 4000, T, "message", 0)]
     ev = messages_to_cloud_events(spark.createDataFrame(rows, FRAMED_SCHEMA))

@@ -110,6 +110,14 @@ def main() -> None:
         # Executor-side records never reach the driver: count delivered
         # events with an accumulator fed by each partition's fake client,
         # decoding each record where it was written (parallel).
+        # CAVEAT (at-least-once counting): accumulator updates from
+        # retried or speculatively-executed tasks double-count, so
+        # events_delivered / events_per_sec can over-report under task
+        # failures. Acceptable for a healthy-run bench on local[*]
+        # (no speculation, failures abort the run); when exactness
+        # matters, count via a deterministic channel such as spool files
+        # keyed by (batch, partition). The JSON output carries a
+        # "counting" field declaring which regime produced the number.
         acc = spark.sparkContext.accumulator(0)
 
         def factory(_acc=acc):

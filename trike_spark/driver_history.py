@@ -12,20 +12,13 @@ The sets below are transcribed from the committed correctness reports
 the export order cannot change any query's semantics, and every rotated
 query still carries the same oracle SQL. See docs/QUERY_ORDER.md.
 
-Round-7 state: registry = 356 names at the end of round 6 (361 after the
-mid-round-7 additions: scan_hilbert_cells, the two codec round-trips,
-the epoch shuffle, and the token-budget selection).
-``CORRECTNESS_r06.json`` landed 50/50 green with zero overlap against
-rounds 1-5 — including fresh driver rows for all five round-6 banded
-rewrites — so DRIVER_VERIFIED is now r2+r3+r5+r6 minus the round-7
-plan-stale names (178 names after the sketch_quantiles_approx
-rows-only row went stale). WINDOW_PRIORITY is reseeded with the
-round-7 new/rewritten plans (curation_pii_redact, the banded
-agg_pareto_revenue_share, the Hilbert face, the scaled-long q1, the
-fused band-sweep, the codec round-trips, and the two banded curation
-faces); ~175 names have never had any driver row and
-rotate in behind them. Coverage accumulates one 50-entry window per round
-(~3-4 rounds to exhaustion).
+Round-8 state: ``CORRECTNESS_r07.json`` landed 50/50 green (rows +
+schema + hash) with zero overlap against rounds 1-6, re-signing all four
+STALE_R07 rewrites, so DRIVER_VERIFIED is now r2..r7 cumulative = 228
+names of 361. WINDOW_PRIORITY reseeds with the round-8 new faces
+(multimodal quarantine e2e, dynamic-gap session-stats probe twin); the
+~133 never-verified names rotate in behind them. Coverage accumulates
+one 50-entry window per round (~3 rounds to exhaustion).
 """
 
 from __future__ import annotations
@@ -312,42 +305,92 @@ STALE_R07: frozenset[str] = frozenset(
     }
 )
 
-# Union of every name hard-verified by a past driver round and still valid.
-# The r5 window re-proved every stale name, so the stale subtractions are
-# re-added through VERIFIED_R05.
-DRIVER_VERIFIED: frozenset[str] = (
-    ((((VERIFIED_R02 - STALE_R02) | VERIFIED_R03) - STALE_R04)
-     | VERIFIED_R05 | VERIFIED_R06) - STALE_R07
+# CORRECTNESS_r07.json — 50/50 green (rows + schema + hash for all 50;
+# the window landed exactly on the r7 WINDOW_PRIORITY seed plus the next
+# never-verified names, zero overlap with rounds 1-6). Includes the four
+# STALE_R07 re-proofs (pareto/q1/band-sweep/sketch-quantiles), now valid
+# again on their rewritten plans.
+VERIFIED_R07: frozenset[str] = frozenset(
+    {
+        "agg_approx_distinct",
+        "agg_equiwidth_histogram",
+        "agg_filter_clause_funcs",
+        "agg_geometric_harmonic_means",
+        "agg_pareto_revenue_share",
+        "curation_dsir_topk",
+        "curation_embedding_diversify",
+        "curation_epoch_shuffle",
+        "curation_kanonymity_audit",
+        "curation_pii_redact",
+        "curation_token_budget_select",
+        "dedup_lsh_band_sweep",
+        "dedup_lsh_eval",
+        "dedup_minhash_jaccard_estimate",
+        "dedup_rate_by_source",
+        "events_anomaly_zscore",
+        "events_attribution_models",
+        "events_bot_regularity",
+        "graph_jaccard_link_prediction",
+        "graph_kcore_peeling",
+        "graph_label_propagation",
+        "join_lateral_top2_orders",
+        "join_nearest_acctbal",
+        "join_null_safe_eq",
+        "multimodal_png_roundtrip",
+        "multimodal_striding_patches",
+        "multimodal_wav_roundtrip",
+        "q1_pricing_summary",
+        "q8_national_market_share",
+        "q9_product_type_profit",
+        "scalar_hash_spark_native",
+        "scalar_ols_trend_applyinpandas",
+        "scalar_predicate_funcs",
+        "scalar_string_funcs",
+        "scan_hilbert_cells",
+        "scan_mor_delete_read",
+        "scan_orc_roundtrip_orders",
+        "scan_profile_orders",
+        "sim_ivf_recall_curve",
+        "sim_ivfpq_adc_topk",
+        "sim_kmeans_refine",
+        "sketch_hll_daily_merge",
+        "sketch_hll_distinct",
+        "sketch_hll_intersection",
+        "sketch_quantiles_approx",
+        "text_bpe_merges",
+        "text_burstiness",
+        "text_hapax_legomena",
+        "window_rolling_corr",
+        "window_rolling_median",
+    }
 )
 
-# Round-7 window seed (r6 verdict "Next round" §1-2): the faces whose plans
-# are new or rewritten this round — the self-auditing PII scrub registered
-# after r6's window closed, and the banded pareto rewrite — rank first so
-# the driver signs their plans before anything else; the remaining
-# never-verified names fill the rest of the window.
+# Names whose round-7 driver signature went STALE in round 8: plans
+# rewritten after CORRECTNESS_r07.json was recorded, so the old hash row
+# no longer covers the shipped plan.  (Empty until a round-8 rewrite
+# touches a signed face.)
+STALE_R08: frozenset[str] = frozenset()
+
+# Union of every name hard-verified by a past driver round and still valid.
+# The r5 window re-proved every stale name, so the stale subtractions are
+# re-added through VERIFIED_R05; likewise VERIFIED_R07 re-proves STALE_R07.
+DRIVER_VERIFIED: frozenset[str] = (
+    ((((((VERIFIED_R02 - STALE_R02) | VERIFIED_R03) - STALE_R04)
+       | VERIFIED_R05 | VERIFIED_R06) - STALE_R07) | VERIFIED_R07) - STALE_R08
+)
+
+# Round-8 window seed (r7 verdict "Next round" §1): faces whose plans are
+# new or rewritten this round rank first so the driver signs them before
+# anything else; the remaining never-verified names fill the rest of the
+# window.  The entire r7 seed landed green (all 12 names are in
+# VERIFIED_R07), so the seed restarts from the round-8 additions.
 WINDOW_PRIORITY: frozenset[str] = frozenset(
     {
-        "curation_pii_redact",
-        "agg_pareto_revenue_share",
-        # registered mid-round-7: the Hilbert clustering face (new plan —
-        # unrolled curve walk + cell agg) should get driver-signed first
-        "scan_hilbert_cells",
-        # rewritten mid-round-7: scaled-long q1 (see STALE_R07 note)
-        "q1_pricing_summary",
-        # registered mid-round-7: REAL stdlib PNG/WAV codec round-trips
-        "multimodal_png_roundtrip",
-        "multimodal_wav_roundtrip",
-        # rewritten mid-round-7: unified band-sweep join (see STALE_R07)
-        "dedup_lsh_band_sweep",
-        # registered mid-round-7: epoch shuffle + token-budget selection
-        # (both on the banded skeleton — new plans, sign them this round)
-        "curation_epoch_shuffle",
-        "curation_token_budget_select",
-        # converted mid-round-7 from rows-only to oracle-backed
-        # certification faces (exact leg + bound booleans): their first
-        # ever hash-gated driver row should land this round
-        "agg_approx_distinct",
-        "scalar_hash_spark_native",
-        "sketch_quantiles_approx",
+        # registered mid-round-8: quarantine e2e face for the multimodal
+        # decode path (r7 verdict item 4) — new plan, sign it first
+        "multimodal_decode_quarantine",
+        # registered mid-round-8: aggregate-output probe twin for the
+        # dynamic-gap sessionization (r7 verdict item 6)
+        "events_session_stats_dynamic_gap",
     }
 )

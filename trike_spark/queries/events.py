@@ -927,6 +927,90 @@ def events_sessionization_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@register(
+    "events_session_stats_dynamic_gap",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts,
+             epoch_us(ts) AS tus,
+             epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN {DYN_GAP_PURCHASE_US}
+                                 ELSE {DYN_GAP_OTHER_US} END AS ext
+      FROM events),
+    m AS (
+      SELECT *, MAX(ext) OVER (PARTITION BY user_id ORDER BY tus
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_ext
+      FROM e),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ext IS NULL OR tus > prev_ext
+                     THEN 1 ELSE 0 END AS new_session
+      FROM m),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    sess AS (
+      SELECT user_id, sid, COUNT(*) AS n_ev,
+             MAX(ext) - MIN(tus) AS dur_us
+      FROM numbered GROUP BY user_id, sid)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(MAX(n_ev) AS BIGINT) AS max_events,
+           CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(SUM(dur_us) AS BIGINT) AS sum_duration_us
+    FROM sess
+    """,
+    doc=(
+        "Aggregate twin of the dynamic-gap sessionization: identical "
+        "session merge, O(1)-row output (session counts, max/singleton "
+        "counts, exact summed duration in microseconds) — the form whose "
+        "runtime measures the MERGE, not result materialization."
+    ),
+)
+def events_session_stats_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe twin for ``events_sessionization_dynamic_gap`` (r7 verdict
+    item 6): the per-session face necessarily RETURNS O(n) rows, so its
+    scale-probe timing conflates the session-window merge with collecting
+    an output that grows linearly by construction (the r7 alpha≈1.04 was
+    adjudicated as exactly this). This face runs the identical
+    ``session_window(ts, CASE ...)`` merge and reduces to ONE row of
+    exact integers — total sessions, total events, the largest session,
+    singleton count, and the summed session duration in microseconds
+    (bigint arithmetic end-to-end: no float drift under reordered
+    partial aggregation). Any change to merge semantics moves at least
+    one of these, so the driver hash still certifies the operator while
+    the probe measures compute curvature alone.
+
+    Scale: one shuffle on user_id into UpdatingSessionsExec (linear
+    per-key pass), then a partial-aggregated global rollup — the
+    collect is 1 row regardless of sf."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .select(
+            "n_ev",
+            (F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))).alias(
+                "dur_us"
+            ),
+        )
+    )
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("max_events"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0)).cast("long").alias(
+            "n_singletons"
+        ),
+        F.sum("dur_us").alias("sum_duration_us"),
+    )
+
+
 # --- event-type transition matrix (first-order Markov) ----------------------
 
 

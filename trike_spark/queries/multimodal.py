@@ -712,3 +712,170 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (io.read_binary_files) + partition sizing, not here."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_wav_roundtrip_batch, schema=_WAV_RT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Quarantine e2e: binaryFile-scanned mixed corpus → decode or quarantine
+# ---------------------------------------------------------------------------
+
+# IHDR body byte offsets inside the fixed PNG prelude (sig 8 + len 4 +
+# tag 4 + body 13): color type at 25, interlace flag at 28; the IDAT
+# chunk body begins at 41 for every image this face derives (IHDR is
+# fixed-size), so truncating at byte 45 always leaves a 4-byte zlib
+# fragment — a guaranteed "corrupt PNG IDAT stream" regardless of pixel
+# content. The decoder skips CRC checks, so single-byte patches need no
+# CRC fixup.
+_PNG_COLOR_OFF, _PNG_INTERLACE_OFF, _PNG_TRUNCATE_AT = 25, 28, 45
+
+
+def _quarantine_corpus_png(doc_id: int) -> bytes:
+    """Derive the mixed-corpus member for one doc: doc_id % 5 ∈ {0,1} is
+    a valid 4x4 RGB PNG; 2 is truncated mid-IDAT; 3 has the interlace
+    flag set; 4 has the color type patched to palette (3). Pixels derive
+    from doc_id alone so the decode stage can re-derive the expected
+    bytes from the scanned filename without a join."""
+    import hashlib
+
+    import numpy as np
+
+    from trike_spark.functions.codecs import encode_png
+
+    hx = b"".join(hashlib.md5(f"{doc_id}q{i}".encode()).digest() for i in range(3))
+    png = encode_png(np.frombuffer(hx, dtype=np.uint8).reshape(4, 4, 3))
+    m = doc_id % 5
+    if m == 2:
+        return png[:_PNG_TRUNCATE_AT]
+    if m == 3:
+        return png[:_PNG_INTERLACE_OFF] + b"\x01" + png[_PNG_INTERLACE_OFF + 1 :]
+    if m == 4:
+        return png[:_PNG_COLOR_OFF] + b"\x03" + png[_PNG_COLOR_OFF + 1 :]
+    return png
+
+
+_QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("reason", StringType()),
+        StructField("n_docs", LongType()),
+        StructField("n_verified", LongType()),
+    ]
+)
+
+
+def _decode_or_quarantine_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-file decode with the quarantine contract: ``decode_png``'s
+    ValueError (functions/codecs.py) routes the row to a reason bucket
+    instead of killing the task — the batch analogue of the reference's
+    bad-bytes passthrough (fake_source.ex:68 ``--bad``)."""
+    import hashlib
+    import os
+
+    from trike_spark.functions.codecs import decode_png
+
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            doc_id = int(os.path.basename(path).split(".")[0])
+            try:
+                w, h, c, arr = decode_png(bytes(content))
+            except ValueError as e:
+                msg = str(e)
+                if "interlace=1" in msg:
+                    reason = "interlace_unsupported"
+                elif "color=3" in msg:
+                    reason = "palette_unsupported"
+                elif "IDAT" in msg or "truncated" in msg:
+                    reason = "corrupt_container"
+                else:
+                    reason = "other"
+                rows.append((reason, 0))
+                continue
+            want = b"".join(
+                hashlib.md5(f"{doc_id}q{i}".encode()).digest() for i in range(3)
+            )
+            ok = (w, h, c) == (4, 4, 3) and arr.tobytes() == want
+            rows.append(("ok", 1 if ok else 0))
+        out = pd.DataFrame(rows, columns=["reason", "n_verified"])
+        yield (
+            out.groupby("reason", as_index=False)
+            .agg(n_docs=("n_verified", "size"), n_verified=("n_verified", "sum"))
+            [["reason", "n_docs", "n_verified"]]
+        )
+
+
+@register(
+    "multimodal_decode_quarantine",
+    """
+    SELECT CASE CAST(doc_id % 5 AS INT)
+             WHEN 2 THEN 'corrupt_container'
+             WHEN 3 THEN 'interlace_unsupported'
+             WHEN 4 THEN 'palette_unsupported'
+             ELSE 'ok' END AS reason,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 IN (2, 3, 4) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_verified
+    FROM documents
+    GROUP BY 1
+    """,
+    doc=(
+        "Quarantine e2e: write a mixed corpus of real PNG files (valid + "
+        "truncated + interlaced + palette), scan with binaryFile, decode "
+        "with ValueError routing to per-reason quarantine buckets; the "
+        "oracle predicts every bucket count from the corruption schedule "
+        "and n_verified certifies the good rows decoded byte-exact."
+    ),
+)
+def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing e2e for the codec ValueError contract (r7 verdict
+    item 4): ``decode_png`` promises corrupt/unsupported containers raise
+    ``ValueError`` — never struct.error/zlib.error, which would kill the
+    Spark task — so a real corpus can route bad files to a quarantine
+    sink instead of wedging the job. This face proves the whole path on
+    actual FILES: derive one PNG per document (3 of 5 deliberately
+    damaged in distinct ways), write them to a scratch dir, scan with
+    the binaryFile source (io.read_binary_files — listing-time glob,
+    content as opaque binary), decode inside an Arrow stage with
+    per-reason routing, and aggregate (reason, n_docs, n_verified).
+    n_verified counts good rows whose decoded pixels match the re-derived
+    expected bytes — a silent mis-decode breaks the driver hash even
+    though the row avoided quarantine. Mirrors the reference's bad-bytes
+    tolerance (fake_source.ex:68 ``--bad``): corruption is routed and
+    counted, never fatal and never silently dropped.
+
+    Scale notes: the file write is the test fixture, not the operator —
+    a real corpus already sits in object storage. The decode is a narrow
+    map over binaryFile rows (one file = one row; Arrow batches bound
+    memory); the only shuffle is the final tiny reason rollup. In local
+    mode executors share the driver's filesystem so the scratch write is
+    visible to the scan; on a cluster the fixture write would target a
+    shared store (the operator path — scan, decode, quarantine — is
+    storage-agnostic)."""
+    import os
+    import shutil
+    import tempfile
+
+    from trike_spark.io import read_binary_files
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"trike_scan_{spark.sparkContext.applicationId}",
+        "quarantine_png",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def _write_part(rows) -> None:
+        for r in rows:
+            png = _quarantine_corpus_png(int(r.doc_id))
+            with open(os.path.join(path, f"{r.doc_id}.png"), "wb") as f:
+                f.write(png)
+
+    load_table(spark, sf_dir, "documents").select("doc_id").foreachPartition(_write_part)
+
+    files = read_binary_files(spark, path, glob="*.png")
+    per_batch = files.select("path", "content").mapInPandas(
+        _decode_or_quarantine_batch, schema=_QUARANTINE_SCHEMA
+    )
+    return per_batch.groupBy("reason").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_verified").alias("n_verified"),
+    )

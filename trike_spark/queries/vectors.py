@@ -282,6 +282,112 @@ _SQL_COS_QM = (
 )
 
 
+# --- self-sizing coarse quantizer (r7 verdict item 3) -----------------------
+#
+# The IVF faces historically coarse-quantized on the corpus's LABEL
+# structure: n_cells is fixed by the data, so per-query rerank work is
+# |C|/n_labels — linear in n. This is the same gap shape `_lsh_schedule`
+# closed for LSH in round 7 (dedup.py:477): a fixed index structure under
+# a growing corpus. The fix is the textbook IVF sizing, n_cells ∝ √n:
+# per-query probe work (≈ occupancy = n/n_cells) and quantizer-scan work
+# (n_cells per query) balance at √n each, so total per-query cost grows
+# as √n instead of n.
+
+IVF_CELL_OCC_FACTOR = 64  # n_cells = max(n_labels, isqrt(n / 64))
+
+
+def _ivf_schedule(n_vectors: int, n_labels: int) -> int:
+    """Subcells per label for a corpus of ``n_vectors``: splits each label
+    cell into s pieces so total cells ≈ √(n/64), floored at the plain
+    label structure. Returns exactly 1 (= the registered label-cell
+    plan, bit-identical hashes) for every correctness SF: n = 500 →
+    isqrt(7) = 2 ≤ 10 labels; n = 2000 (sf0.1) → isqrt(31) = 5 ≤ 10.
+    At probe scale: n = 100k → 40 cells, n = 1M → 130, n = 1e9 → ~4000
+    — ∝ √n, matching docs/SCALE.md's "Similarity search (IVF)" posture."""
+    import math
+
+    target_cells = math.isqrt(max(n_vectors // IVF_CELL_OCC_FACTOR, 1))
+    return max(1, math.ceil(target_cells / max(n_labels, 1)))
+
+
+# sizing memo: one (count, n_labels) job per corpus path per process —
+# a model-SIZING scalar like dedup._scheduled_planes, not a data collect
+_EMB_STATS_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _emb_stats(emb: DataFrame, sf_dir: str) -> tuple[int, int]:
+    st = _EMB_STATS_CACHE.get(sf_dir)
+    if st is None:
+        row = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("label").alias("nl"),
+        ).collect()[0]
+        st = (int(row["n"]), int(row["nl"]))
+        _EMB_STATS_CACHE[sf_dir] = st
+    return st
+
+
+def _coarse_cells(emb: DataFrame, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The shared coarse quantizer behind the IVF faces: returns
+    ``(cells, members)`` — ``cells(cell int, cvec array<double>)`` and
+    ``members(vec_id, cell, embedding)``.
+
+    Under the adaptive schedule: s = 1 (every correctness SF) emits the
+    REGISTERED label-cell structure with the exact same plan the faces
+    always had — cell = label, centroid = per-label per-dim mean in
+    decimal-exact arithmetic. s > 1 refines each label cell into s
+    subcells with one Lloyd step (the ``sim_kmeans_refine`` move):
+    deterministic seeds (per-(label, vec_id % s) means), reassign every
+    vector to its label's nearest seed by cosine (tie → lowest subcell),
+    recompute means. cell = label·s + subcell keeps the key an int, so
+    the faces' output schema is size-independent.
+
+    Scale: both quantizer builds are two shuffles over (label[, sub], i)
+    — partial-aggregated dimension means, never a collect; the seed and
+    cell tables are O(n_cells · DIM) and broadcast at the probe join."""
+    n, n_labels = _emb_stats(emb, sf_dir)
+    s = _ivf_schedule(n, n_labels)
+
+    def dim_means(df: DataFrame, keys: list[str]) -> DataFrame:
+        ex = df.select(*keys, F.posexplode("embedding").alias("i", "x"))
+        cent = ex.groupBy(*keys, "i").agg(
+            (
+                F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+        return (
+            cent.groupBy(*keys)
+            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
+            .select(*keys, F.transform("iv", lambda e: e["v"]).alias("cvec"))
+        )
+
+    if s == 1:
+        cells = dim_means(emb, ["label"]).select(
+            F.col("label").alias("cell"), "cvec"
+        )
+        members = emb.select("vec_id", F.col("label").alias("cell"), "embedding")
+        return cells, members
+
+    seeded = emb.withColumn("sub", F.pmod(F.col("vec_id"), F.lit(s)).cast("int"))
+    seeds = dim_means(seeded, ["label", "sub"]).withColumnRenamed("cvec", "svec")
+    w = Window.partitionBy("vec_id").orderBy(
+        cosine(F.col("embedding"), F.col("svec")).desc(), F.col("sub")
+    )
+    assign = (
+        emb.join(broadcast(seeds), "label")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "sub", "embedding")
+    )
+    cell_id = (F.col("label").cast("long") * s + F.col("sub")).cast("int")
+    cells = dim_means(assign, ["label", "sub"]).select(
+        cell_id.alias("cell"), "cvec"
+    )
+    members = assign.select("vec_id", cell_id.alias("cell"), "embedding")
+    return cells, members
+
+
 @register(
     "sim_ivf_search",
     f"""
@@ -313,36 +419,34 @@ _SQL_COS_QM = (
 def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search shape at scale: the centroid table is tiny (n_cells) and
     broadcast; each query probes ONE cell, so compared pairs scale with
-    cell occupancy — |C|/n_cells per query instead of |C|."""
+    cell occupancy — |C|/n_cells per query instead of |C|. The quantizer
+    SELF-SIZES (``_ivf_schedule``): at every correctness SF it IS the
+    registered label-cell plan (s = 1, hashes bit-identical); past
+    ~64·n_labels² vectors each label cell Lloyd-splits so n_cells tracks
+    √n and per-query work grows as √n, not n."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("label", F.posexplode("embedding").alias("i", "x"))
-    cent = ex.groupBy("label", "i").agg(
-        (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias("v")
-    )
-    cvecs = (
-        cent.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
-        .select("label", F.transform("iv", lambda e: e["v"]).alias("cvec"))
-    )
+    cells, members = _coarse_cells(emb, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
     )
     w_c = Window.partitionBy("q_vec_id").orderBy(
-        cosine(F.col("q_emb"), F.col("cvec")).desc(), F.col("label")
+        cosine(F.col("q_emb"), F.col("cvec")).desc(), F.col("cell")
     )
     best = (
-        q.crossJoin(broadcast(cvecs))
+        q.crossJoin(broadcast(cells))
         .withColumn("rn", F.row_number().over(w_c))
         .filter(F.col("rn") == 1)
-        .select("q_vec_id", "q_emb", F.col("label").alias("probe_label"))
+        .select("q_vec_id", "q_emb", F.col("cell").alias("probe_label"))
     )
-    m = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("label"), F.col("embedding").alias("n_emb"))
+    m = members.select(
+        F.col("vec_id").alias("n_vec_id"), F.col("cell"), F.col("embedding").alias("n_emb")
+    )
     cos = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
     w_m = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("n_vec_id"))
     return (
         m.join(
             broadcast(best),
-            (m.label == F.col("probe_label")) & (F.col("n_vec_id") != F.col("q_vec_id")),
+            (m.cell == F.col("probe_label")) & (F.col("n_vec_id") != F.col("q_vec_id")),
         )
         .select("q_vec_id", "probe_label", "n_vec_id", cos.alias("cosine"))
         .withColumn("rk", F.row_number().over(w_m))
@@ -390,37 +494,34 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the centroid table stays broadcast, compared pairs scale with
     NPROBE·(|C|/n_cells) per query — while recall strictly dominates
     single-probe (measure with sim_lsh_recall_at_k's methodology before
-    tuning NPROBE down). Cells are label-disjoint, so the union needs no
-    dedup and each neighbor row joins at most one probe row."""
+    tuning NPROBE down). Cells are disjoint, so the union needs no
+    dedup and each neighbor row joins at most one probe row. Shares the
+    self-sizing quantizer (``_coarse_cells``): label cells at every
+    correctness SF, Lloyd-split √n cells past the schedule knee — with
+    multiprobe the natural recall insurance once cells shrink."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("label", F.posexplode("embedding").alias("i", "x"))
-    cent = ex.groupBy("label", "i").agg(
-        (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias("v")
-    )
-    cvecs = (
-        cent.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
-        .select("label", F.transform("iv", lambda e: e["v"]).alias("cvec"))
-    )
+    cells, members = _coarse_cells(emb, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
     )
     w_c = Window.partitionBy("q_vec_id").orderBy(
-        cosine(F.col("q_emb"), F.col("cvec")).desc(), F.col("label")
+        cosine(F.col("q_emb"), F.col("cvec")).desc(), F.col("cell")
     )
     probes = (
-        q.crossJoin(broadcast(cvecs))
+        q.crossJoin(broadcast(cells))
         .withColumn("rn", F.row_number().over(w_c))
         .filter(F.col("rn") <= NPROBE)
-        .select("q_vec_id", "q_emb", F.col("label").alias("probe_label"))
+        .select("q_vec_id", "q_emb", F.col("cell").alias("probe_label"))
     )
-    m = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("label"), F.col("embedding").alias("n_emb"))
+    m = members.select(
+        F.col("vec_id").alias("n_vec_id"), F.col("cell"), F.col("embedding").alias("n_emb")
+    )
     cos = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
     w_m = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("n_vec_id"))
     return (
         m.join(
             broadcast(probes),
-            (m.label == F.col("probe_label")) & (F.col("n_vec_id") != F.col("q_vec_id")),
+            (m.cell == F.col("probe_label")) & (F.col("n_vec_id") != F.col("q_vec_id")),
         )
         .select("q_vec_id", "n_vec_id", cos.alias("cosine"))
         .withColumn("rk", F.row_number().over(w_m))

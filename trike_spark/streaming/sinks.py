@@ -117,8 +117,9 @@ KINESIS_MAX_RECORD_BYTES = 1 << 20
 
 def _encoded_records(batch_df: DataFrame, max_bytes: int) -> DataFrame:
     """Per-key arrival-ordered JSON-array records, each GUARANTEED under
-    ``max_bytes``: events split into consecutive chunks by running encoded
-    size before the group-encode.
+    ``max_bytes`` in UTF-8 BYTES (the unit the service limit and the
+    transport's ``data.encode()`` use): events split into consecutive
+    chunks by running encoded byte size before the group-encode.
 
     Bound argument: with budget b = max_bytes // 2, chunk i holds the
     events whose exclusive running size lies in [i·b, (i+1)·b); its total
@@ -135,13 +136,22 @@ def _encoded_records(batch_df: DataFrame, max_bytes: int) -> DataFrame:
 
     budget = max(1, max_bytes // 2)
     w = Window.partitionBy("partitionkey").orderBy("seq")
-    # per-event encoded size (+1 array comma). Production events are the
-    # CloudEvent struct; tests also feed pre-encoded STRING events, which
-    # to_json cannot take — measure those directly (+2 JSON quotes).
+    # per-event encoded size in BYTES (+1 array comma): the service limit
+    # is bytes and the transport sends data.encode() (UTF-8), so the
+    # measure must be octet_length, not length — a non-ASCII payload can
+    # be 3-4x its character count. Production events are the CloudEvent
+    # struct (octet_length of the exact to_json encoding); tests also
+    # feed pre-encoded STRING events, which the array encoder emits as a
+    # JSON string literal with quote/backslash/control escaping — measure
+    # the ESCAPED form via to_json(struct(event)): that yields
+    # {"event":X} where X is the same quoted escaped literal the record
+    # will contain, so octet_length(...) = len(X)+10 ≥ len(X)+1 = the
+    # true per-event cost. Deliberately conservative (9 bytes/event
+    # over), never under.
     if dict(batch_df.dtypes)["event"] == "string":
-        ev_len = F.length(F.col("event")) + F.lit(3)
+        ev_len = F.octet_length(F.to_json(F.struct(F.col("event"))))
     else:
-        ev_len = F.length(F.to_json(F.col("event"))) + F.lit(1)
+        ev_len = F.octet_length(F.to_json(F.col("event"))) + F.lit(1)
     guarded = F.when(
         ev_len > budget,
         F.raise_error(

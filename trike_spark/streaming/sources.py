@@ -47,12 +47,19 @@ def socket_chunk_stream(spark: SparkSession, host: str = "localhost", port: int 
     Ties no longer corrupt silently: framing raises on a duplicate
     (conn_id, arrival_seq) pair, so a same-ms tie fails the query loudly
     (tests/test_framing_tws.py::test_duplicate_arrival_seq_fails_loudly_both_twins).
-    Consequence: a burst that lands two lines inside one millisecond
-    KILLS a query fed by this adapter — deliberately, because the
-    alternative is a possibly-corrupted frame. For burst traffic use
-    ``fake_chunk_stream`` (dense integer seqs) in dev or the Kinesis
-    source (exact shard sequence numbers) in production; this socket
-    adapter is for low-rate interactive sessions."""
+    Consequence: two lines read inside one millisecond KILL a query fed
+    by this adapter — deliberately, because the alternative is a
+    possibly-corrupted frame. Sender-side pacing CANNOT prevent this:
+    the stamp is applied when the line is read off the socket, so any
+    receiver stall (GC, a loaded machine) lets the kernel buffer drain
+    in one burst and two slowly-sent lines still tie. The only tie-free
+    dev paths are ``fake_chunk_stream`` / ``spool_chunk_stream`` (dense
+    integer seqs); production uses the Kinesis shard sequence number
+    (exact). Treat this adapter's contract as "ordered or loudly dead":
+    callers must be prepared to restart on the duplicate-arrival_seq
+    failure (tests/test_socket_source_e2e.py ACK-paces sends on the
+    query's cumulative input-row count and retries the documented
+    loud failure a bounded number of times)."""
     raw = (
         spark.readStream.format("socket")
         .option("host", host)
