@@ -1,0 +1,117 @@
+"""Baseline JPEG codec (functions/jpeg.py): numpy+stdlib implementation
+of T.81 sequential DCT — encode/decode round-trip within the PROVEN
+quantization bound, marker framing, Huffman canonical tables, and the
+ValueError quarantine contract shared with decode_png."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from trike_spark.functions.jpeg import (
+    _fdct,
+    _idct,
+    _canonical_codes,
+    _AC_LUM_BITS,
+    _AC_LUM_VALS,
+    _DC_LUM_BITS,
+    _DC_LUM_VALS,
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+    roundtrip_error_bound,
+)
+
+RNG = np.random.default_rng(20260816)
+
+
+def test_dct_is_orthonormal_inverse():
+    blocks = RNG.standard_normal((10, 8, 8))
+    assert np.allclose(_idct(_fdct(blocks)), blocks, atol=1e-10)
+    # Parseval: orthonormal transform preserves energy
+    assert np.allclose(
+        (blocks**2).sum(axis=(1, 2)), (_fdct(blocks) ** 2).sum(axis=(1, 2))
+    )
+
+
+def test_canonical_huffman_tables_are_prefix_free():
+    for bits, vals in ((_DC_LUM_BITS, _DC_LUM_VALS), (_AC_LUM_BITS, _AC_LUM_VALS)):
+        codes = _canonical_codes(bits, vals)
+        assert len(codes) == len(vals)
+        as_strings = {f"{c:0{ln}b}" for c, ln in codes.values()}
+        assert len(as_strings) == len(codes)  # distinct
+        for a in as_strings:
+            for b in as_strings:
+                if a is not b and len(a) < len(b):
+                    assert not b.startswith(a), f"{a} prefixes {b}"
+
+
+@pytest.mark.parametrize("quality", [50, 75, 90, 100])
+def test_gray_roundtrip_within_proven_bound(quality):
+    bound = roundtrip_error_bound(quality)
+    for shape in [(16, 16), (24, 40), (20, 12), (8, 8), (9, 17)]:
+        x = RNG.integers(0, 256, shape, dtype=np.uint8)
+        w, h, c, out = decode_jpeg_baseline(encode_jpeg_baseline(x, quality))
+        assert (w, h, c) == (shape[1], shape[0], 1)
+        assert out.shape == shape
+        err = np.abs(out.astype(int) - x.astype(int)).max()
+        assert err <= bound, f"q{quality} {shape}: err {err} > proven {bound}"
+
+
+def test_gray_smooth_content_is_near_exact_at_q90():
+    # smooth gradients quantize to DC + small AC: error should be tiny,
+    # far inside the worst-case bound (sanity that the pipeline doesn't
+    # ride the bound)
+    x = (np.linspace(0, 200, 40)[None, :] + np.linspace(0, 40, 24)[:, None]).astype(
+        np.uint8
+    )
+    _, _, _, out = decode_jpeg_baseline(encode_jpeg_baseline(x, 90))
+    assert np.abs(out.astype(int) - x.astype(int)).max() <= 2
+
+
+def test_rgb_roundtrip():
+    x = RNG.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    w, h, c, out = decode_jpeg_baseline(encode_jpeg_baseline(x, 95))
+    assert (w, h, c) == (23, 17, 3)
+    assert out.shape == (17, 23, 3)
+    # color adds YCbCr transform rounding on top of the luma-only bound;
+    # at q95 noise stays well under the q95 luma bound + transform slack
+    err = np.abs(out.astype(int) - x.astype(int)).max()
+    assert err <= roundtrip_error_bound(95) + 8
+
+
+def test_encode_is_deterministic():
+    x = RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+    assert encode_jpeg_baseline(x, 90) == encode_jpeg_baseline(x, 90)
+
+
+def test_bitstream_is_marker_clean():
+    # every 0xFF inside the entropy segment must be stuffed; the decoder
+    # round-trip above proves readability, this pins the container shape
+    data = encode_jpeg_baseline(RNG.integers(0, 256, (16, 16), dtype=np.uint8), 90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF" in data[:30]
+
+
+@pytest.mark.parametrize(
+    "mutate, match",
+    [
+        (lambda d: b"nope" + d[4:], "missing SOI"),
+        (lambda d: d[: len(d) // 3], "truncated"),
+        (lambda d: d[:-6], "truncated JPEG entropy stream"),
+        # flip SOF0 (0xC0) to SOF2 progressive at its marker byte
+        (
+            lambda d: d.replace(b"\xff\xc0", b"\xff\xc2", 1),
+            "progressive",
+        ),
+    ],
+)
+def test_quarantine_contract_valueerror(mutate, match):
+    good = encode_jpeg_baseline(RNG.integers(0, 256, (16, 16), dtype=np.uint8), 90)
+    with pytest.raises(ValueError, match=match):
+        decode_jpeg_baseline(mutate(good))
+
+
+def test_error_bound_monotone_in_quality():
+    bounds = [roundtrip_error_bound(q) for q in (10, 30, 50, 75, 90, 100)]
+    assert bounds == sorted(bounds, reverse=True)
+    assert bounds[-1] >= 1  # never claims exactness

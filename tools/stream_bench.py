@@ -70,7 +70,21 @@ def main() -> None:
         "rates + a short trigger trade throughput headroom for event "
         "latency — this flag measures that operating point.",
     )
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="Spark master override, e.g. local-cluster[2,8,8192] for the "
+        "horizontal scale-out rehearsal (separate executor JVMs + Python "
+        "workers, network shuffle). Compare local-cluster[1,c,m] vs "
+        "local-cluster[2,c,m] at the same per-executor resources to "
+        "isolate the add-a-node lever; plain local[n] shares one JVM and "
+        "is NOT a scale-out measurement.",
+    )
     args = ap.parse_args()
+    if args.master:
+        import os
+
+        os.environ["SPARK_MASTER"] = args.master
 
     from trike_spark.session import get_spark
     from trike_spark.streaming.pipeline import build_ingest_pipeline
@@ -224,6 +238,13 @@ def main() -> None:
                 "offered_rows_per_sec": args.rows_per_second,
                 "connections": args.connections,
                 "sink": args.sink,
+                "master": args.master or "local[default]",
+                "counting": (
+                    "driver-decoded (exact)"
+                    if args.sink == "driver"
+                    else "accumulator (at-least-once: task retries/speculation "
+                    "can over-count; exact on a healthy local run)"
+                ),
                 "trigger_ms": args.trigger_ms,
                 "batch_gap_p50_sec": round(p50, 2),
                 "batch_gap_p95_sec": round(p95, 2),

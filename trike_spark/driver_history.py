@@ -392,5 +392,9 @@ WINDOW_PRIORITY: frozenset[str] = frozenset(
         # registered mid-round-8: aggregate-output probe twin for the
         # dynamic-gap sessionization (r7 verdict item 6)
         "events_session_stats_dynamic_gap",
+        # registered mid-round-8: REAL baseline JPEG codec (T.81 in
+        # numpy+stdlib) — lossy, certified against the PROVEN
+        # quantization bound + exact padded/cropped dimensions
+        "multimodal_jpeg_roundtrip",
     }
 )

@@ -1,0 +1,584 @@
+"""Baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman) in
+numpy + stdlib — no PIL/libjpeg.
+
+Round 7 left JPEG as the one image format with a stub kernel ("blocked
+on environment: PIL/ffmpeg are absent"). Baseline JPEG needs neither:
+the whole pipeline — level shift, 8×8 forward/inverse DCT, quality-
+scaled quantization (the libjpeg scaling convention), zigzag, DC
+prediction, the Annex K.3 Huffman tables, byte stuffing, JFIF marker
+framing — is arithmetic and table lookups, all expressible in numpy and
+``struct``. This module implements:
+
+* ``encode_jpeg_baseline(pixels, quality)`` — grayscale (h, w) or RGB
+  (h, w, 3) uint8 → a spec-compliant baseline JFIF bytestream.
+  4:4:4 sampling (no chroma subsampling), standard Annex K Huffman
+  tables, one scan, no restart markers.
+* ``decode_jpeg_baseline(data)`` — parses SOI/APP/DQT/SOF0/DHT/SOS,
+  canonical Huffman decode, dequantize, inverse zigzag, IDCT, YCbCr →
+  RGB. Returns (width, height, components, uint8 array).
+  Raises ``ValueError`` — the quarantine contract shared with
+  ``codecs.decode_png`` — for progressive (SOF2), arithmetic-coded,
+  12-bit, subsampled, or truncated/corrupt streams, never a raw
+  struct/index error that would kill a Spark task.
+* ``roundtrip_error_bound(quality)`` — a PROVEN per-pixel bound on
+  |decode(encode(x)) − x| for grayscale input, derived from the
+  quantization table (see the function docstring). The Spark face
+  certifies measured error ≤ this bound under the driver hash, which is
+  how a lossy codec gets an exact oracle.
+
+JPEG is lossy, so unlike PNG there is no byte-identity to certify;
+the certification face instead checks dimensions exactly and error
+against the provable bound.
+
+Scale posture: identical to the PNG path — the codec runs per row
+inside Arrow-batched ``mapInPandas`` (embarrassingly parallel, no
+shuffle); block DCTs are batched as (n_blocks, 8, 8) einsums, the
+Huffman bit loop is per-coefficient Python (fine for the KB-scale
+payloads of the test faces; a production deployment swaps in libjpeg
+through the same (bytes) -> (w, h, c, array) signature).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- tables (ITU-T T.81 Annex K) -------------------------------------------
+
+# K.1 luminance quantization table, in natural (row-major) order
+_QLUM = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+# K.2 chrominance quantization table
+_QCHROM = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+# zigzag: _ZIGZAG[k] = flat index into the 8x8 block of the k-th coefficient
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# K.3 Huffman table specifications: (BITS counts per code length 1..16,
+# HUFFVAL symbol list). These four tables are what every baseline
+# encoder ships.
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per T.81 C.2 canonical construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 50 → the Annex K table, 100 → all ones."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+# orthonormal DCT-II matrix: row u, col x — C @ block @ C.T is the JPEG FDCT
+_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _fdct(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial → (n, 8, 8) DCT coefficients (batched einsum)."""
+    return np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+
+
+def _idct(coefs: np.ndarray) -> np.ndarray:
+    """X = Cᵀ F C — the exact inverse of :func:`_fdct` (C is orthonormal)."""
+    return np.einsum("ux,nuv,vy->nxy", _C, coefs, _C)
+
+
+def roundtrip_error_bound(quality: int) -> int:
+    """Provable per-pixel bound on |decode(encode(x)) − x| for GRAYSCALE
+    input at the given quality.
+
+    Derivation: the only lossy step is coefficient quantization, which
+    perturbs each DCT coefficient by at most q[u,v]/2 (round-to-nearest)
+    plus 1/2 from the final spatial-domain rounding. The IDCT basis
+    functions are bounded by a(u)·a(v) ≤ 1/2 per sample (a(0) = √(1/8),
+    a(u>0) = √(2/8) = 1/2), so a coefficient error of e contributes at
+    most e·a(u)·a(v) to any pixel; summing the worst case over all 64
+    coefficients:
+
+        max pixel error ≤ Σ_{u,v} a(u)·a(v)·q[u,v]/2 + 1
+
+    (the +1 covers spatial rounding and uint8 clipping at the range
+    edges). Extremely conservative — simultaneous worst-case rounding of
+    all 64 coefficients with aligned basis signs — but PROVABLE, which is
+    what the certification face needs."""
+    q = _quality_scale(_QLUM, quality)
+    a = np.full(8, np.sqrt(2 / 8))
+    a[0] = np.sqrt(1 / 8)
+    bound = float(np.sum(np.outer(a, a) * q / 2.0)) + 1.0
+    return int(np.ceil(bound))
+
+
+def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(h, w) → (n_blocks, 8, 8) with edge-replication padding; returns
+    blocks plus blocks-per-row/col. Block order: raster (row-major)."""
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(bh * bw, 8, 8)
+    )
+    return blocks, bh, bw
+
+
+def _from_blocks(blocks: np.ndarray, bh: int, bw: int, h: int, w: int) -> np.ndarray:
+    padded = (
+        blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    )
+    return padded[:h, :w]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value → (size category, size-bit code)."""
+    if v == 0:
+        return 0, 0
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    code = v if v > 0 else v + (1 << size) - 1
+    return size, code
+
+
+def _encode_plane_blocks(
+    writer: _BitWriter,
+    zz: np.ndarray,
+    block_idx: int,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Huffman-encode one zigzagged block (64,) given the DC predictor;
+    returns the new predictor."""
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - pred)
+    c, ln = dc_codes[size]
+    writer.write(c, ln)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            writer.write(c, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | size]
+        writer.write(c, ln)
+        writer.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        writer.write(c, ln)
+    return dc
+
+
+def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
+    body = bytes([tq]) + bytes(int(table.flat[_ZIGZAG[k]]) for k in range(64))
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Grayscale (h, w) or RGB (h, w, 3) uint8 → baseline JFIF bytes.
+    4:4:4 (no chroma subsampling), Annex K Huffman tables, single scan."""
+    if pixels.dtype != np.uint8:
+        raise ValueError(f"encode_jpeg_baseline wants uint8, got {pixels.dtype}")
+    if pixels.ndim == 2:
+        planes = [pixels.astype(np.float64)]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        r, g, b = (pixels[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    h, w = pixels.shape[:2]
+    n_comp = len(planes)
+    qlum = _quality_scale(_QLUM, quality)
+    qchrom = _quality_scale(_QCHROM, quality)
+    qtabs = [qlum] + [qchrom] * (n_comp - 1)
+
+    dc_l = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_l = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_c = _canonical_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
+    ac_c = _canonical_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)
+
+    # quantized zigzag coefficients per component, block raster order
+    comp_zz = []
+    bh = bw = 0
+    for ci, plane in enumerate(planes):
+        blocks, bh, bw = _to_blocks(plane)
+        coefs = _fdct(blocks - 128.0)
+        qz = np.round(coefs / qtabs[ci]).astype(np.int64)
+        comp_zz.append(qz.reshape(-1, 64)[:, _ZIGZAG])
+
+    writer = _BitWriter()
+    preds = [0] * n_comp
+    for b in range(bh * bw):  # interleaved MCU order == block order at 4:4:4
+        for ci in range(n_comp):
+            dc_codes, ac_codes = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            preds[ci] = _encode_plane_blocks(
+                writer, comp_zz[ci][b], b, preds[ci], dc_codes, ac_codes
+            )
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += _dqt_segment(0, qlum)
+    if n_comp == 3:
+        out += _dqt_segment(1, qchrom)
+    # SOF0: 8-bit precision, h, w, components with 1x1 sampling
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0x00, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += _dht_segment(0x10, _AC_LUM_BITS, _AC_LUM_VALS)
+    if n_comp == 3:
+        out += _dht_segment(0x01, _DC_CHROM_BITS, _DC_CHROM_VALS)
+        out += _dht_segment(0x11, _AC_CHROM_BITS, _AC_CHROM_VALS)
+    sos = bytes([n_comp])
+    for ci in range(n_comp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+class _BitReader:
+    """Reads the entropy-coded segment with 0xFF00 de-stuffing; raises
+    ValueError on truncation (the quarantine contract)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream")
+                marker = self.data[self.pos]
+                self.pos += 1
+                if marker != 0x00:
+                    # a real marker inside the scan (EOI reached early /
+                    # RSTn which this baseline profile never emits)
+                    raise ValueError(
+                        f"unexpected marker 0xFF{marker:02X} inside entropy stream"
+                    )
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _receive_extend(reader: _BitReader, size: int) -> int:
+    if size == 0:
+        return 0
+    v = reader.bits(size)
+    if v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode table per T.81 F.2.2.3 (MINCODE/MAXCODE)."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+        self.vals = vals
+
+    def decode(self, reader: _BitReader) -> int:
+        code, length = 0, 0
+        while True:
+            code = (code << 1) | reader.bit()
+            length += 1
+            if length > 16:
+                raise ValueError("invalid JPEG Huffman code (no match in 16 bits)")
+            if self.maxcode[length] >= code:
+                return self.vals[self.valptr[length] + code - self.mincode[length]]
+
+
+def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Baseline JFIF bytes → (width, height, components, uint8 array
+    (h, w) or (h, w, 3)). 4:4:4 or grayscale only; everything else —
+    progressive, arithmetic, subsampled, 12-bit, truncated — raises
+    ``ValueError`` so a corpus scan can quarantine instead of crash."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None  # (h, w, [(comp_id, tq)])
+    scan = None
+    try:
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"bad marker alignment at byte {pos}")
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI before SOS
+                break
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + seglen]
+            if len(body) != seglen - 2:
+                raise ValueError("truncated JPEG segment")
+            if marker == 0xDB:  # DQT (possibly several tables per segment)
+                off = 0
+                while off < len(body):
+                    pq, tq = body[off] >> 4, body[off] & 0xF
+                    if pq != 0:
+                        raise ValueError("unsupported JPEG (16-bit quant table)")
+                    tab = np.zeros(64, dtype=np.int64)
+                    tab[_ZIGZAG] = np.frombuffer(
+                        body[off + 1 : off + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    qtabs[tq] = tab.reshape(8, 8)
+                    off += 65
+            elif marker == 0xC4:  # DHT
+                off = 0
+                while off < len(body):
+                    tc, th = body[off] >> 4, body[off] & 0xF
+                    bits = list(body[off + 1 : off + 17])
+                    n = sum(bits)
+                    vals = list(body[off + 17 : off + 17 + n])
+                    (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
+                    off += 17 + n
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+                if prec != 8:
+                    raise ValueError(f"unsupported JPEG ({prec}-bit precision)")
+                comps = []
+                for ci in range(nc):
+                    cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                    if samp != 0x11:
+                        raise ValueError(
+                            "unsupported JPEG (chroma subsampling "
+                            f"{samp >> 4}x{samp & 0xF})"
+                        )
+                    comps.append((cid, tq))
+                frame = (fh, fw, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                kinds = {0xC2: "progressive", 0xC9: "arithmetic-coded"}
+                raise ValueError(
+                    f"unsupported JPEG ({kinds.get(marker, f'SOF{marker - 0xC0}')} frame)"
+                )
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+                pos = pos + 2 + seglen
+                break
+            # APPn / COM / DRI(ignored: we never emit restarts) — skip
+            pos = pos + 2 + seglen
+        else:
+            raise ValueError("truncated JPEG (no SOS)")
+    except struct.error as e:
+        raise ValueError(f"truncated JPEG header: {e}") from e
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0/SOS")
+    fh, fw, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("scan/frame component mismatch")
+    bh, bw = -(-fh // 8), -(-fw // 8)
+    n_comp = len(comps)
+
+    reader = _BitReader(data, pos)
+    preds = [0] * n_comp
+    comp_coefs = [np.zeros((bh * bw, 64), dtype=np.int64) for _ in range(n_comp)]
+    try:
+        for b in range(bh * bw):
+            for ci in range(n_comp):
+                td, ta = scan[ci][1] >> 4, scan[ci][1] & 0xF
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError("missing Huffman table for scan")
+                size = huff_dc[td].decode(reader)
+                diff = _receive_extend(reader, size)
+                preds[ci] += diff
+                zz = comp_coefs[ci][b]
+                zz[0] = preds[ci]
+                k = 1
+                while k <= 63:
+                    rs = huff_ac[ta].decode(reader)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _receive_extend(reader, s)
+                    k += 1
+    except IndexError as e:
+        raise ValueError(f"corrupt JPEG entropy stream: {e}") from e
+
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        if tq not in qtabs:
+            raise ValueError(f"missing quant table {tq}")
+        deq = (comp_coefs[ci][:, _UNZIGZAG].reshape(-1, 8, 8)) * qtabs[tq]
+        blocks = _idct(deq.astype(np.float64)) + 128.0
+        planes.append(_from_blocks(blocks, bh, bw, fh, fw))
+    if n_comp == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return fw, fh, 1, out
+    if n_comp == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+        return fw, fh, 3, out
+    raise ValueError(f"unsupported JPEG ({n_comp} components)")

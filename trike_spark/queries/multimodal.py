@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -879,3 +880,85 @@ def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_verified").alias("n_verified"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG round-trip: lossy codec certified against a PROVEN bound
+# ---------------------------------------------------------------------------
+
+_JPEG_RT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("components", IntegerType()),
+        StructField("within_bound", BooleanType()),
+    ]
+)
+
+_JPEG_RT_H, _JPEG_RT_W, _JPEG_RT_Q = 20, 12, 90  # 240 px = 15 md5 digests
+
+
+def _jpeg_roundtrip_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    import numpy as np
+
+    from trike_spark.functions.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        roundtrip_error_bound,
+    )
+
+    bound = roundtrip_error_bound(_JPEG_RT_Q)
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            hx = b"".join(
+                hashlib.md5(f"{text}j{i}".encode()).digest() for i in range(15)
+            )
+            pixels = np.frombuffer(hx, dtype=np.uint8).reshape(_JPEG_RT_H, _JPEG_RT_W)
+            w, h, c, out = decode_jpeg_baseline(
+                encode_jpeg_baseline(pixels, quality=_JPEG_RT_Q)
+            )
+            err = int(np.abs(out.astype(int) - pixels.astype(int)).max())
+            rows.append((doc_id, w, h, c, err <= bound))
+        yield pd.DataFrame(rows, columns=[f.name for f in _JPEG_RT_SCHEMA.fields])
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    f"""
+    SELECT doc_id, {_JPEG_RT_W} AS width, {_JPEG_RT_H} AS height,
+           1 AS components, TRUE AS within_bound
+    FROM documents
+    """,
+    doc=(
+        "REAL baseline JPEG codec round-trip (T.81 sequential DCT + Annex K "
+        "Huffman, numpy+stdlib): derive 20x12 gray pixels from doc bytes, "
+        "encode->decode, certify max pixel error against the PROVEN "
+        "quantization bound and the exact (padded-and-cropped) dimensions."
+    ),
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG was the last image format hiding behind a stub kernel
+    ("blocked on environment: PIL absent") — baseline JPEG needs no
+    library: functions/jpeg.py implements the full T.81 sequential
+    pipeline (level shift, batched 8x8 DCT, libjpeg-convention quality
+    scaling, zigzag, DC prediction, Annex K canonical Huffman, byte
+    stuffing, JFIF markers) in numpy + struct, both directions.
+
+    JPEG is LOSSY, so the PNG face's byte-identity certification is
+    impossible; this face certifies what IS provable: decoded dimensions
+    are exact (20x12 — deliberately non-multiples of 8, so the pad-to-
+    blocks / crop-back path is load-bearing), and the measured max pixel
+    error respects `roundtrip_error_bound(quality)` — a worst-case bound
+    DERIVED from the quantization table (each coefficient perturbs by
+    <= q/2; IDCT basis magnitudes <= a(u)a(v); sum over 64 coefficients),
+    not a tuned constant. Any codec defect — wrong Huffman table, zigzag
+    transposition, dequant mismatch — blows the error past the bound or
+    shifts a dimension, and the driver hash fails. Same Arrow-batched
+    narrow-map shape as the PNG/WAV faces; at 100 TB the codec kernel is
+    the swap-in point for libjpeg via the identical signature."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_jpeg_roundtrip_batch, schema=_JPEG_RT_SCHEMA)

@@ -97,6 +97,39 @@ def get_spark(app_name: str = "trike_spark", config: EngineConfig | None = None)
     # nanos-as-long for the events table's TIMESTAMP(NANOS) column — set at
     # build time here; ensure_session_confs covers foreign sessions.
     builder = builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # local-cluster[n,c,m] rehearses REAL multi-executor execution (separate
+    # executor JVMs + their own Python workers, network shuffle, broadcast
+    # over the wire) on one machine — the scale-out posture the stream
+    # bench measures (tools/stream_bench.py --master local-cluster[...]).
+    # Executor Python processes don't inherit the driver's sys.path, so
+    # ship the repo root; executor heap comes from the master string.
+    if cfg.master.startswith("local-cluster"):
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.config(
+                "spark.executorEnv.PYTHONPATH",
+                os.pathsep.join([repo_root, os.environ.get("PYTHONPATH", "")]).rstrip(
+                    os.pathsep
+                ),
+            )
+            # The streaming micro-batch planner recurses a Java regex over
+            # a long generated string during cluster-mode planning; the
+            # default 1 MiB thread stack overflows (measured: framing
+            # pipeline dies with StackOverflowError in the stream
+            # execution thread under local-cluster, fine at -Xss64m).
+            # Wide stacks are cheap (virtual memory, committed on use).
+            .config("spark.driver.extraJavaOptions", "-Xss64m")
+            .config("spark.executor.extraJavaOptions", "-Xss64m")
+            # The master string's third field is the WORKER's capacity;
+            # executors still launch at spark.executor.memory (default
+            # 1g — measured OOM under the stream bench's backlog
+            # batches). Size the executor heap explicitly and keep the
+            # master's MB at least this large.
+            .config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_EXECUTOR_MEMORY", "8g"),
+            )
+        )
     # Only set master when not already inside a cluster-provided session.
     if "SPARK_CONNECT_MODE_ENABLED" not in os.environ:
         builder = builder.master(cfg.master)
