@@ -228,3 +228,38 @@ def test_decoded_arrays_are_writable():
     arr[0, 0, 0] = 7  # must not raise
     _, _, _, pcm = decode_wav(encode_wav(np.zeros(8, dtype=np.int16)))
     pcm[0] = 7  # must not raise
+
+
+# --- Y4M ---------------------------------------------------------------------
+
+
+def test_y4m_roundtrip_byte_exact():
+    import numpy as np
+
+    from trike_spark.functions.codecs import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (5, 8, 16, 3), dtype=np.uint8)
+    w, h, n, out = decode_y4m(encode_y4m(frames, fps=(30, 1)))
+    assert (w, h, n) == (16, 8, 5)
+    assert (out == frames).all()
+
+
+def test_y4m_quarantine_contract():
+    import numpy as np
+    import pytest
+
+    from trike_spark.functions.codecs import decode_y4m, encode_y4m
+
+    frames = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+    good = encode_y4m(frames)
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_y4m(b"RIFF....")
+    with pytest.raises(ValueError, match="truncated Y4M frame"):
+        decode_y4m(good[:-5])
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        decode_y4m(good.replace(b"C444", b"C420"))
+    with pytest.raises(ValueError, match="FRAME marker"):
+        decode_y4m(good.replace(b"FRAME", b"FRANE", 1))
+    with pytest.raises(ValueError, match="no frames"):
+        decode_y4m(good.split(b"FRAME")[0])

@@ -396,5 +396,8 @@ WINDOW_PRIORITY: frozenset[str] = frozenset(
         # numpy+stdlib) — lossy, certified against the PROVEN
         # quantization bound + exact padded/cropped dimensions
         "multimodal_jpeg_roundtrip",
+        # registered mid-round-8: REAL Y4M video container + stride-2
+        # frame sampling, byte-exact under the driver hash
+        "multimodal_y4m_frame_sample",
     }
 )

@@ -185,3 +185,70 @@ def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if n_ch > 1:
         pcm = pcm.reshape(-1, n_ch)
     return rate, n_ch, n_fr, pcm
+
+
+# --- Y4M (YUV4MPEG2) — the uncompressed video interchange container ---------
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """YUV4MPEG2 writer (the raw-video interchange format ffmpeg/x264
+    pipelines speak): ``frames`` is (n_frames, h, w, 3) uint8 in YUV
+    order, written as C444 planar (one Y, U, V plane per frame — no
+    chroma subsampling, bit-exact round-trip).
+
+    This upgrades the video leg of the multimodal model from a stub to a
+    REAL container: header parsing, frame framing, and plane layout are
+    the actual format; only inter-frame compression (a codec like H.264)
+    stays out of scope — Y4M is what such codecs decode INTO."""
+    if frames.dtype != np.uint8 or frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"encode_y4m wants (n, h, w, 3) uint8, got {frames.shape} {frames.dtype}")
+    n, h, w, _ = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode()
+    parts = [head]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        # planar: all Y, then all U, then all V
+        parts.append(frames[i].transpose(2, 0, 1).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Y4M → (width, height, n_frames, (n, h, w, 3) uint8). C444 only
+    (what :func:`encode_y4m` writes); C420 and friends raise
+    ``ValueError`` — the quarantine contract — as do truncated frames,
+    bad magic, and malformed headers."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream (bad magic)")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M header")
+    w = h = None
+    colorspace = "C420jpeg"  # the format's default when the tag is absent
+    for tok in data[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "C":
+            colorspace = t
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "C444":
+        raise ValueError(f"unsupported Y4M colorspace {colorspace} (C444 only)")
+    frame_bytes = w * h * 3
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"bad Y4M FRAME marker at byte {pos}")
+        body = data[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(body) != frame_bytes:
+            raise ValueError("truncated Y4M frame payload")
+        plane = np.frombuffer(body, dtype=np.uint8).reshape(3, h, w)
+        frames.append(plane.transpose(1, 2, 0))
+        pos = fnl + 1 + frame_bytes
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return w, h, len(frames), np.stack(frames)

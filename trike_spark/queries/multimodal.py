@@ -2,15 +2,18 @@
 opaque binary payloads + typed metadata travel together through the plan;
 decode/feature-extraction runs as Arrow-batched ``mapInPandas``.
 
-The container has no PIL/ffmpeg, so the general decode stage is a
+The container has no PIL/ffmpeg, so the GENERIC decode stage is a
 DETERMINISTIC FAKE (md5-derived pseudo-features) behind the real Spark
 plumbing — schema, batch iteration, partitioning are exactly what a real
 decoder would use; swap ``_fake_decode_batch`` for PIL/ffmpeg in prod.
-For the formats the standard library CAN handle the decode is REAL:
-``multimodal_png_roundtrip`` / ``multimodal_wav_roundtrip`` run actual
-PNG (zlib + filter reconstruction) and WAV (RIFF PCM) codecs from
-``trike_spark.functions.codecs`` inside the Arrow stage, certified
-byte-exact by the driver hash.
+For the formats numpy + the standard library CAN handle, the codec is
+REAL: PNG (zlib + scanline-filter reconstruction) and WAV (RIFF PCM)
+round-trips certified byte-exact; baseline JPEG (T.81 sequential DCT +
+Annex K Huffman, ``trike_spark.functions.jpeg``) certified against a
+PROVEN quantization bound because it is lossy; the Y4M video container
+(YUV4MPEG2) with byte-exact stride frame sampling; and a binaryFile-
+scanned decode-or-quarantine e2e routing corrupt containers to
+per-reason buckets instead of failing the job.
 
 Scale notes: binary payloads stay columnar (parquet BYTE_ARRAY) end-to-end;
 mapInPandas streams Arrow batches so one task never materializes more than
@@ -962,3 +965,91 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the swap-in point for libjpeg via the identical signature."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_jpeg_roundtrip_batch, schema=_JPEG_RT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Y4M video container: real frame extraction, byte-exact certification
+# ---------------------------------------------------------------------------
+
+_Y4M_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+_Y4M_N_FRAMES, _Y4M_H, _Y4M_W = 4, 4, 4  # 48 B/frame = 3 md5 digests
+_Y4M_SAMPLE_STRIDE = 2  # keep frames 0 and 2 — the sampling operator
+
+
+def _y4m_frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    import numpy as np
+
+    from trike_spark.functions.codecs import decode_y4m, encode_y4m
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            frames = np.stack(
+                [
+                    np.frombuffer(
+                        b"".join(
+                            hashlib.md5(f"{text}v{f}_{k}".encode()).digest()
+                            for k in range(3)
+                        ),
+                        dtype=np.uint8,
+                    ).reshape(_Y4M_H, _Y4M_W, 3)
+                    for f in range(_Y4M_N_FRAMES)
+                ]
+            )
+            w, h, n, out = decode_y4m(encode_y4m(frames))
+            for f in range(0, n, _Y4M_SAMPLE_STRIDE):
+                rows.append(
+                    (
+                        doc_id,
+                        f,
+                        hashlib.sha256(out[f].tobytes().hex().encode()).hexdigest(),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=[f.name for f in _Y4M_SCHEMA.fields])
+
+
+@register(
+    "multimodal_y4m_frame_sample",
+    f"""
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           sha256(md5(text || 'v' || CAST(frame_idx AS VARCHAR) || '_0')
+               || md5(text || 'v' || CAST(frame_idx AS VARCHAR) || '_1')
+               || md5(text || 'v' || CAST(frame_idx AS VARCHAR) || '_2'))
+             AS frame_sha
+    FROM documents, (SELECT unnest([0, 2]) AS frame_idx)
+    """,
+    doc=(
+        "REAL video container round-trip: derive 4 YUV frames per doc, "
+        "write/parse an actual YUV4MPEG2 (Y4M) stream, stride-2 frame "
+        "sampling; sampled frame bytes certified byte-exact by the oracle "
+        "hashing the same derived planes."
+    ),
+)
+def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video leg of the multimodal model, made REAL: `encode_y4m` /
+    `decode_y4m` (functions/codecs.py) implement the actual YUV4MPEG2
+    interchange container — header token parsing, FRAME framing, C444
+    planar layout — the format compressed codecs decode INTO, so the
+    frame-sampling operator downstream of any real decoder is exactly
+    this shape. Uncompressed means byte-identity holds: the oracle
+    re-derives each sampled frame's 48 bytes and hashes them, so a
+    plane-order swap, stride bug, or off-by-one in frame framing
+    hash-fails. Unsupported colorspaces (C420 et al) and truncated
+    frames raise ValueError into the same quarantine contract as
+    decode_png/decode_jpeg_baseline.
+
+    Scale: narrow Arrow map (one task unit per row-batch), 1:2 row
+    expansion from frame sampling — no shuffle; real video payloads ride
+    binaryFile ingest + this same per-row kernel with libav doing the
+    inner decode."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_y4m_frame_sample_batch, schema=_Y4M_SCHEMA)
