@@ -104,6 +104,12 @@ HEADLINE = [
     # session-3 additions: the banded training-epoch layout faces
     "curation_epoch_shuffle",
     "curation_token_budget_select",
+    # round-8 additions: the real JPEG/Y4M codec stages, the binaryFile
+    # quarantine e2e, and the O(1)-output session-merge twin
+    "multimodal_jpeg_roundtrip",
+    "multimodal_y4m_frame_sample",
+    "multimodal_decode_quarantine",
+    "events_session_stats_dynamic_gap",
 ]
 
 

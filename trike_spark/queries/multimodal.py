@@ -961,10 +961,22 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a tuned constant. Any codec defect — wrong Huffman table, zigzag
     transposition, dequant mismatch — blows the error past the bound or
     shifts a dimension, and the driver hash fails. Same Arrow-batched
-    narrow-map shape as the PNG/WAV faces; at 100 TB the codec kernel is
-    the swap-in point for libjpeg via the identical signature."""
+    shape as the PNG/WAV faces; at 100 TB the codec kernel is the
+    swap-in point for libjpeg via the identical signature.
+
+    One plan difference from the cheap-kernel faces: an explicit
+    round-robin repartition BEFORE the Arrow stage. The JPEG kernel is
+    ~2 ms/row of pure Python — three orders heavier than the PNG path —
+    and a small parquet scan yields ONE input partition
+    (maxPartitionBytes ≫ file size), which serializes the whole decode
+    on one core (measured: 7.3 s at sf0.1 single-partition vs
+    sub-second spread). This is the standard posture for CPU-bound
+    decode stages at any scale: the shuffle moves (doc_id, text) rows
+    once; the codec then runs at cluster width."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return d.mapInPandas(_jpeg_roundtrip_batch, schema=_JPEG_RT_SCHEMA)
+    return d.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        _jpeg_roundtrip_batch, schema=_JPEG_RT_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
