@@ -12,13 +12,14 @@ The sets below are transcribed from the committed correctness reports
 the export order cannot change any query's semantics, and every rotated
 query still carries the same oracle SQL. See docs/QUERY_ORDER.md.
 
-Round-8 state: ``CORRECTNESS_r07.json`` landed 50/50 green (rows +
-schema + hash) with zero overlap against rounds 1-6, re-signing all four
-STALE_R07 rewrites, so DRIVER_VERIFIED is now r2..r7 cumulative = 228
-names of 361. WINDOW_PRIORITY reseeds with the round-8 new faces
-(multimodal quarantine e2e, dynamic-gap session-stats probe twin); the
-~133 never-verified names rotate in behind them. Coverage accumulates
-one 50-entry window per round (~3 rounds to exhaustion).
+Round-9 state: ``CORRECTNESS_r08.json`` landed 50/50 green (rows +
+schema + hash) with zero overlap against rounds 1-7, so the r2..r8
+cumulative is 278 names — minus the STALE_R09 subtractions below
+(plans rewritten after their signatures were recorded), which rotate
+back into the fresh window for re-signature. WINDOW_PRIORITY seeds
+with those stale rewrites plus any face registered or rewritten in
+round 9; the remaining never-verified names rotate in behind them.
+Full signature of the registry lands in round 10.
 """
 
 from __future__ import annotations
@@ -371,33 +372,100 @@ VERIFIED_R07: frozenset[str] = frozenset(
 # touches a signed face.)
 STALE_R08: frozenset[str] = frozenset()
 
+# CORRECTNESS_r08.json — 50/50 green (rows + schema + hash); zero overlap
+# with rounds 1-7. Includes the entire round-8 WINDOW_PRIORITY seed
+# (quarantine e2e, dynamic-gap session twin, JPEG/Y4M codec faces).
+VERIFIED_R08: frozenset[str] = frozenset(
+    {
+        "agg_gini_spend",
+        "agg_hhi_concentration",
+        "agg_lognormal_fit_check",
+        "agg_moments_skew_kurtosis",
+        "agg_multiple_testing_bh",
+        "curation_neyman_allocation",
+        "curation_oversample_balance",
+        "curation_pseudonymize_customers",
+        "curation_psi_drift",
+        "curation_quality_lr_score",
+        "dedup_simhash",
+        "dedup_simhash_hamming",
+        "dedup_substring_removal_stats",
+        "dedup_substring_spans",
+        "events_cdc_upsert",
+        "events_cohort_ltv_curve",
+        "events_conversion_latency",
+        "events_ctr_wilson_bounds",
+        "events_session_stats_dynamic_gap",
+        "graph_modularity_lpa",
+        "graph_pagerank_fixedpoint",
+        "graph_triangle_count",
+        "join_semi_active_customers",
+        "join_skyline_suppliers",
+        "join_spatial_grid_radius",
+        "join_top_order_max_by",
+        "multimodal_decode_quarantine",
+        "multimodal_jpeg_roundtrip",
+        "multimodal_y4m_frame_sample",
+        "scalar_string_funcs2",
+        "scalar_timestamp_parse",
+        "scalar_try_arithmetic",
+        "scalar_trycast_funcs",
+        "scan_referential_integrity",
+        "scan_schema_evolution",
+        "scan_skew_report",
+        "scan_time_partitioned_pruned",
+        "sim_knn_classify",
+        "sim_lsh_ndcg_at_k",
+        "sim_mips_reduction_check",
+        "sim_mmr_rerank",
+        "sketch_hll_register_sweep",
+        "sketch_join_size_estimate",
+        "sketch_threshold_topk",
+        "text_js_divergence_langs",
+        "text_langid_confusion",
+        "text_length_histogram",
+        "text_lexical_diversity",
+        "window_rolling_percentile_bands",
+        "window_running_total",
+    }
+)
+
+# Names whose earlier driver signature is STALE as of round 9 — plans
+# rewritten after their signing round's CORRECTNESS json was recorded:
+#   * sim_ivf_search (signed r2) and sim_ivf_multiprobe (signed r6) now
+#     route through the round-8 `_ivf_schedule`/`_coarse_cells` self-sizing
+#     quantizer (queries/vectors.py). The s=1 floor provably reduces to the
+#     signed plan at every correctness SF (judge-verified, r8 verdict), but
+#     the r8 ADVICE is right that the repo's own stale criterion is "plan
+#     rewritten", not "output provably identical" — so they re-sign here.
+#   * multimodal_decode_features / multimodal_resize (signed r2/r6): the
+#     round-9 rewrite retires `_fake_decode_batch`/`_fake_resize_batch`
+#     for REAL codec kernels (r8 verdict item 2) — new plans, new oracles.
+#   * multimodal_decode_quarantine (signed r8): the round-9 corpus adds
+#     4:2:0 JPEG members (r8 verdict item 3) and the fixture write moves
+#     out of the per-call path — new oracle bucket counts.
+STALE_R09: frozenset[str] = frozenset(
+    {
+        "sim_ivf_search",
+        "sim_ivf_multiprobe",
+        "multimodal_decode_features",
+        "multimodal_resize",
+        "multimodal_decode_quarantine",
+    }
+)
+
 # Union of every name hard-verified by a past driver round and still valid.
 # The r5 window re-proved every stale name, so the stale subtractions are
 # re-added through VERIFIED_R05; likewise VERIFIED_R07 re-proves STALE_R07.
 DRIVER_VERIFIED: frozenset[str] = (
-    ((((((VERIFIED_R02 - STALE_R02) | VERIFIED_R03) - STALE_R04)
-       | VERIFIED_R05 | VERIFIED_R06) - STALE_R07) | VERIFIED_R07) - STALE_R08
+    (((((((VERIFIED_R02 - STALE_R02) | VERIFIED_R03) - STALE_R04)
+        | VERIFIED_R05 | VERIFIED_R06) - STALE_R07) | VERIFIED_R07) - STALE_R08
+     | VERIFIED_R08) - STALE_R09
 )
 
-# Round-8 window seed (r7 verdict "Next round" §1): faces whose plans are
+# Round-9 window seed (r8 verdict "Next round" §1): faces whose plans are
 # new or rewritten this round rank first so the driver signs them before
 # anything else; the remaining never-verified names fill the rest of the
-# window.  The entire r7 seed landed green (all 12 names are in
-# VERIFIED_R07), so the seed restarts from the round-8 additions.
-WINDOW_PRIORITY: frozenset[str] = frozenset(
-    {
-        # registered mid-round-8: quarantine e2e face for the multimodal
-        # decode path (r7 verdict item 4) — new plan, sign it first
-        "multimodal_decode_quarantine",
-        # registered mid-round-8: aggregate-output probe twin for the
-        # dynamic-gap sessionization (r7 verdict item 6)
-        "events_session_stats_dynamic_gap",
-        # registered mid-round-8: REAL baseline JPEG codec (T.81 in
-        # numpy+stdlib) — lossy, certified against the PROVEN
-        # quantization bound + exact padded/cropped dimensions
-        "multimodal_jpeg_roundtrip",
-        # registered mid-round-8: REAL Y4M video container + stride-2
-        # frame sampling, byte-exact under the driver hash
-        "multimodal_y4m_frame_sample",
-    }
-)
+# window.  The entire r8 seed landed green (all 4 names are in
+# VERIFIED_R08), so the seed restarts from the round-9 stale rewrites.
+WINDOW_PRIORITY: frozenset[str] = frozenset(STALE_R09)
