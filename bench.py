@@ -101,6 +101,10 @@ HEADLINE = [
     # and the q1 rewrite is already tracked above
     "scan_hilbert_cells",
     "multimodal_png_roundtrip",
+    # round-9 additions: the now-REAL decode/resize kernels and the 4:2:0
+    # color JPEG certification
+    "multimodal_decode_features",
+    "multimodal_jpeg420_roundtrip",
     # session-3 additions: the banded training-epoch layout faces
     "curation_epoch_shuffle",
     "curation_token_budget_select",
@@ -113,10 +117,45 @@ HEADLINE = [
 ]
 
 
+def _committed_reference() -> tuple[str | None, dict[str, float]]:
+    """Latest committed full-round idle bench (BENCH_LOCAL_r{N}.json,
+    numeric rounds only) — the per-query baseline the ambient-load flag
+    compares against. Three rounds of driver-bench flaps on the GC-heavy
+    LSH family were each adjudicated as loaded-box ambience (r8 verdict
+    item 4); carrying the committed-idle ratio and the machine load in
+    the payload ends that ambiguity at the source."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds: list[tuple[int, str]] = []
+    for fn in os.listdir(here):
+        m = re.fullmatch(r"BENCH_LOCAL_r(\d+)\.json", fn)
+        if m:
+            rounds.append((int(m.group(1)), os.path.join(here, fn)))
+    if not rounds:
+        return None, {}
+    _, path = max(rounds)
+    try:
+        with open(path) as f:
+            ref = json.load(f)
+        return os.path.basename(path), dict(ref.get("queries", {}))
+    except (OSError, json.JSONDecodeError):
+        return None, {}
+
+
+# A timing this much above the committed idle number is flagged as
+# "re-measure on an idle box before adjudicating a regression".
+AMBIENT_FLAG_RATIO = 1.5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # 1-minute load BEFORE any Spark work: >~ the core count means the
+    # box was already busy and timings below carry ambient noise.
+    try:
+        loadavg = [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        loadavg = None
 
     from trike_spark.registry import REGISTRY, load_all_query_modules
     from trike_spark.session import get_spark
@@ -177,6 +216,19 @@ def main() -> None:
         medians[name] = round(med, 3)
 
     total = round(sum(timings.values()), 3)
+    ref_name, ref_queries = _committed_reference()
+    # only comparable at the reference's scale factor (full-round artifacts
+    # are sf0.1); a partial/other-sf run still reports loadavg but no ratios
+    ratios: dict[str, float] = {}
+    flagged: list[str] = []
+    if ref_queries and sf == 0.1:
+        for name, t in timings.items():
+            base = ref_queries.get(name)
+            if base and base > 0:
+                r = round(t / base, 2)
+                ratios[name] = r
+                if r > AMBIENT_FLAG_RATIO:
+                    flagged.append(name)
     payload = {
         "metric": "headline_queries_total",
         "value": total,
@@ -185,6 +237,12 @@ def main() -> None:
         "queries_median": medians,
         "runs_per_query": n_runs,
         "sf": sf,
+        "loadavg": loadavg,
+        "ratio_vs_committed": ratios,
+        "committed_reference": ref_name,
+        # queries > AMBIENT_FLAG_RATIO x their committed idle timing:
+        # re-measure on an idle box before adjudicating as regression
+        "flagged_re_measure": sorted(flagged),
     }
     print(json.dumps(payload))
     # The driver records only the stdout TAIL (2000 chars), which truncates

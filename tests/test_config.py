@@ -23,3 +23,24 @@ def test_env_overrides(monkeypatch):
     assert cfg.stale_timeout_ms == 1234
     assert cfg.kinesis_stream == "prod-stream"
     assert cfg.heartbeat == "PING"
+
+
+def test_local_cluster_memory_guard(monkeypatch):
+    """local-cluster[n,c,m] with worker MB below the executor heap hangs
+    with no diagnostic (executors can't register); the session factory
+    must fail fast instead."""
+    import pytest
+
+    from trike_spark.session import _check_local_cluster_memory, _heap_mb
+
+    assert _heap_mb("8g") == 8192
+    assert _heap_mb("4096m") == 4096
+    assert _heap_mb("4096") == 4096  # bare master-string field is MB
+    monkeypatch.setenv("SPARK_EXECUTOR_MEMORY", "8g")
+    _check_local_cluster_memory("local-cluster[2,8,8192]")  # fits: no raise
+    with pytest.raises(ValueError, match="executors cannot"):
+        _check_local_cluster_memory("local-cluster[2,8,4096]")
+    with pytest.raises(ValueError, match="malformed"):
+        _check_local_cluster_memory("local-cluster[2,8]")
+    monkeypatch.setenv("SPARK_EXECUTOR_MEMORY", "2g")
+    _check_local_cluster_memory("local-cluster[2,8,4096]")  # now fits

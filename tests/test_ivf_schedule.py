@@ -36,10 +36,12 @@ def test_schedule_tracks_sqrt_n():
 @pytest.fixture
 def forced_big_corpus():
     """Pretend the sf0.001 corpus is 200k vectors so the Lloyd-split path
-    runs on real data; always restore the memo (other tests size off it)."""
-    key = "forced-big"
+    runs on real data; always restore the memo (other tests size off it).
+    The memo key is (sf_dir, on-disk signature) as of round 9."""
+    sf_dir = "forced-big"
+    key = (sf_dir, V._emb_corpus_signature(sf_dir))
     V._EMB_STATS_CACHE[key] = (200_000, 10)
-    yield key
+    yield sf_dir
     V._EMB_STATS_CACHE.pop(key, None)
 
 
@@ -83,7 +85,9 @@ def test_ivf_search_runs_end_to_end_under_split_quantizer(spark, forced_big_corp
     """The registered face, driven through the s>1 quantizer: still one
     probe cell per query, TOP_K rows max, descending cosine."""
     # route the face's sizing lookup to the forced stats for this sf_dir
-    monkeypatch.setitem(V._EMB_STATS_CACHE, SF_DIR, (200_000, 10))
+    monkeypatch.setitem(
+        V._EMB_STATS_CACHE, (SF_DIR, V._emb_corpus_signature(SF_DIR)), (200_000, 10)
+    )
     df = V.sim_ivf_search(spark, SF_DIR)
     rows = df.collect()
     per_q: dict[int, list] = {}
@@ -95,3 +99,34 @@ def test_ivf_search_runs_end_to_end_under_split_quantizer(spark, forced_big_corp
         assert len({r["probe_label"] for r in rs}) == 1  # single-probe
         cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rk"])]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_emb_stats_cache_invalidates_on_corpus_rewrite(tmp_path, spark):
+    """r8 ADVICE: regenerating a corpus under the same path in-process must
+    re-size the schedule, not reuse stale stats — the memo key carries the
+    on-disk (mtime, size) signature of the embeddings parquet."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path)
+    emb_small = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 2).cast("int").alias("label"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    emb_small.write.mode("overwrite").parquet(os.path.join(p, "embeddings.parquet"))
+    df1 = spark.read.parquet(os.path.join(p, "embeddings.parquet"))
+    assert V._emb_stats(df1, p) == (20, 2)
+    time.sleep(0.05)  # ensure mtime_ns moves even on coarse filesystems
+    emb_big = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 5).cast("int").alias("label"),
+        F.array(F.lit(0.0), F.lit(1.0)).alias("embedding"),
+    )
+    emb_big.write.mode("overwrite").parquet(os.path.join(p, "embeddings.parquet"))
+    df2 = spark.read.parquet(os.path.join(p, "embeddings.parquet"))
+    assert V._emb_stats(df2, p) == (50, 5)  # stale key not reused
+    V.clear_emb_stats_cache()
+    assert V._emb_stats(df2, p) == (50, 5)

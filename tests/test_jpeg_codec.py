@@ -115,3 +115,83 @@ def test_error_bound_monotone_in_quality():
     bounds = [roundtrip_error_bound(q) for q in (10, 30, 50, 75, 90, 100)]
     assert bounds == sorted(bounds, reverse=True)
     assert bounds[-1] >= 1  # never claims exactness
+
+
+# --- 4:2:0 chroma subsampling (round 9) --------------------------------------
+
+
+def _block_constant_rgb(bh, bw, seed=0):
+    """RGB image constant on each 2x2 pixel block — the input class for
+    which 4:2:0 subsampling is provably lossless (box average of four
+    equal values), so roundtrip_error_bound_color applies exactly."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (bh, bw, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+
+
+@pytest.mark.parametrize("quality", [50, 75, 90, 100])
+def test_420_blockconstant_roundtrip_within_color_bound(quality):
+    from trike_spark.functions.jpeg import roundtrip_error_bound_color
+
+    bound = roundtrip_error_bound_color(quality)
+    for bh, bw in [(5, 4), (8, 8), (3, 11), (9, 7)]:
+        x = _block_constant_rgb(bh, bw, seed=bh * 100 + bw)
+        w, h, c, out = decode_jpeg_baseline(
+            encode_jpeg_baseline(x, quality, subsampling="4:2:0")
+        )
+        assert (w, h, c) == (x.shape[1], x.shape[0], 3)
+        err = np.abs(out.astype(int) - x.astype(int)).max()
+        assert err <= bound, f"q{quality} {x.shape}: err {err} > proven {bound}"
+
+
+def test_444_rgb_roundtrip_within_color_bound_any_input():
+    from trike_spark.functions.jpeg import roundtrip_error_bound_color
+
+    x = RNG.integers(0, 256, (19, 27, 3), dtype=np.uint8)
+    _, _, _, out = decode_jpeg_baseline(encode_jpeg_baseline(x, 90))
+    assert np.abs(out.astype(int) - x.astype(int)).max() <= roundtrip_error_bound_color(90)
+
+
+def test_420_odd_dims_pad_and_crop():
+    # dims that are multiples of neither 16 nor 2: the MCU pad/crop path
+    x = _block_constant_rgb(7, 9)[:13, :17]
+    w, h, c, out = decode_jpeg_baseline(
+        encode_jpeg_baseline(x, 90, subsampling="4:2:0")
+    )
+    assert (w, h, c) == (17, 13, 3) and out.shape == (13, 17, 3)
+
+
+def test_420_actually_subsamples():
+    # the SOF must carry 2x2 Y sampling and the chroma payload must shrink
+    # for chroma-detailed content
+    x = RNG.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    sub = encode_jpeg_baseline(x, 90, subsampling="4:2:0")
+    full = encode_jpeg_baseline(x, 90)
+    i = sub.find(b"\xff\xc0")
+    assert sub[i + 11] == 0x22  # Y sampling factors 2x2
+    assert full[full.find(b"\xff\xc0") + 11] == 0x11
+    assert len(sub) < len(full)
+
+
+def test_420_gray_content_matches_luma_bound():
+    # r=g=b input: chroma planes are exactly 128, the chroma path
+    # contributes nothing, and the grayscale luma bound applies to RGB
+    g = RNG.integers(0, 256, (20, 24), dtype=np.uint8)
+    x = np.stack([g, g, g], axis=-1)
+    _, _, _, out = decode_jpeg_baseline(
+        encode_jpeg_baseline(x, 90, subsampling="4:2:0")
+    )
+    assert np.abs(out.astype(int) - x.astype(int)).max() <= roundtrip_error_bound(90) + 1
+
+
+def test_unsupported_sampling_factor_quarantines():
+    enc = bytearray(encode_jpeg_baseline(_block_constant_rgb(4, 4), 90, subsampling="4:2:0"))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 11] = 0x33
+    with pytest.raises(ValueError, match="sampling factors 3x3"):
+        decode_jpeg_baseline(bytes(enc))
+
+
+def test_encoder_rejects_unknown_subsampling():
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg_baseline(_block_constant_rgb(4, 4), 90, subsampling="4:1:1")

@@ -23,13 +23,18 @@ copy count, which measures duplication, not scale). Per copy i:
   * region/nation: NOT replicated — dimension tables don't grow with SF.
 
 Honesty bounds on the rotations: the Caesar alphabet gives 26 distinct
-text rotations and the embedding ring 64 distinct dimension rotations, so
-``--copies`` beyond those limits re-introduces exact cross-copy twins for
-that table. The generator refuses documents at copies>26 (and embeddings
-at copies>64) unless the table is dropped via ``--tables`` — which is the
-intended use: the sf2-sf5 decade probe targets the GRAPH family
-(orders/lineitem key-shifted replicas, embeddings within its 64-rotation
-budget) where disjoint-replica growth is exact at any copy count.
+text rotations, so ``--copies`` beyond that re-introduces exact
+cross-copy twins for documents; the generator refuses documents at
+copies>26 unless the table is dropped via ``--tables``. Embeddings
+(round 9, for the sf25 IVF probe) extend past the 64-rotation ring with
+per-copy SIGN FLIPS: copy i applies dimension rotation (i mod 64) plus a
+deterministic ±1 pattern drawn from md5(i // 64) per dimension. Each
+copy's transform is a signed permutation — orthogonal, so norms and all
+WITHIN-copy dot products/distances are preserved exactly (the structure
+per unit of data is unchanged) — while cross-copy vectors stay
+decorrelated up to 64 · 2^64 copies. Copy 0..63 keep the identity flip
+pattern, so ladders at or below 64 copies are byte-identical to the
+pre-round-9 generator.
 """
 
 from __future__ import annotations
@@ -88,12 +93,8 @@ def main(
             f"{copies} > 26 would create exact cross-copy twins — drop it "
             "via --tables or lower --copies"
         )
-    if "embeddings" in tables and copies > EMB_DIM:
-        raise SystemExit(
-            f"embeddings has only {EMB_DIM} distinct dimension rotations: "
-            f"copies {copies} > {EMB_DIM} would create exact cross-copy "
-            "twins — drop it via --tables or lower --copies"
-        )
+# (embeddings copies are unbounded: rotation × sign-flip patterns give
+    # 64 · 2^64 distinct signed permutations — see the module docstring)
 
     spark = get_spark("gen-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -110,15 +111,31 @@ def main(
         if table == "documents":
             rot = lower[i:] + lower[:i] + upper[i:] + upper[:i]
             out = out.withColumn("text", F.translate("text", lower + upper, rot))
-        if table == "embeddings" and i % EMB_DIM:
+        if table == "embeddings":
             j = i % EMB_DIM
-            out = out.withColumn(
-                "embedding",
-                F.concat(
-                    F.slice("embedding", j + 1, EMB_DIM - j),
-                    F.slice("embedding", 1, j),
-                ),
-            )
+            if j:
+                out = out.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", j + 1, EMB_DIM - j),
+                        F.slice("embedding", 1, j),
+                    ),
+                )
+            g = i // EMB_DIM
+            if g:  # sign-flip pattern per rotation epoch (identity for i<64)
+                import hashlib
+
+                digest = hashlib.md5(f"flip{g}".encode()).digest()  # 128 bits ≥ EMB_DIM
+                signs = [1.0 if (digest[d // 8] >> (d % 8)) & 1 else -1.0
+                         for d in range(EMB_DIM)]
+                out = out.withColumn(
+                    "embedding",
+                    F.zip_with(
+                        "embedding",
+                        F.array(*[F.lit(s) for s in signs]),
+                        lambda x, s: x * s,
+                    ),
+                )
         return out
 
     for table in tables:

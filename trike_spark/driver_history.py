@@ -444,6 +444,12 @@ VERIFIED_R08: frozenset[str] = frozenset(
 #   * multimodal_decode_quarantine (signed r8): the round-9 corpus adds
 #     4:2:0 JPEG members (r8 verdict item 3) and the fixture write moves
 #     out of the per-call path — new oracle bucket counts.
+# NOT stale despite the round-9 codec change: multimodal_jpeg_roundtrip
+# (signed r8) — the encoder/decoder generalization to sampling factors is
+# proven bit-identical on the 4:4:4 path the face uses (30-case randomized
+# old-vs-new byte comparison against the pre-change module at commit time;
+# the generic MCU loop with all-1×1 factors reduces to plain block raster
+# order), and neither the face's plan nor its oracle changed.
 STALE_R09: frozenset[str] = frozenset(
     {
         "sim_ivf_search",
@@ -467,5 +473,12 @@ DRIVER_VERIFIED: frozenset[str] = (
 # new or rewritten this round rank first so the driver signs them before
 # anything else; the remaining never-verified names fill the rest of the
 # window.  The entire r8 seed landed green (all 4 names are in
-# VERIFIED_R08), so the seed restarts from the round-9 stale rewrites.
-WINDOW_PRIORITY: frozenset[str] = frozenset(STALE_R09)
+# VERIFIED_R08), so the seed restarts from the round-9 stale rewrites
+# plus the faces newly registered this round.
+WINDOW_PRIORITY: frozenset[str] = STALE_R09 | frozenset(
+    {
+        # registered mid-round-9: 4:2:0 color JPEG round-trip, certified
+        # against the proven color bound on 2×2-block-constant input
+        "multimodal_jpeg420_roundtrip",
+    }
+)

@@ -9,22 +9,31 @@ prediction, the Annex K.3 Huffman tables, byte stuffing, JFIF marker
 framing — is arithmetic and table lookups, all expressible in numpy and
 ``struct``. This module implements:
 
-* ``encode_jpeg_baseline(pixels, quality)`` — grayscale (h, w) or RGB
-  (h, w, 3) uint8 → a spec-compliant baseline JFIF bytestream.
-  4:4:4 sampling (no chroma subsampling), standard Annex K Huffman
-  tables, one scan, no restart markers.
+* ``encode_jpeg_baseline(pixels, quality, subsampling)`` — grayscale
+  (h, w) or RGB (h, w, 3) uint8 → a spec-compliant baseline JFIF
+  bytestream. 4:4:4 (default) or 4:2:0 chroma subsampling (2×2 box
+  average, MCU-interleaved scan), standard Annex K Huffman tables, one
+  scan, no restart markers.
 * ``decode_jpeg_baseline(data)`` — parses SOI/APP/DQT/SOF0/DHT/SOS,
-  canonical Huffman decode, dequantize, inverse zigzag, IDCT, YCbCr →
-  RGB. Returns (width, height, components, uint8 array).
-  Raises ``ValueError`` — the quarantine contract shared with
+  canonical Huffman decode (MCU-interleaved for subsampled streams),
+  dequantize, inverse zigzag, IDCT, chroma upsample (pixel
+  replication), YCbCr → RGB. Returns (width, height, components,
+  uint8 array). Sampling factors h, v ∈ {1, 2} are accepted — that
+  covers 4:4:4, 4:2:0 (the dominant real-world layout), 4:2:2 and
+  4:4:0. Raises ``ValueError`` — the quarantine contract shared with
   ``codecs.decode_png`` — for progressive (SOF2), arithmetic-coded,
-  12-bit, subsampled, or truncated/corrupt streams, never a raw
-  struct/index error that would kill a Spark task.
+  12-bit, factor-3/4-sampled, or truncated/corrupt streams, never a
+  raw struct/index error that would kill a Spark task.
 * ``roundtrip_error_bound(quality)`` — a PROVEN per-pixel bound on
   |decode(encode(x)) − x| for grayscale input, derived from the
   quantization table (see the function docstring). The Spark face
   certifies measured error ≤ this bound under the driver hash, which is
   how a lossy codec gets an exact oracle.
+* ``roundtrip_error_bound_color(quality)`` — the RGB companion: valid
+  for any RGB input at 4:4:4, and at 4:2:0 for inputs whose chroma is
+  constant on each 2×2 pixel block (the box average of four equal
+  values is exact, so subsampling is lossless for that input class —
+  which is how the lossy SUBSAMPLED path gets an exact oracle too).
 
 JPEG is lossy, so unlike PNG there is no byte-identity to certify;
 the certification face instead checks dimensions exactly and error
@@ -200,6 +209,33 @@ def roundtrip_error_bound(quality: int) -> int:
     return int(np.ceil(bound))
 
 
+def roundtrip_error_bound_color(quality: int) -> int:
+    """Provable per-pixel RGB bound on |decode(encode(x)) − x|.
+
+    Valid for ANY RGB input at 4:4:4, and at 4:2:0 for inputs whose
+    chroma (Cb, Cr) is constant on each 2×2 pixel block — e.g. any image
+    that is itself constant per 2×2 block. For that class the box-average
+    subsample is exact (mean of four equal doubles is that double), so
+    the only lossy steps are again per-plane quantization.
+
+    Derivation: per-plane coefficient error ≤ Σ_{u,v} a(u)a(v)·q[u,v]/2
+    exactly as in :func:`roundtrip_error_bound` (call it B_y for the luma
+    table, B_c for the chroma table; chroma upsample by replication adds
+    nothing). The inverse color transform propagates plane errors to RGB:
+    r = y + 1.402·cr′, g = y − 0.344136·cb′ − 0.714136·cr′,
+    b = y + 1.772·cb′ — so the worst channel error is
+    B_y + max(1.402, 0.344136 + 0.714136, 1.772)·B_c = B_y + 1.772·B_c.
+    The +1 covers final round-to-nearest and uint8 clipping."""
+    qy = _quality_scale(_QLUM, quality)
+    qc = _quality_scale(_QCHROM, quality)
+    a = np.full(8, np.sqrt(2 / 8))
+    a[0] = np.sqrt(1 / 8)
+    aa = np.outer(a, a)
+    b_y = float(np.sum(aa * qy / 2.0))
+    b_c = float(np.sum(aa * qc / 2.0))
+    return int(np.ceil(b_y + 1.772 * b_c + 1.0))
+
+
 def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     """(h, w) → (n_blocks, 8, 8) with edge-replication padding; returns
     blocks plus blocks-per-row/col. Block order: raster (row-major)."""
@@ -300,19 +336,33 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_baseline(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
     """Grayscale (h, w) or RGB (h, w, 3) uint8 → baseline JFIF bytes.
-    4:4:4 (no chroma subsampling), Annex K Huffman tables, single scan."""
+    ``subsampling``: "4:4:4" (default; ignored for grayscale) or "4:2:0"
+    (chroma 2×2 box-averaged, Y sampled 2×2 per MCU — the dominant
+    real-world layout). Annex K Huffman tables, single scan. The 4:4:4
+    path is bit-identical to the pre-subsampling encoder (its generic MCU
+    loop with all-1×1 factors reduces to plain block raster order)."""
     if pixels.dtype != np.uint8:
         raise ValueError(f"encode_jpeg_baseline wants uint8, got {pixels.dtype}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     if pixels.ndim == 2:
         planes = [pixels.astype(np.float64)]
+        factors = [(1, 1)]
     elif pixels.ndim == 3 and pixels.shape[2] == 3:
         r, g, b = (pixels[..., i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
+        factors = (
+            [(2, 2), (1, 1), (1, 1)]
+            if subsampling == "4:2:0"
+            else [(1, 1)] * 3
+        )
     else:
         raise ValueError(f"unsupported pixel shape {pixels.shape}")
     h, w = pixels.shape[:2]
@@ -326,23 +376,43 @@ def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 90) -> bytes:
     dc_c = _canonical_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
     ac_c = _canonical_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)
 
-    # quantized zigzag coefficients per component, block raster order
+    # quantized zigzag coefficients per component, block raster order;
+    # every plane is padded (edge replication) to the MCU grid, and
+    # lower-sampled components are box-averaged down before blocking
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcu_h, mcu_w = 8 * vmax, 8 * hmax
+    hp, wp = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     comp_zz = []
-    bh = bw = 0
+    comp_bw = []
     for ci, plane in enumerate(planes):
-        blocks, bh, bw = _to_blocks(plane)
+        hi, vi = factors[ci]
+        p = np.pad(plane, ((0, hp - h), (0, wp - w)), mode="edge")
+        fy, fx = vmax // vi, hmax // hi
+        if fy != 1 or fx != 1:
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(
+                axis=(1, 3)
+            )
+        blocks, _, bw_i = _to_blocks(p)  # p already 8-aligned: no extra pad
         coefs = _fdct(blocks - 128.0)
         qz = np.round(coefs / qtabs[ci]).astype(np.int64)
         comp_zz.append(qz.reshape(-1, 64)[:, _ZIGZAG])
+        comp_bw.append(bw_i)
 
     writer = _BitWriter()
     preds = [0] * n_comp
-    for b in range(bh * bw):  # interleaved MCU order == block order at 4:4:4
-        for ci in range(n_comp):
-            dc_codes, ac_codes = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-            preds[ci] = _encode_plane_blocks(
-                writer, comp_zz[ci][b], b, preds[ci], dc_codes, ac_codes
-            )
+    mcuy, mcux = hp // mcu_h, wp // mcu_w
+    for my in range(mcuy):  # T.81 A.2.3 interleaved MCU order
+        for mx in range(mcux):
+            for ci in range(n_comp):
+                hi, vi = factors[ci]
+                dc_codes, ac_codes = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                for dy in range(vi):
+                    for dx in range(hi):
+                        b = (my * vi + dy) * comp_bw[ci] + (mx * hi + dx)
+                        preds[ci] = _encode_plane_blocks(
+                            writer, comp_zz[ci][b], b, preds[ci], dc_codes, ac_codes
+                        )
     writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -350,10 +420,11 @@ def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 90) -> bytes:
     out += _dqt_segment(0, qlum)
     if n_comp == 3:
         out += _dqt_segment(1, qchrom)
-    # SOF0: 8-bit precision, h, w, components with 1x1 sampling
+    # SOF0: 8-bit precision, h, w, per-component sampling factors
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for ci in range(n_comp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = factors[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0x00, _DC_LUM_BITS, _DC_LUM_VALS)
     out += _dht_segment(0x10, _AC_LUM_BITS, _AC_LUM_VALS)
@@ -452,9 +523,11 @@ class _HuffDecoder:
 
 def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Baseline JFIF bytes → (width, height, components, uint8 array
-    (h, w) or (h, w, 3)). 4:4:4 or grayscale only; everything else —
-    progressive, arithmetic, subsampled, 12-bit, truncated — raises
-    ``ValueError`` so a corpus scan can quarantine instead of crash."""
+    (h, w) or (h, w, 3)). Grayscale and RGB with sampling factors
+    h, v ∈ {1, 2} (4:4:4, 4:2:0, 4:2:2, 4:4:0); everything else —
+    progressive, arithmetic, factor-3/4 sampling, 12-bit, truncated —
+    raises ``ValueError`` so a corpus scan can quarantine instead of
+    crash. Subsampled chroma is upsampled by pixel replication."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -502,12 +575,12 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 comps = []
                 for ci in range(nc):
                     cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                    if samp != 0x11:
+                    hi, vi = samp >> 4, samp & 0xF
+                    if hi not in (1, 2) or vi not in (1, 2):
                         raise ValueError(
-                            "unsupported JPEG (chroma subsampling "
-                            f"{samp >> 4}x{samp & 0xF})"
+                            f"unsupported JPEG (sampling factors {hi}x{vi})"
                         )
-                    comps.append((cid, tq))
+                    comps.append((cid, tq, hi, vi))
                 frame = (fh, fw, comps)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 kinds = {0xC2: "progressive", 0xC9: "arithmetic-coded"}
@@ -530,47 +603,66 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
     fh, fw, comps = frame
     if len(scan) != len(comps):
         raise ValueError("scan/frame component mismatch")
-    bh, bw = -(-fh // 8), -(-fw // 8)
     n_comp = len(comps)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcuy, mcux = -(-fh // (8 * vmax)), -(-fw // (8 * hmax))
 
     reader = _BitReader(data, pos)
     preds = [0] * n_comp
-    comp_coefs = [np.zeros((bh * bw, 64), dtype=np.int64) for _ in range(n_comp)]
+    # per-component padded block grid: (mcuy*v_i) rows × (mcux*h_i) cols
+    comp_coefs = [
+        np.zeros((mcuy * c[3] * mcux * c[2], 64), dtype=np.int64) for c in comps
+    ]
+
+    def _decode_block(ci: int, b: int) -> None:
+        td, ta = scan[ci][1] >> 4, scan[ci][1] & 0xF
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("missing Huffman table for scan")
+        size = huff_dc[td].decode(reader)
+        diff = _receive_extend(reader, size)
+        preds[ci] += diff
+        zz = comp_coefs[ci][b]
+        zz[0] = preds[ci]
+        k = 1
+        while k <= 63:
+            rs = huff_ac[ta].decode(reader)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zz[k] = _receive_extend(reader, s)
+            k += 1
+
     try:
-        for b in range(bh * bw):
-            for ci in range(n_comp):
-                td, ta = scan[ci][1] >> 4, scan[ci][1] & 0xF
-                if td not in huff_dc or ta not in huff_ac:
-                    raise ValueError("missing Huffman table for scan")
-                size = huff_dc[td].decode(reader)
-                diff = _receive_extend(reader, size)
-                preds[ci] += diff
-                zz = comp_coefs[ci][b]
-                zz[0] = preds[ci]
-                k = 1
-                while k <= 63:
-                    rs = huff_ac[ta].decode(reader)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _receive_extend(reader, s)
-                    k += 1
+        for my in range(mcuy):  # T.81 A.2.3 interleaved MCU order
+            for mx in range(mcux):
+                for ci, (_, _, hi, vi) in enumerate(comps):
+                    for dy in range(vi):
+                        for dx in range(hi):
+                            _decode_block(
+                                ci, (my * vi + dy) * (mcux * hi) + (mx * hi + dx)
+                            )
     except IndexError as e:
         raise ValueError(f"corrupt JPEG entropy stream: {e}") from e
 
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
         if tq not in qtabs:
             raise ValueError(f"missing quant table {tq}")
         deq = (comp_coefs[ci][:, _UNZIGZAG].reshape(-1, 8, 8)) * qtabs[tq]
         blocks = _idct(deq.astype(np.float64)) + 128.0
-        planes.append(_from_blocks(blocks, bh, bw, fh, fw))
+        bh_i, bw_i = mcuy * vi, mcux * hi
+        plane = _from_blocks(blocks, bh_i, bw_i, bh_i * 8, bw_i * 8)
+        fy, fx = vmax // vi, hmax // hi
+        if fy != 1 or fx != 1:  # chroma upsample by replication
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:fh, :fw])
     if n_comp == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return fw, fh, 1, out

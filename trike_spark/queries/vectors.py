@@ -310,20 +310,51 @@ def _ivf_schedule(n_vectors: int, n_labels: int) -> int:
     return max(1, math.ceil(target_cells / max(n_labels, 1)))
 
 
-# sizing memo: one (count, n_labels) job per corpus path per process —
-# a model-SIZING scalar like dedup._scheduled_planes, not a data collect
-_EMB_STATS_CACHE: dict[str, tuple[int, int]] = {}
+# sizing memo: one (count, n_labels) job per corpus per process — a
+# model-SIZING scalar like dedup._scheduled_planes, not a data collect.
+# Keyed by (sf_dir, on-disk signature of the embeddings parquet): if a
+# harness regenerates the corpus under the same path in-process, the
+# mtime/size signature changes and the schedule re-sizes instead of
+# silently using stale stats (r8 ADVICE).
+_EMB_STATS_CACHE: dict[tuple[str, tuple], tuple[int, int]] = {}
+
+
+def _emb_corpus_signature(sf_dir: str) -> tuple:
+    """Cheap on-disk fingerprint of the embeddings table under sf_dir:
+    (path, mtime_ns, size) per file. Listing only — no data read."""
+    import os
+
+    base = os.path.join(sf_dir, "embeddings.parquet")
+    sig: list[tuple[str, int, int]] = []
+    try:
+        if os.path.isdir(base):
+            for name in sorted(os.listdir(base)):
+                st = os.stat(os.path.join(base, name))
+                sig.append((name, st.st_mtime_ns, st.st_size))
+        elif os.path.exists(base):
+            st = os.stat(base)
+            sig.append((base, st.st_mtime_ns, st.st_size))
+    except OSError:
+        pass  # non-local path (e.g. object store): fall back to path-only
+    return tuple(sig)
+
+
+def clear_emb_stats_cache() -> None:
+    """Explicit invalidation hook for harnesses that rewrite test data
+    in-process without touching file mtimes."""
+    _EMB_STATS_CACHE.clear()
 
 
 def _emb_stats(emb: DataFrame, sf_dir: str) -> tuple[int, int]:
-    st = _EMB_STATS_CACHE.get(sf_dir)
+    key = (sf_dir, _emb_corpus_signature(sf_dir))
+    st = _EMB_STATS_CACHE.get(key)
     if st is None:
         row = emb.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("label").alias("nl"),
         ).collect()[0]
         st = (int(row["n"]), int(row["nl"]))
-        _EMB_STATS_CACHE[sf_dir] = st
+        _EMB_STATS_CACHE[key] = st
     return st
 
 

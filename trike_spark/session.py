@@ -12,6 +12,7 @@ runtime from real statistics.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -49,6 +50,38 @@ class EngineConfig:
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
         )
     )
+
+
+def _heap_mb(spec: str) -> int:
+    """JVM memory string ('8g', '4096m', '512k', bare MB count) → MB."""
+    s = spec.strip().lower()
+    units = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)  # Spark treats a bare number in the master string as MB
+
+
+def _check_local_cluster_memory(master: str) -> None:
+    """Fail fast when local-cluster[n, c, m]'s worker capacity m (MB) can't
+    fit the configured executor heap: executors then never register and the
+    job HANGS with no diagnostic (observed under the stream bench). The
+    master string sizes the WORKER; the executor still launches at
+    spark.executor.memory — both knobs must agree."""
+    m = re.fullmatch(r"local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]", master)
+    if not m:
+        raise ValueError(
+            f"malformed local-cluster master {master!r} "
+            "(expected local-cluster[n,cores,memoryMB])"
+        )
+    worker_mb = int(m.group(1))
+    executor_mb = _heap_mb(os.environ.get("SPARK_EXECUTOR_MEMORY", "8g"))
+    if worker_mb < executor_mb:
+        raise ValueError(
+            f"local-cluster worker memory {worker_mb} MB < executor heap "
+            f"{executor_mb} MB (spark.executor.memory): executors cannot "
+            "register and the job hangs. Raise the master string's third "
+            "field or lower SPARK_EXECUTOR_MEMORY."
+        )
 
 
 def get_spark(app_name: str = "trike_spark", config: EngineConfig | None = None) -> SparkSession:
@@ -104,6 +137,7 @@ def get_spark(app_name: str = "trike_spark", config: EngineConfig | None = None)
     # Executor Python processes don't inherit the driver's sys.path, so
     # ship the repo root; executor heap comes from the master string.
     if cfg.master.startswith("local-cluster"):
+        _check_local_cluster_memory(cfg.master)
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         builder = (
             builder.config(
