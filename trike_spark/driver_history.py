@@ -438,6 +438,9 @@ VERIFIED_R08: frozenset[str] = frozenset(
 #     signed plan at every correctness SF (judge-verified, r8 verdict), but
 #     the r8 ADVICE is right that the repo's own stale criterion is "plan
 #     rewritten", not "output provably identical" — so they re-sign here.
+#     (Round 9 additionally rewrote the s>1 Lloyd-assign — broadcast
+#     seed-array argmax + checkpointed assign, BENCH_NOTES r9 — which the
+#     s=1 correctness path never executes.)
 #   * multimodal_decode_features / multimodal_resize (signed r2/r6): the
 #     round-9 rewrite retires `_fake_decode_batch`/`_fake_resize_batch`
 #     for REAL codec kernels (r8 verdict item 2) — new plans, new oracles.
