@@ -101,10 +101,11 @@ HEADLINE = [
     # and the q1 rewrite is already tracked above
     "scan_hilbert_cells",
     "multimodal_png_roundtrip",
-    # round-9 additions: the now-REAL decode/resize kernels and the 4:2:0
-    # color JPEG certification
+    # round-9 additions: the now-REAL decode/resize kernels, the 4:2:0
+    # color JPEG certification, and the materialized-index IVF probe
     "multimodal_decode_features",
     "multimodal_jpeg420_roundtrip",
+    "sim_ivf_index_probe",
     # session-3 additions: the banded training-epoch layout faces
     "curation_epoch_shuffle",
     "curation_token_budget_select",

@@ -67,6 +67,24 @@ def test_ivf_broadcasts_centroids(spark):
     assert plans.formatted_plan(df).count("BroadcastExchange") >= 1
 
 
+def test_ivf_index_probe_prunes_partitions_dynamically(spark):
+    """The materialized-index probe must read ONLY the probed cells: the
+    members scan (parquet partitioned by cell) carries a dynamic-pruning
+    subquery fed by the broadcast best-cell set, so at scale a probe
+    touches 1 of ~√n cell directories instead of the whole index."""
+    from trike_spark.queries.vectors import sim_ivf_index_probe
+
+    df = sim_ivf_index_probe(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the results keep matching the rebuild-per-call face exactly
+    from trike_spark.queries.vectors import sim_ivf_search
+
+    a = {tuple(r) for r in df.collect()}
+    b = {tuple(r) for r in sim_ivf_search(spark, SF_DIR).collect()}
+    assert a == b
+
+
 def test_embedding_cosine_pairs_no_nested_loop(spark):
     """The exact all-pairs op must distribute via the grid equality join:
     no BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan."""

@@ -483,5 +483,9 @@ WINDOW_PRIORITY: frozenset[str] = STALE_R09 | frozenset(
         # registered mid-round-9: 4:2:0 color JPEG round-trip, certified
         # against the proven color bound on 2×2-block-constant input
         "multimodal_jpeg420_roundtrip",
+        # registered mid-round-9: IVF probe against a MATERIALIZED
+        # cell-partitioned index (dynamic partition pruning; same oracle
+        # as sim_ivf_search)
+        "sim_ivf_index_probe",
     }
 )

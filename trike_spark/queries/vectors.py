@@ -515,6 +515,107 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once MATERIALIZED IVF index per (session, sf_dir): members
+    land as parquet partitioned by cell, centroids beside them, behind a
+    marker so repeated probes reuse the build. This is the amortization
+    the r9 boundary measurement demands (BENCH_NOTES r9: the in-face
+    quantizer rebuild is Θ(n) and dominates small fixed workloads; a
+    production ANN deployment builds once and probes many): at 100 TB
+    the same layout is the index table a serving job maintains, and the
+    cell partitioning means a probe reads ONLY its cell's files."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"trike_ivf_{spark.sparkContext.applicationId}",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    marker = os.path.join(path, "_SUCCESS_INDEX")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells, members = _coarse_cells(emb, sf_dir)
+    members.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(path, "members")
+    )
+    cells.write.mode("overwrite").parquet(os.path.join(path, "cells"))
+    with open(marker, "w"):
+        pass
+    return path
+
+
+def _ivf_search_oracle() -> str:
+    """The index probe answers EXACTLY sim_ivf_search's question — reuse
+    its oracle verbatim so any drift between the two physical postures is
+    a driver-hash mismatch."""
+    from trike_spark.registry import REGISTRY
+
+    return REGISTRY["sim_ivf_search"].oracle
+
+
+@register(
+    "sim_ivf_index_probe",
+    _ivf_search_oracle(),
+    doc=(
+        "IVF probe against a MATERIALIZED index: members parquet is "
+        "partitioned by cell (built once per session per corpus, marker-"
+        "guarded), so the probe is a partition-pruned scan of exactly the "
+        "probed cell + the same top-k — amortizing the quantizer build "
+        "the r9 boundary measurement showed dominating rebuild-per-query "
+        "workloads. Results identical to sim_ivf_search (same oracle)."
+    ),
+)
+def sim_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query semantics as ``sim_ivf_search`` — the difference is the
+    physical posture: the quantizer output is a TABLE (parquet
+    partitioned by ``cell``), not a per-call subplan. The probe joins the
+    tiny best-cell set (broadcast) against the members scan on the
+    PARTITION column, so only the probed cells' files are read (at s=1
+    that is 1 of n_labels directories; under the Lloyd split, 1 of ~√n).
+    The driver hash certifies the round-trip through the index layout —
+    a partition-column type drift or a write that dropped rows would
+    mismatch ``sim_ivf_search``'s oracle."""
+    path = ivf_index_dir(spark, sf_dir)
+    cells = spark.read.parquet(f"{path}/cells")
+    members = spark.read.parquet(f"{path}/members").select(
+        F.col("vec_id").alias("n_vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("embedding").alias("n_emb"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    w_c = Window.partitionBy("q_vec_id").orderBy(
+        cosine(F.col("q_emb"), F.col("cvec")).desc(), F.col("cell")
+    )
+    best = (
+        q.crossJoin(broadcast(cells))
+        .withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") == 1)
+        .select("q_vec_id", "q_emb", F.col("cell").alias("probe_label"))
+    )
+    cos = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+    w_m = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cosine").desc(), F.col("n_vec_id")
+    )
+    return (
+        members.join(
+            broadcast(best),
+            (members.cell == F.col("probe_label"))
+            & (F.col("n_vec_id") != F.col("q_vec_id")),
+        )
+        .select("q_vec_id", "probe_label", "n_vec_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w_m))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
 NPROBE = 3  # cells probed by the multiprobe IVF variant
 
 
