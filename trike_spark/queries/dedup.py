@@ -571,8 +571,10 @@ def dedup_embedding_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     probability is ~0.38 and 4 rotations give ~85 % recall — the knob is
     rotations × planes, and above the correctness SFs it turns ITSELF via
     ``_lsh_schedule`` (planes ∝ log2 n pins bucket occupancy, rotations
-    restore recall), keeping candidate work linear in n where the fixed
-    4×6 table measured quadratic in the r7 scale probe."""
+    restore recall), keeping candidate work at Θ(n·R(n)) = Θ(n log n) —
+    linear per rotation — where the fixed 4×6 table measured quadratic
+    in the r7 scale probe; the r9 sf5→sf25 probe measured the schedule
+    tracking that model through the third decade (BENCH_NOTES r9)."""
     from trike_spark.operators.vector_blocks import lsh_bucket_cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")

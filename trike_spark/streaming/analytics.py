@@ -604,3 +604,35 @@ def streaming_pii_redact(doc_stream: DataFrame, text_col: str = "text") -> DataF
             F.regexp_like(redacted, email) | F.regexp_like(redacted, phone)
         ).cast("int").alias("residual_pii"),
     )
+
+
+def streaming_decode_quarantine(file_stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``multimodal_decode_quarantine``'s decode-route
+    stage: media records arriving on a stream are magic-sniffed, decoded
+    by the real in-repo codecs, and routed to per-reason quarantine
+    buckets as they land, with a streaming aggregate maintaining the
+    bucket counts.
+
+    ``file_stream`` carries (path, content binary) — the same contract
+    as the batch face's binaryFile scan, so the Arrow kernel
+    (``_decode_or_quarantine_batch``) is literally shared; any source
+    that yields those two columns works (tests feed a JSON spool with
+    base64 content; a deployment feeds the object-store notification
+    stream). The aggregate keys on the closed reason set, so state is
+    O(reasons) — bounded regardless of stream length; run it in update/
+    complete mode (no watermark needed: the rollup is global, the
+    per-file routing itself is stateless and append-safe if emitted
+    pre-aggregate). Parity with the batch face is pytest-pinned on an
+    identical corpus."""
+    from trike_spark.queries.multimodal import (
+        _QUARANTINE_SCHEMA,
+        _decode_or_quarantine_batch,
+    )
+
+    per_batch = file_stream.select("path", "content").mapInPandas(
+        _decode_or_quarantine_batch, schema=_QUARANTINE_SCHEMA
+    )
+    return per_batch.groupBy("reason").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_verified").alias("n_verified"),
+    )
