@@ -106,6 +106,7 @@ HEADLINE = [
     "multimodal_decode_features",
     "multimodal_jpeg420_roundtrip",
     "sim_ivf_index_probe",
+    "multimodal_jpeg_header_catalog",
     # session-3 additions: the banded training-epoch layout faces
     "curation_epoch_shuffle",
     "curation_token_budget_select",

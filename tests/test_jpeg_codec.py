@@ -195,3 +195,33 @@ def test_unsupported_sampling_factor_quarantines():
 def test_encoder_rejects_unknown_subsampling():
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg_baseline(_block_constant_rgb(4, 4), 90, subsampling="4:1:1")
+
+
+def test_parse_jpeg_header_matches_encode_params():
+    from trike_spark.functions.jpeg import parse_jpeg_header
+
+    x = RNG.integers(0, 256, (11, 13), dtype=np.uint8)
+    for q, want_q00 in [(50, 16), (60, 13), (70, 10), (80, 6), (90, 3)]:
+        info = parse_jpeg_header(encode_jpeg_baseline(x, q))
+        assert info["width"] == 13 and info["height"] == 11
+        assert info["components"] == 1 and info["n_dht"] == 2
+        assert info["q00"] == want_q00
+    rgb = RNG.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    info = parse_jpeg_header(encode_jpeg_baseline(rgb, 90, subsampling="4:2:0"))
+    assert info["components"] == 3 and info["n_dht"] == 4
+
+
+def test_parse_jpeg_header_quarantines_bad_bytes():
+    from trike_spark.functions.jpeg import parse_jpeg_header
+
+    good = encode_jpeg_baseline(RNG.integers(0, 256, (8, 8), dtype=np.uint8), 90)
+    with pytest.raises(ValueError, match="missing SOI"):
+        parse_jpeg_header(b"nope" + good[4:])
+    # cut after APP0: headers simply end -> missing mandatory segments;
+    # cut mid-segment -> truncated. Both are the quarantine ValueError.
+    with pytest.raises(ValueError, match="missing SOF0/DQT"):
+        parse_jpeg_header(good[:20])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_jpeg_header(good[:30])
+    with pytest.raises(ValueError, match="progressive|SOF2"):
+        parse_jpeg_header(good.replace(b"\xff\xc0", b"\xff\xc2", 1))

@@ -37,6 +37,7 @@ ARROW_PYTHON_OK = {
     "multimodal_decode_quarantine",  # REAL codec + ValueError quarantine routing
     "multimodal_jpeg_roundtrip",  # REAL baseline JPEG codec inside the Arrow stage
     "multimodal_jpeg420_roundtrip",  # REAL 4:2:0 color JPEG inside the Arrow stage
+    "multimodal_jpeg_header_catalog",  # marker-walk catalog over real JFIF bytes
     "multimodal_y4m_frame_sample",  # REAL Y4M container + frame sampling
     "multimodal_frame_sample",
     "multimodal_png_roundtrip",  # REAL stdlib codec runs inside the Arrow stage

@@ -487,5 +487,9 @@ WINDOW_PRIORITY: frozenset[str] = STALE_R09 | frozenset(
         # cell-partitioned index (dynamic partition pruning; same oracle
         # as sim_ivf_search)
         "sim_ivf_index_probe",
+        # registered mid-round-9: marker-walk catalog on real JFIF bytes
+        # (typed metadata without entropy decode; q00 oracle-pinned via
+        # the libjpeg quality-scaling law)
+        "multimodal_jpeg_header_catalog",
     }
 )

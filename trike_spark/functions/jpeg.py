@@ -632,6 +632,63 @@ def _huff_decoder(bits: list[int], vals: list[int]) -> _HuffDecoder:
     return dec
 
 
+def parse_jpeg_header(data: bytes) -> dict:
+    """Marker-walk metadata extraction WITHOUT entropy decode — the
+    catalog step a media pipeline runs before deciding what to decode
+    (the ffprobe/EXIF analog, here on real JFIF bytes): width, height,
+    component count, the luma quantizer's DC step (``q00``, which pins
+    the encoder's quality via the libjpeg scaling law), and the Huffman
+    table count. Cost is a few dozen byte reads per file regardless of
+    image size. Raises ``ValueError`` (quarantine contract) on
+    non-JPEG/truncated/non-baseline headers."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    out: dict = {"n_dht": 0, "q00": None}
+    try:
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"bad marker alignment at byte {pos}")
+            marker = data[pos + 1]
+            if marker == 0xD9:
+                break
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + seglen]
+            if len(body) != seglen - 2:
+                raise ValueError("truncated JPEG segment")
+            if marker == 0xDB:
+                off = 0
+                while off < len(body):
+                    pq, tq = body[off] >> 4, body[off] & 0xF
+                    if pq != 0:
+                        raise ValueError("unsupported JPEG (16-bit quant table)")
+                    if tq == 0 and out["q00"] is None:
+                        # zigzag position 0 IS the DC step
+                        out["q00"] = body[off + 1]
+                    off += 65
+            elif marker == 0xC4:
+                off = 0
+                while off < len(body):
+                    n = sum(body[off + 1 : off + 17])
+                    out["n_dht"] += 1
+                    off += 17 + n
+            elif marker == 0xC0:
+                prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+                if prec != 8:
+                    raise ValueError(f"unsupported JPEG ({prec}-bit precision)")
+                out.update(width=fw, height=fh, components=nc)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(f"unsupported JPEG (SOF{marker - 0xC0} frame)")
+            elif marker == 0xDA:
+                break  # header complete; entropy data follows
+            pos = pos + 2 + seglen
+    except struct.error as e:
+        raise ValueError(f"truncated JPEG header: {e}") from e
+    if "width" not in out or out["q00"] is None:
+        raise ValueError("missing SOF0/DQT")
+    return out
+
+
 def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Baseline JFIF bytes → (width, height, components, uint8 array
     (h, w) or (h, w, 3)). Grayscale and RGB with sampling factors

@@ -1214,6 +1214,88 @@ def multimodal_jpeg420_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_CAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("components", IntegerType()),
+        StructField("n_dht", IntegerType()),
+        StructField("q00", IntegerType()),
+    ]
+)
+
+_JPEG_CAT_QUALITIES = (50, 60, 70, 80, 90)  # doc_id % 5 picks one
+# the libjpeg scaling law pins the luma DC quant step per quality:
+# s = 200 - 2q (q >= 50); q00 = (16*s + 50) // 100
+_JPEG_CAT_Q00 = {q: (16 * (200 - 2 * q) + 50) // 100 for q in _JPEG_CAT_QUALITIES}
+
+
+def _jpeg_catalog_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from trike_spark.functions.jpeg import encode_jpeg_baseline, parse_jpeg_header
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_id = int(doc_id)
+            w, h = 8 + doc_id % 9, 8 + (doc_id // 3) % 9
+            q = _JPEG_CAT_QUALITIES[doc_id % 5]
+            pixels = np.frombuffer(
+                _derive_pixels(f"{text}jc", w * h), dtype=np.uint8
+            ).reshape(h, w)
+            info = parse_jpeg_header(encode_jpeg_baseline(pixels, quality=q))
+            rows.append(
+                (doc_id, info["width"], info["height"], info["components"],
+                 info["n_dht"], info["q00"])
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _JPEG_CAT_SCHEMA.fields])
+
+
+@register(
+    "multimodal_jpeg_header_catalog",
+    f"""
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS INT) AS width,
+           CAST(8 + (doc_id // 3) % 9 AS INT) AS height,
+           1 AS components,
+           2 AS n_dht,
+           CAST(CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN {_JPEG_CAT_Q00[50]} WHEN 1 THEN {_JPEG_CAT_Q00[60]}
+                  WHEN 2 THEN {_JPEG_CAT_Q00[70]} WHEN 3 THEN {_JPEG_CAT_Q00[80]}
+                  ELSE {_JPEG_CAT_Q00[90]} END AS INT) AS q00
+    FROM documents
+    """,
+    doc=(
+        "JPEG marker-walk catalog (the ffprobe/EXIF step on REAL JFIF "
+        "bytes): per-row encode at a doc-derived quality, then extract "
+        "typed metadata — dims, component count, Huffman table count, and "
+        "the luma DC quant step — WITHOUT entropy decode; the oracle "
+        "predicts q00 from the libjpeg quality-scaling law, so the "
+        "catalog certifies the encoder's quantizer too."
+    ),
+)
+def multimodal_jpeg_header_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before any decode, a media pipeline CATALOGS its blobs (same
+    posture as `multimodal_header_parse`, which used a fixed stand-in
+    layout — this face does it on genuine JPEG containers): a marker walk
+    reads a few dozen bytes per file regardless of image size, emitting
+    the typed columns downstream routing joins on. The oracle predicts
+    every column from doc_id arithmetic — dims directly, and q00 through
+    the libjpeg quality-scaling law (s = 200 − 2q; q00 = (16s + 50)//100)
+    — so a driver hash match certifies both the parser AND the encoder's
+    quantizer emission at five distinct qualities per corpus.
+
+    Scale: catalog cost is O(header) per file — IO-bound by construction;
+    same compute-width repartition as the other Python-kernel stages (the
+    encode that builds the fixture rides the same task)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        _jpeg_catalog_batch, schema=_JPEG_CAT_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # Y4M video container: real frame extraction, byte-exact certification
 # ---------------------------------------------------------------------------
