@@ -10,7 +10,6 @@ import base64
 import json
 import time
 
-import pytest
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
