@@ -98,10 +98,13 @@ def test_bitstream_is_marker_clean():
         (lambda d: b"nope" + d[4:], "missing SOI"),
         (lambda d: d[: len(d) // 3], "truncated"),
         (lambda d: d[:-6], "truncated JPEG entropy stream"),
-        # flip SOF0 (0xC0) to SOF2 progressive at its marker byte
+        # flip SOF0 (0xC0) to SOF2: the baseline scan header (Ss=0,
+        # Se=63) is an ILLEGAL progressive scan — since round 10 the
+        # decoder accepts real SOF2 streams, so the quarantine trigger
+        # here is the scan-validation error, not the marker itself
         (
             lambda d: d.replace(b"\xff\xc0", b"\xff\xc2", 1),
-            "progressive",
+            "invalid progressive scan",
         ),
     ],
 )
@@ -223,5 +226,8 @@ def test_parse_jpeg_header_quarantines_bad_bytes():
         parse_jpeg_header(good[:20])
     with pytest.raises(ValueError, match="truncated"):
         parse_jpeg_header(good[:30])
-    with pytest.raises(ValueError, match="progressive|SOF2"):
-        parse_jpeg_header(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # SOF2 is a supported frame kind since round 10: the catalog reports
+    # it as a typed flag instead of quarantining (decode handles it too)
+    info = parse_jpeg_header(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    assert info["progressive"] is True
+    assert parse_jpeg_header(good)["progressive"] is False

@@ -1,5 +1,5 @@
-"""Baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman) in
-numpy + stdlib — no PIL/libjpeg.
+"""JPEG codec (ITU-T T.81: sequential baseline DCT AND progressive
+DCT, Huffman) in numpy + stdlib — no PIL/libjpeg.
 
 Round 7 left JPEG as the one image format with a stub kernel ("blocked
 on environment: PIL/ffmpeg are absent"). Baseline JPEG needs neither:
@@ -14,16 +14,28 @@ framing — is arithmetic and table lookups, all expressible in numpy and
   bytestream. 4:4:4 (default) or 4:2:0 chroma subsampling (2×2 box
   average, MCU-interleaved scan), standard Annex K Huffman tables, one
   scan, no restart markers.
-* ``decode_jpeg_baseline(data)`` — parses SOI/APP/DQT/SOF0/DHT/SOS,
-  canonical Huffman decode (MCU-interleaved for subsampled streams),
-  dequantize, inverse zigzag, IDCT, chroma upsample (pixel
-  replication), YCbCr → RGB. Returns (width, height, components,
-  uint8 array). Sampling factors h, v ∈ {1, 2} are accepted — that
-  covers 4:4:4, 4:2:0 (the dominant real-world layout), 4:2:2 and
-  4:4:0. Raises ``ValueError`` — the quarantine contract shared with
-  ``codecs.decode_png`` — for progressive (SOF2), arithmetic-coded,
-  12-bit, factor-3/4-sampled, or truncated/corrupt streams, never a
-  raw struct/index error that would kill a Spark task.
+* ``encode_jpeg_progressive(pixels, quality, subsampling)`` — the same
+  pixels/quality/subsampling surface emitting a PROGRESSIVE (SOF2)
+  stream: the standard simple-progression scan script (interleaved
+  DC-first with one point-transform bit, banded AC-first scans, DC and
+  AC refinement passes — T.81 Annex G), with Huffman tables generated
+  per Annex K.2 (the sample tables carry no EOBn symbols, so generated
+  tables are mandatory for progressive). Because it shares the
+  quantization front half with the baseline encoder, the two encodings
+  carry IDENTICAL coefficients and decode bit-identically — the
+  round-trip certification the tests assert.
+* ``decode_jpeg_baseline(data)`` — parses SOI/APP/DQT/SOF0|SOF2/DHT/
+  SOS, canonical Huffman decode (MCU-interleaved for subsampled
+  streams; multi-scan spectral-selection + successive-approximation
+  accumulation for progressive, round 10), dequantize, inverse zigzag,
+  IDCT, chroma upsample (pixel replication), YCbCr → RGB. Returns
+  (width, height, components, uint8 array). Sampling factors
+  h, v ∈ {1, 2} are accepted — that covers 4:4:4, 4:2:0 (the dominant
+  real-world layout), 4:2:2 and 4:4:0. Raises ``ValueError`` — the
+  quarantine contract shared with ``codecs.decode_png`` — for
+  arithmetic-coded, hierarchical, 12-bit, factor-3/4-sampled,
+  restart-interval, or truncated/corrupt streams, never a raw
+  struct/index error that would kill a Spark task.
 * ``roundtrip_error_bound(quality)`` — a PROVEN per-pixel bound on
   |decode(encode(x)) − x| for grayscale input, derived from the
   quantization table (see the function docstring). The Spark face
@@ -384,17 +396,17 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg_baseline(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
-) -> bytes:
-    """Grayscale (h, w) or RGB (h, w, 3) uint8 → baseline JFIF bytes.
-    ``subsampling``: "4:4:4" (default; ignored for grayscale) or "4:2:0"
-    (chroma 2×2 box-averaged, Y sampled 2×2 per MCU — the dominant
-    real-world layout). Annex K Huffman tables, single scan. The 4:4:4
-    path is bit-identical to the pre-subsampling encoder (its generic MCU
-    loop with all-1×1 factors reduces to plain block raster order)."""
+def _prep_quantized(
+    pixels: np.ndarray, quality: int, subsampling: str, who: str
+) -> tuple[int, int, list[tuple[int, int]], np.ndarray, np.ndarray, list[np.ndarray], list[int], int, int]:
+    """Shared encoder front half (validation → color transform →
+    subsample → FDCT → quantize → zigzag): returns
+    (h, w, factors, qlum, qchrom, comp_zz, comp_bw, hp, wp). Baseline and
+    progressive encode the SAME quantized coefficients — only the scan
+    structure differs — which is what makes the progressive round-trip
+    certifiable bit-identical against the baseline decode."""
     if pixels.dtype != np.uint8:
-        raise ValueError(f"encode_jpeg_baseline wants uint8, got {pixels.dtype}")
+        raise ValueError(f"{who} wants uint8, got {pixels.dtype}")
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     if pixels.ndim == 2:
@@ -414,15 +426,9 @@ def encode_jpeg_baseline(
     else:
         raise ValueError(f"unsupported pixel shape {pixels.shape}")
     h, w = pixels.shape[:2]
-    n_comp = len(planes)
     qlum = _quality_scale(_QLUM, quality)
     qchrom = _quality_scale(_QCHROM, quality)
-    qtabs = [qlum] + [qchrom] * (n_comp - 1)
-
-    dc_l = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
-    ac_l = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
-    dc_c = _canonical_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
-    ac_c = _canonical_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)
+    qtabs = [qlum] + [qchrom] * (len(planes) - 1)
 
     # quantized zigzag coefficients per component, block raster order;
     # every plane is padded (edge replication) to the MCU grid, and
@@ -446,6 +452,30 @@ def encode_jpeg_baseline(
         qz = np.round(coefs / qtabs[ci]).astype(np.int64)
         comp_zz.append(qz.reshape(-1, 64)[:, _ZIGZAG])
         comp_bw.append(bw_i)
+    return h, w, factors, qlum, qchrom, comp_zz, comp_bw, hp, wp
+
+
+def encode_jpeg_baseline(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """Grayscale (h, w) or RGB (h, w, 3) uint8 → baseline JFIF bytes.
+    ``subsampling``: "4:4:4" (default; ignored for grayscale) or "4:2:0"
+    (chroma 2×2 box-averaged, Y sampled 2×2 per MCU — the dominant
+    real-world layout). Annex K Huffman tables, single scan. The 4:4:4
+    path is bit-identical to the pre-subsampling encoder (its generic MCU
+    loop with all-1×1 factors reduces to plain block raster order)."""
+    h, w, factors, qlum, qchrom, comp_zz, comp_bw, hp, wp = _prep_quantized(
+        pixels, quality, subsampling, "encode_jpeg_baseline"
+    )
+    n_comp = len(factors)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcu_h, mcu_w = 8 * vmax, 8 * hmax
+
+    dc_l = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_l = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_c = _canonical_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
+    ac_c = _canonical_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)
 
     # Entropy coding, fully vectorized: per component, gather its blocks
     # in T.81 A.2.3 interleaved visit order, emit the Huffman symbol
@@ -508,15 +538,368 @@ def encode_jpeg_baseline(
     return bytes(out)
 
 
+# --- progressive encoder (T.81 Annex G, spectral selection + successive
+# approximation) --------------------------------------------------------------
+
+
+def _optimal_huffman(freq_in: dict[int, int]) -> tuple[list[int], list[int]]:
+    """T.81 Annex K.2 optimal code-length generation (the classic
+    two-pass table builder): a pseudo-symbol (256) with frequency 1
+    reserves the all-ones codeword, the Adjust_BITS procedure limits
+    lengths to 16 bits, and vals lists symbols in (length, value) order.
+    Progressive scans NEED generated tables — the Annex K sample tables
+    carry no EOBn symbols (n ≥ 1), so EOB runs longer than one block are
+    unencodable with them."""
+    if not freq_in:
+        return [0] * 16, []
+    freq = [0] * 257
+    for s, f in freq_in.items():
+        freq[s] = f
+    freq[256] = 1  # reserve the all-1s code (T.81 K.2 / C.2 note)
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = c2 = -1
+        v = None
+        for i in range(257):
+            if freq[i] and (v is None or freq[i] <= v):
+                v, c1 = freq[i], i
+        v = None
+        for i in range(257):
+            if freq[i] and i != c1 and (v is None or freq[i] <= v):
+                v, c2 = freq[i], i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    for i in range(32, 16, -1):  # Adjust_BITS: fold >16-bit lengths down
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved pseudo-symbol's code
+    vals = sorted((s for s in range(256) if codesize[s]), key=lambda s: (codesize[s], s))
+    return bits[1:17], vals
+
+
+class _ScanOps:
+    """Recorded symbol/raw-bit stream for one progressive scan. Pass 1
+    records ops and counts Huffman symbol frequencies; pass 2 (after the
+    optimal tables exist) replays them through :func:`_pack_bits`."""
+
+    __slots__ = ("ops",)
+
+    def __init__(self) -> None:
+        self.ops: list[tuple[int, int, int, int]] = []
+
+    def sym(self, tclass: int, tid: int, s: int, freq: dict) -> None:
+        self.ops.append((0, tclass, tid, s))
+        tbl = freq.setdefault((tclass, tid), {})
+        tbl[s] = tbl.get(s, 0) + 1
+
+    def raw(self, value: int, n: int) -> None:
+        if n:
+            self.ops.append((1, int(value) & ((1 << n) - 1), n, 0))
+
+    def pack(self, codes: dict[tuple[int, int], dict[int, tuple[int, int]]]) -> bytes:
+        cs = np.empty(len(self.ops), dtype=np.int64)
+        ls = np.empty(len(self.ops), dtype=np.int64)
+        for i, (kind, a, b, c) in enumerate(self.ops):
+            if kind == 0:
+                cs[i], ls[i] = codes[(a, b)][c]
+            else:
+                cs[i], ls[i] = a, b
+        return _pack_bits(cs, ls)
+
+
+def _emit_dc_first(
+    ops: _ScanOps, freq: dict, visit: list[tuple[int, int]],
+    comp_zz: list[np.ndarray], tids: dict[int, int], al: int,
+) -> None:
+    """First DC scan (G.1.2.1): differential DC of ``coef >> Al``
+    (arithmetic shift), coded like baseline DC."""
+    preds: dict[int, int] = {}
+    for ci, b in visit:
+        v = int(comp_zz[ci][b, 0]) >> al
+        diff = v - preds.get(ci, 0)
+        preds[ci] = v
+        s = abs(diff).bit_length()
+        ops.sym(0, tids[ci], s, freq)
+        if s:
+            ops.raw(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_dc_refine(
+    ops: _ScanOps, visit: list[tuple[int, int]],
+    comp_zz: list[np.ndarray], al: int,
+) -> None:
+    """DC refinement (G.1.2.1): one raw bit per block — bit ``Al`` of the
+    coefficient's two's-complement value."""
+    for ci, b in visit:
+        ops.raw((int(comp_zz[ci][b, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(
+    ops: _ScanOps, freq: dict, zz: np.ndarray, blocks: list[int],
+    tid: int, ss: int, se: int, al: int,
+) -> None:
+    """First AC scan for one band (G.1.2.2): run-length/size symbols over
+    the point-transformed band, EOB runs accumulated across blocks and
+    flushed as EOBn symbols."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ops.sym(1, tid, n << 4, freq)
+            if n:
+                ops.raw(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for b in blocks:
+        row = zz[b]
+        r = 0
+        for k in range(ss, se + 1):
+            c = int(row[k])
+            t = abs(c) >> al  # point transform truncates toward zero
+            if t == 0:
+                r += 1
+                continue
+            flush()
+            while r > 15:
+                ops.sym(1, tid, 0xF0, freq)
+                r -= 16
+            s = t.bit_length()
+            ops.sym(1, tid, (r << 4) | s, freq)
+            tv = t if c > 0 else -t
+            ops.raw(tv if tv > 0 else tv + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _emit_ac_refine(
+    ops: _ScanOps, freq: dict, zz: np.ndarray, blocks: list[int],
+    tid: int, ss: int, se: int, al: int,
+) -> None:
+    """AC refinement scan (G.1.2.3, the jcphuff shape): newly-significant
+    coefficients (|coef| >> Al == 1) emit (run, 1) symbols + a sign bit;
+    history-nonzero coefficients emit buffered correction bits that
+    follow the next symbol; trailing runs and their correction bits fold
+    into the cross-block EOB run."""
+    eobrun = 0
+    pend: list[int] = []  # correction bits riding the EOB run
+
+    def flush() -> None:
+        nonlocal eobrun, pend
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ops.sym(1, tid, n << 4, freq)
+            if n:
+                ops.raw(eobrun - (1 << n), n)
+            for bit in pend:
+                ops.raw(bit, 1)
+            eobrun = 0
+            pend = []
+
+    for b in blocks:
+        row = zz[b]
+        ts = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+        eob_idx = -1  # last newly-significant index; runs past it fold into EOB
+        for k in range(ss, se + 1):
+            if ts[k - ss] == 1:
+                eob_idx = k
+        r = 0
+        br: list[int] = []  # correction bits since the last emitted symbol
+        for k in range(ss, se + 1):
+            t = ts[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_idx:
+                flush()
+                ops.sym(1, tid, 0xF0, freq)
+                r -= 16
+                for bit in br:
+                    ops.raw(bit, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush()
+            ops.sym(1, tid, (r << 4) | 1, freq)
+            ops.raw(1 if int(row[k]) > 0 else 0, 1)
+            for bit in br:
+                ops.raw(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF or len(pend) > 937:
+                flush()
+    flush()
+
+
+def _progressive_script(n_comp: int) -> list[tuple[tuple[int, ...], int, int, int, int]]:
+    """The standard simple-progression scan script (the shape libjpeg's
+    ``jpeg_simple_progression`` emits, which is what web corpora mostly
+    contain): an interleaved DC-first scan with one point-transform bit,
+    banded AC-first scans, then DC and AC refinement passes. Entries are
+    (component indexes, Ss, Se, Ah, Al)."""
+    if n_comp == 1:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((2,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((0,), 1, 63, 2, 1),
+        ((2,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """Grayscale (h, w) or RGB (h, w, 3) uint8 → PROGRESSIVE (SOF2) JFIF
+    bytes. Same color transform / subsampling / quantization as
+    :func:`encode_jpeg_baseline` (shared ``_prep_quantized``), so the two
+    encodings carry IDENTICAL quantized coefficients and must decode
+    bit-identically — the round-trip certification the tests assert.
+    Scan script: simple progression (DC Al=1 → banded AC → DC refine →
+    AC refine); Huffman tables are generated per T.81 K.2 because the
+    Annex K sample tables lack EOBn symbols."""
+    h, w, factors, qlum, qchrom, comp_zz, comp_bw, hp, wp = _prep_quantized(
+        pixels, quality, subsampling, "encode_jpeg_progressive"
+    )
+    n_comp = len(factors)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcuy, mcux = hp // (8 * vmax), wp // (8 * hmax)
+    tids = {ci: (0 if ci == 0 else 1) for ci in range(n_comp)}
+
+    # interleaved MCU visit order (T.81 A.2.3) for multi-component DC scans
+    inter_visit: list[tuple[int, int]] = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(n_comp):
+                hi, vi = factors[ci]
+                for dy in range(vi):
+                    for dx in range(hi):
+                        inter_visit.append((ci, (my * vi + dy) * (mcux * hi) + (mx * hi + dx)))
+    # non-interleaved per-component block lists (T.81 A.2.2: the
+    # component's own ceil(x/8) × ceil(y/8) grid, NOT the MCU-padded one)
+    comp_blocks: list[list[int]] = []
+    for ci in range(n_comp):
+        hi, vi = factors[ci]
+        cbw = -(-(-(-(w * hi) // hmax)) // 8)  # ceil(ceil(w*hi/hmax)/8)
+        cbh = -(-(-(-(h * vi) // vmax)) // 8)
+        comp_blocks.append(
+            [by * (mcux * hi) + bx for by in range(cbh) for bx in range(cbw)]
+        )
+
+    freq: dict[tuple[int, int], dict[int, int]] = {}
+    scan_ops: list[_ScanOps] = []
+    script = _progressive_script(n_comp)
+    for comps_in, ss, se, ah, al in script:
+        ops = _ScanOps()
+        if ss == 0:
+            visit = (
+                inter_visit
+                if len(comps_in) > 1
+                else [(comps_in[0], b) for b in comp_blocks[comps_in[0]]]
+            )
+            if ah == 0:
+                _emit_dc_first(ops, freq, visit, comp_zz, tids, al)
+            else:
+                _emit_dc_refine(ops, visit, comp_zz, al)
+        else:
+            (ci,) = comps_in
+            if ah == 0:
+                _emit_ac_first(ops, freq, comp_zz[ci], comp_blocks[ci], tids[ci], ss, se, al)
+            else:
+                _emit_ac_refine(ops, freq, comp_zz[ci], comp_blocks[ci], tids[ci], ss, se, al)
+        scan_ops.append(ops)
+
+    tables: dict[tuple[int, int], tuple[list[int], list[int]]] = {
+        key: _optimal_huffman(f) for key, f in freq.items()
+    }
+    codes = {
+        key: _canonical_codes(bits, vals) for key, (bits, vals) in tables.items()
+    }
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += _dqt_segment(0, qlum)
+    if n_comp == 3:
+        out += _dqt_segment(1, qchrom)
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        hi, vi = factors[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    for (tclass, tid), (bits, vals) in sorted(tables.items()):
+        out += _dht_segment((tclass << 4) | tid, bits, vals)
+    for (comps_in, ss, se, ah, al), ops in zip(script, scan_ops):
+        sos = bytes([len(comps_in)])
+        for ci in comps_in:
+            td = tids[ci] if (ss == 0 and ah == 0) else 0
+            ta = tids[ci] if ss > 0 else 0
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += ops.pack(codes)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder ----------------------------------------------------------------
 
 
-def _entropy_segment(data: bytes, pos: int) -> bytes:
+def _entropy_segment_ex(data: bytes, pos: int) -> tuple[bytes, int]:
     """Extract the de-stuffed entropy-coded segment starting at ``pos``:
     0xFF 0x00 pairs collapse to 0xFF (T.81 F.1.2.3); the first 0xFF
-    followed by any other byte is a real marker (EOI, or RSTn which this
-    baseline profile never emits) and ends the segment. One C-speed scan
-    + one ``bytes.replace`` instead of per-bit stuffing checks."""
+    followed by any other byte is a real marker (EOI, the next SOS/DHT of
+    a progressive stream, or RSTn which this profile never emits) and
+    ends the segment. One C-speed scan + one ``bytes.replace`` instead of
+    per-bit stuffing checks. Returns (segment, offset of the terminating
+    marker) so a multi-scan caller can continue the marker walk."""
     i = pos
     end = len(data)
     while True:
@@ -528,7 +911,43 @@ def _entropy_segment(data: bytes, pos: int) -> bytes:
             continue
         end = j
         break
-    return data[pos:end].replace(b"\xff\x00", b"\xff")
+    return data[pos:end].replace(b"\xff\x00", b"\xff"), end
+
+
+def _entropy_segment(data: bytes, pos: int) -> bytes:
+    return _entropy_segment_ex(data, pos)[0]
+
+
+def _parse_dqt(body: bytes, qtabs: dict[int, np.ndarray]) -> None:
+    """DQT segment body → 8-bit quant tables (possibly several per
+    segment), de-zigzagged into (8, 8)."""
+    off = 0
+    while off < len(body):
+        pq, tq = body[off] >> 4, body[off] & 0xF
+        if pq != 0:
+            raise ValueError("unsupported JPEG (16-bit quant table)")
+        tab = np.zeros(64, dtype=np.int64)
+        tab[_ZIGZAG] = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8).astype(
+            np.int64
+        )
+        qtabs[tq] = tab.reshape(8, 8)
+        off += 65
+
+
+def _parse_dht(
+    body: bytes, huff_dc: dict[int, "_HuffDecoder"], huff_ac: dict[int, "_HuffDecoder"]
+) -> None:
+    """DHT segment body → cached LUT decoders; progressive streams
+    redefine tables between scans, so later definitions replace earlier
+    ones (T.81 B.2.4.2)."""
+    off = 0
+    while off < len(body):
+        tc, th = body[off] >> 4, body[off] & 0xF
+        bits = list(body[off + 1 : off + 17])
+        n = sum(bits)
+        vals = list(body[off + 17 : off + 17 + n])
+        (huff_dc if tc == 0 else huff_ac)[th] = _huff_decoder(bits, vals)
+        off += 17 + n
 
 
 class _BitReader:
@@ -672,12 +1091,15 @@ def parse_jpeg_header(data: bytes) -> dict:
                     n = sum(body[off + 1 : off + 17])
                     out["n_dht"] += 1
                     off += 17 + n
-            elif marker == 0xC0:
+            elif marker in (0xC0, 0xC2):
                 prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
                 if prec != 8:
                     raise ValueError(f"unsupported JPEG ({prec}-bit precision)")
-                out.update(width=fw, height=fh, components=nc)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                out.update(
+                    width=fw, height=fh, components=nc,
+                    progressive=marker == 0xC2,
+                )
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(f"unsupported JPEG (SOF{marker - 0xC0} frame)")
             elif marker == 0xDA:
                 break  # header complete; entropy data follows
@@ -690,10 +1112,12 @@ def parse_jpeg_header(data: bytes) -> dict:
 
 
 def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Baseline JFIF bytes → (width, height, components, uint8 array
-    (h, w) or (h, w, 3)). Grayscale and RGB with sampling factors
-    h, v ∈ {1, 2} (4:4:4, 4:2:0, 4:2:2, 4:4:0); everything else —
-    progressive, arithmetic, factor-3/4 sampling, 12-bit, truncated —
+    """JFIF bytes → (width, height, components, uint8 array (h, w) or
+    (h, w, 3)). Baseline sequential (SOF0) AND progressive (SOF2 —
+    spectral selection + successive approximation, T.81 Annex G);
+    grayscale and RGB with sampling factors h, v ∈ {1, 2} (4:4:4, 4:2:0,
+    4:2:2, 4:4:0). Everything else — arithmetic-coded, hierarchical,
+    factor-3/4 sampling, 12-bit, restart-interval entropy, truncated —
     raises ``ValueError`` so a corpus scan can quarantine instead of
     crash. Subsampled chroma is upsampled by pixel replication."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
@@ -702,8 +1126,9 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
     qtabs: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
-    frame = None  # (h, w, [(comp_id, tq)])
+    frame = None  # (h, w, [(comp_id, tq, hi, vi)])
     scan = None
+    progressive = False
     try:
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
@@ -716,27 +1141,11 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
             if len(body) != seglen - 2:
                 raise ValueError("truncated JPEG segment")
             if marker == 0xDB:  # DQT (possibly several tables per segment)
-                off = 0
-                while off < len(body):
-                    pq, tq = body[off] >> 4, body[off] & 0xF
-                    if pq != 0:
-                        raise ValueError("unsupported JPEG (16-bit quant table)")
-                    tab = np.zeros(64, dtype=np.int64)
-                    tab[_ZIGZAG] = np.frombuffer(
-                        body[off + 1 : off + 65], dtype=np.uint8
-                    ).astype(np.int64)
-                    qtabs[tq] = tab.reshape(8, 8)
-                    off += 65
+                _parse_dqt(body, qtabs)
             elif marker == 0xC4:  # DHT
-                off = 0
-                while off < len(body):
-                    tc, th = body[off] >> 4, body[off] & 0xF
-                    bits = list(body[off + 1 : off + 17])
-                    n = sum(bits)
-                    vals = list(body[off + 17 : off + 17 + n])
-                    (huff_dc if tc == 0 else huff_ac)[th] = _huff_decoder(bits, vals)
-                    off += 17 + n
-            elif marker == 0xC0:  # SOF0 baseline
+                _parse_dht(body, huff_dc, huff_ac)
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                progressive = marker == 0xC2
                 prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
                 if prec != 8:
                     raise ValueError(f"unsupported JPEG ({prec}-bit precision)")
@@ -750,12 +1159,16 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
                         )
                     comps.append((cid, tq, hi, vi))
                 frame = (fh, fw, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                kinds = {0xC2: "progressive", 0xC9: "arithmetic-coded"}
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                kinds = {0xC9: "arithmetic-coded"}
                 raise ValueError(
                     f"unsupported JPEG ({kinds.get(marker, f'SOF{marker - 0xC0}')} frame)"
                 )
             elif marker == 0xDA:  # SOS
+                if progressive:
+                    if frame is None:
+                        raise ValueError("missing SOF2 before SOS")
+                    return _decode_progressive(data, pos, frame, qtabs, huff_dc, huff_ac)
                 ns = body[0]
                 scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
                 pos = pos + 2 + seglen
@@ -819,6 +1232,18 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
     except IndexError as e:
         raise ValueError(f"corrupt JPEG entropy stream: {e}") from e
 
+    return _reconstruct(fh, fw, comps, comp_coefs, qtabs, hmax, vmax, mcuy, mcux)
+
+
+def _reconstruct(
+    fh: int, fw: int, comps: list, comp_coefs: list[np.ndarray],
+    qtabs: dict[int, np.ndarray], hmax: int, vmax: int, mcuy: int, mcux: int,
+) -> tuple[int, int, int, np.ndarray]:
+    """Shared decoder back half (dequantize → IDCT → upsample → color):
+    baseline and progressive scans both land their coefficients in the
+    same MCU-padded per-component zigzag grids, so reconstruction is one
+    code path."""
+    n_comp = len(comps)
     planes = []
     for ci, (cid, tq, hi, vi) in enumerate(comps):
         if tq not in qtabs:
@@ -842,3 +1267,231 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, np.ndarray]:
         out = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
         return fw, fh, 3, out
     raise ValueError(f"unsupported JPEG ({n_comp} components)")
+
+
+# --- progressive decoder (T.81 Annex G) --------------------------------------
+
+
+def _dc_first_block(
+    reader: _BitReader, dec: _HuffDecoder, zz: np.ndarray, pred: int, al: int
+) -> int:
+    """First DC scan block (G.1.2.1): differential DC, point-transformed
+    value stored as ``pred << Al``. Returns the updated predictor."""
+    size = dec.decode(reader)
+    pred += _receive_extend(reader, size)
+    zz[0] = pred << al
+    return pred
+
+
+def _ac_first_block(
+    reader: _BitReader, dec: _HuffDecoder, zz: np.ndarray,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """First AC scan block (G.1.2.2): run/size symbols with EOBn run
+    codes; returns the remaining EOB run (blocks fully covered by it
+    decode nothing)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = dec.decode(reader)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                run = (1 << r) - 1
+                if r:
+                    run += reader.bits(r)
+                return run  # this block ends; `run` more covered
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            zz[k] = _receive_extend(reader, s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine_block(
+    reader: _BitReader, dec: _HuffDecoder, zz: np.ndarray,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """AC refinement scan block (G.1.2.3): newly-significant coefficients
+    arrive as (run, 1) symbols + sign bit; every history-nonzero
+    coefficient passed over consumes one correction bit; EOB-run-covered
+    blocks still read correction bits across the whole band."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def refine(idx: int) -> None:
+        if reader.bits(1) and (int(zz[idx]) & p1) == 0:
+            zz[idx] += p1 if int(zz[idx]) >= 0 else m1
+
+    if eobrun > 0:
+        for j in range(ss, se + 1):
+            if zz[j]:
+                refine(j)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = dec.decode(reader)
+        r, s = rs >> 4, rs & 0xF
+        val = 0
+        if s == 0:
+            if r != 15:
+                run = (1 << r) - 1
+                if r:
+                    run += reader.bits(r)
+                for j in range(k, se + 1):  # corrections for the rest of band
+                    if zz[j]:
+                        refine(j)
+                return run
+            # r == 15: ZRL — skip 16 zero-history coefficients below
+        elif s == 1:
+            val = p1 if reader.bits(1) else m1
+        else:
+            raise ValueError("invalid AC refinement symbol (size > 1)")
+        while k <= se:  # advance r zero-history slots, refining along the way
+            if zz[k]:
+                refine(k)
+            else:
+                if r == 0:
+                    if val:
+                        zz[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return 0
+
+
+def _decode_progressive(
+    data: bytes, pos: int, frame: tuple,
+    qtabs: dict[int, np.ndarray],
+    huff_dc: dict[int, _HuffDecoder], huff_ac: dict[int, _HuffDecoder],
+) -> tuple[int, int, int, np.ndarray]:
+    """Multi-scan progressive decode: ``pos`` points at the first SOS
+    marker. Walks SOS/DHT/DQT segments until EOI, accumulating each
+    scan's coefficient contributions into the per-component MCU-padded
+    grids, then reconstructs once."""
+    fh, fw, comps = frame
+    n_comp = len(comps)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcuy, mcux = -(-fh // (8 * vmax)), -(-fw // (8 * hmax))
+    comp_coefs = [
+        np.zeros((mcuy * c[3] * mcux * c[2], 64), dtype=np.int64) for c in comps
+    ]
+    # per-component non-interleaved block grid (T.81 A.2.2)
+    cgrid = []
+    for cid, tq, hi, vi in comps:
+        cw, ch = -(-(fw * hi) // hmax), -(-(fh * vi) // vmax)
+        cgrid.append((-(-ch // 8), -(-cw // 8)))
+    id2ci = {c[0]: i for i, c in enumerate(comps)}
+
+    try:
+        while pos + 2 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"bad marker alignment at byte {pos}")
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if pos + 4 > len(data):
+                raise ValueError("truncated JPEG segment header")
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + seglen]
+            if len(body) != seglen - 2:
+                raise ValueError("truncated JPEG segment")
+            if marker == 0xDB:
+                _parse_dqt(body, qtabs)
+            elif marker == 0xC4:
+                _parse_dht(body, huff_dc, huff_ac)
+            elif marker == 0xDA:
+                ns = body[0]
+                scomps = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahl = body[3 + 2 * ns]
+                ah, al = ahl >> 4, ahl & 0xF
+                entropy, end = _entropy_segment_ex(data, pos + 2 + seglen)
+                _decode_prog_scan(
+                    _BitReader(entropy), scomps, ss, se, ah, al,
+                    comps, id2ci, comp_coefs, cgrid, mcuy, mcux,
+                    huff_dc, huff_ac,
+                )
+                pos = end
+                continue
+            pos = pos + 2 + seglen
+        else:
+            raise ValueError("truncated JPEG (no EOI)")
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt progressive JPEG: {e}") from e
+    return _reconstruct(fh, fw, comps, comp_coefs, qtabs, hmax, vmax, mcuy, mcux)
+
+
+def _decode_prog_scan(
+    reader: _BitReader, scomps: list[tuple[int, int]],
+    ss: int, se: int, ah: int, al: int,
+    comps: list, id2ci: dict[int, int], comp_coefs: list[np.ndarray],
+    cgrid: list[tuple[int, int]], mcuy: int, mcux: int,
+    huff_dc: dict[int, _HuffDecoder], huff_ac: dict[int, _HuffDecoder],
+) -> None:
+    """One progressive scan. DC scans (Ss=0) may be interleaved (MCU
+    order over the padded grid) or single-component; AC scans are always
+    single-component over the component's own block grid."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("invalid progressive scan (DC scan with Se > 0)")
+        preds = dict.fromkeys(range(len(scomps)), 0)
+        decs = []
+        for cid, tt in scomps:
+            td = tt >> 4
+            if ah == 0 and td not in huff_dc:
+                raise ValueError("missing DC Huffman table for scan")
+            decs.append(huff_dc.get(td))
+        if len(scomps) > 1:  # interleaved MCU order (incl. padding blocks)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for si, (cid, tt) in enumerate(scomps):
+                        ci = id2ci[cid]
+                        hi, vi = comps[ci][2], comps[ci][3]
+                        for dy in range(vi):
+                            for dx in range(hi):
+                                b = (my * vi + dy) * (mcux * hi) + (mx * hi + dx)
+                                zz = comp_coefs[ci][b]
+                                if ah == 0:
+                                    preds[si] = _dc_first_block(
+                                        reader, decs[si], zz, preds[si], al
+                                    )
+                                elif reader.bits(1):
+                                    zz[0] |= 1 << al
+        else:
+            ci = id2ci[scomps[0][0]]
+            hi = comps[ci][2]
+            cbh, cbw = cgrid[ci]
+            for by in range(cbh):
+                for bx in range(cbw):
+                    zz = comp_coefs[ci][by * (mcux * hi) + bx]
+                    if ah == 0:
+                        preds[0] = _dc_first_block(reader, decs[0], zz, preds[0], al)
+                    elif reader.bits(1):
+                        zz[0] |= 1 << al
+        return
+    # AC scan
+    if len(scomps) != 1:
+        raise ValueError("invalid progressive scan (interleaved AC scan)")
+    if se > 63 or ss > se:
+        raise ValueError(f"invalid progressive scan (band {ss}..{se})")
+    cid, tt = scomps[0]
+    ta = tt & 0xF
+    if ta not in huff_ac:
+        raise ValueError("missing AC Huffman table for scan")
+    dec = huff_ac[ta]
+    ci = id2ci[cid]
+    hi = comps[ci][2]
+    cbh, cbw = cgrid[ci]
+    block_fn = _ac_first_block if ah == 0 else _ac_refine_block
+    eobrun = 0
+    for by in range(cbh):
+        for bx in range(cbw):
+            zz = comp_coefs[ci][by * (mcux * hi) + bx]
+            eobrun = block_fn(reader, dec, zz, ss, se, al, eobrun)

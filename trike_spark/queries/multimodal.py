@@ -834,39 +834,49 @@ _QUARANTINE_JPEG_Q = 90
 _QUARANTINE_JPEG_BASE = (5, 4)  # 2x upsampled -> a 10x8 4:2:0 color JPEG
 
 
-def _quarantine_jpeg_pixels(doc_id: int):
-    """The 4:2:0 member's expected pixels: RGB constant on each 2×2 block
+def _quarantine_jpeg_pixels(doc_id: int, seed: str = "qj"):
+    """A JPEG member's expected pixels: RGB constant on each 2×2 block
     (derived from doc_id alone), the input class for which the 4:2:0
     round-trip error bound is PROVEN (functions/jpeg.py
-    roundtrip_error_bound_color)."""
+    roundtrip_error_bound_color). ``seed`` separates the baseline (qj)
+    and progressive (qp) members so a decode that confuses the two
+    cannot verify."""
     import numpy as np
 
     bh, bw = _QUARANTINE_JPEG_BASE
     base = np.frombuffer(
-        _derive_pixels(f"{doc_id}qj", bh * bw * 3), dtype=np.uint8
+        _derive_pixels(f"{doc_id}{seed}", bh * bw * 3), dtype=np.uint8
     ).reshape(bh, bw, 3)
     return np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
 
 
 def _quarantine_corpus_member(doc_id: int) -> tuple[str, bytes]:
-    """Derive the mixed-corpus member for one doc: doc_id % 6 ∈ {0,1} is
-    a valid 4x4 RGB PNG; 2 is truncated mid-IDAT; 3 has the interlace
-    flag set; 4 has the color type patched to palette (3); 5 is a valid
-    10x8 4:2:0 color JPEG (round 9 — the dominant real-world JPEG layout
-    now decodes instead of quarantining). Pixels derive from doc_id alone
-    so the decode stage can re-derive the expected bytes from the scanned
-    filename without a join."""
+    """Derive the mixed-corpus member for one doc: doc_id % 6 == 0 is
+    a valid 4x4 RGB PNG; 1 is a valid 10x8 PROGRESSIVE (SOF2) 4:2:0
+    color JPEG (round 10 — the second-most-common web-corpus JPEG layout
+    now decodes instead of quarantining; it was a PNG in rounds 8-9);
+    2 is truncated mid-IDAT; 3 has the interlace flag set; 4 has the
+    color type patched to palette (3); 5 is a valid 10x8 baseline 4:2:0
+    color JPEG (round 9). Pixels derive from doc_id alone so the decode
+    stage can re-derive the expected bytes from the scanned filename
+    without a join."""
     import hashlib
 
     import numpy as np
 
     from trike_spark.functions.codecs import encode_png
-    from trike_spark.functions.jpeg import encode_jpeg_baseline
+    from trike_spark.functions.jpeg import encode_jpeg_baseline, encode_jpeg_progressive
 
     m = doc_id % 6
     if m == 5:
         return f"{doc_id}.jpg", encode_jpeg_baseline(
             _quarantine_jpeg_pixels(doc_id),
+            quality=_QUARANTINE_JPEG_Q,
+            subsampling="4:2:0",
+        )
+    if m == 1:
+        return f"{doc_id}.jpg", encode_jpeg_progressive(
+            _quarantine_jpeg_pixels(doc_id, seed="qp"),
             quality=_QUARANTINE_JPEG_Q,
             subsampling="4:2:0",
         )
@@ -895,8 +905,11 @@ def _decode_or_quarantine_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.
     codecs' ValueError (functions/codecs.py, functions/jpeg.py) routes the
     row to a reason bucket instead of killing the task — the batch
     analogue of the reference's bad-bytes passthrough (fake_source.ex:68
-    ``--bad``). PNG rows verify byte-exact; 4:2:0 JPEG rows verify exact
-    dims + the proven color error bound."""
+    ``--bad``). PNG rows verify byte-exact; JPEG rows (baseline AND
+    progressive — the decode entry magic-sniffs the container, the codec
+    dispatches on the SOF marker) verify exact dims + the proven color
+    error bound, against per-layout expected pixels so a mixed-up decode
+    cannot verify."""
     import hashlib
     import os
 
@@ -917,7 +930,9 @@ def _decode_or_quarantine_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.
             try:
                 if payload[:2] == b"\xff\xd8":
                     w, h, c, arr = decode_jpeg_baseline(payload)
-                    want = _quarantine_jpeg_pixels(doc_id)
+                    want = _quarantine_jpeg_pixels(
+                        doc_id, seed="qp" if doc_id % 6 == 1 else "qj"
+                    )
                     ok = (
                         arr.shape == want.shape
                         and int(np.abs(arr.astype(int) - want.astype(int)).max())
@@ -1005,12 +1020,13 @@ def quarantine_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """,
     doc=(
         "Quarantine e2e: write a mixed corpus of real image files (valid "
-        "PNG + truncated + interlaced + palette + valid 4:2:0 color JPEG), "
-        "scan with binaryFile, magic-sniff and decode with ValueError "
-        "routing to per-reason quarantine buckets; the oracle predicts "
-        "every bucket count from the corruption schedule and n_verified "
-        "certifies the good rows decoded correctly (byte-exact for PNG, "
-        "exact dims + proven color bound for 4:2:0 JPEG)."
+        "PNG + truncated + interlaced + palette + valid baseline AND "
+        "progressive 4:2:0 color JPEGs), scan with binaryFile, "
+        "magic-sniff and decode with ValueError routing to per-reason "
+        "quarantine buckets; the oracle predicts every bucket count from "
+        "the corruption schedule and n_verified certifies the good rows "
+        "decoded correctly (byte-exact for PNG, exact dims + proven "
+        "color bound for both JPEG layouts)."
     ),
 )
 def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,8 +1037,10 @@ def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     files to a quarantine sink instead of wedging the job. This face
     proves the whole path on actual FILES: derive one image per document
     (3 of every 6 deliberately damaged in distinct ways; 1 of every 6 a
-    4:2:0 color JPEG — the dominant real-world layout, decoded since
-    round 9 instead of quarantined), write them once per (session,
+    baseline 4:2:0 color JPEG — the dominant real-world layout, decoded
+    since round 9 — and 1 of every 6 a PROGRESSIVE (SOF2) 4:2:0 JPEG,
+    the second-most-common web layout, decoded since round 10 through
+    the multi-scan Annex G path), write them once per (session,
     sf_dir) to a marker-guarded scratch dir, scan with the binaryFile
     source (io.read_binary_files — listing-time glob, content as opaque
     binary), magic-sniff + decode inside an Arrow stage with per-reason
