@@ -85,6 +85,27 @@ def test_ivf_index_probe_prunes_partitions_dynamically(spark):
     assert a == b
 
 
+def test_ivfpq_index_adc_prunes_partitions_dynamically(spark):
+    """The PQ serving path must inherit the IVF index's read discipline:
+    the pq_codes scan (parquet partitioned by cell) carries a
+    dynamic-pruning subquery from the broadcast best-cell set, and the
+    codebook decode is a broadcast join — per-query bytes are
+    cell-occupancy x M codes, never the corpus."""
+    from trike_spark.queries.vectors import sim_ivfpq_adc_topk, sim_ivfpq_index_adc
+
+    df = sim_ivfpq_index_adc(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # the only loop joins are the bounded broadcast crosses against the
+    # O(n_cells) centroid table (the sim_ivf_search pattern); a true
+    # unbounded cartesian is banned suite-wide by the plan lint
+    assert "CartesianProduct" not in plan, plan
+    # and the index-served scores match the rebuild-per-call face exactly
+    a = {tuple(r) for r in df.collect()}
+    b = {tuple(r) for r in sim_ivfpq_adc_topk(spark, SF_DIR).collect()}
+    assert a == b
+
+
 def test_embedding_cosine_pairs_no_nested_loop(spark):
     """The exact all-pairs op must distribute via the grid equality join:
     no BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan."""

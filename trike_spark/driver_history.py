@@ -553,6 +553,13 @@ DRIVER_VERIFIED: frozenset[str] = (
 # rotated verified tail, so the seed only needs the faces rewritten or
 # registered mid-round-10 (they'd otherwise sort behind the fresh names
 # and could miss the 50-entry window).
-WINDOW_PRIORITY: frozenset[str] = STALE_R10 | frozenset()
+WINDOW_PRIORITY: frozenset[str] = STALE_R10 | frozenset(
+    {
+        # registered mid-round-10: IVFADC probe against the MATERIALIZED
+        # index (cell-partitioned PQ codes + broadcast codebook, dynamic
+        # partition pruning; same oracle as sim_ivfpq_adc_topk)
+        "sim_ivfpq_index_adc",
+    }
+)
 
 

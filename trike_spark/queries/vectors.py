@@ -3066,6 +3066,215 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Extend the materialized IVF index (``ivf_index_dir``) with the PQ
+    layer a production IVFADC deployment serves from: ``pq_codes``
+    parquet PARTITIONED BY cell holding (vec_id, s, code) — M small ints
+    per vector, the compressed posting lists — and ``pq_codebook``
+    (code, s, cvec), the tiny decode table a prober broadcasts. Built
+    once per (session, corpus) behind its own marker; the coarse layer is
+    reused from the IVF build, so the two probes amortize ONE quantizer.
+
+    This is the round-10 companion to the r9 boundary measurement: the
+    IVF index probe showed the serving posture (probe-only α ≈ 0.36);
+    the PQ layer multiplies it — bytes-per-candidate drops from dim·8 to
+    M codes + one broadcast codebook, which is the only read budget that
+    survives a 100 TB embedding corpus."""
+    import os
+
+    path = ivf_index_dir(spark, sf_dir)  # ensures coarse layer exists
+    marker = os.path.join(path, "_SUCCESS_PQ")
+    if os.path.exists(marker):
+        return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = emb.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        F.col("embedding"),
+    ).select(
+        "vec_id",
+        "label",
+        "s",
+        F.expr(f"slice(embedding, s * {_PQ_D} + 1, {_PQ_D})").alias("subv"),
+    )
+    # per-(label, s) codebook — identical construction to the
+    # sim_ivfpq_adc_topk face (exact-decimal subvector means)
+    spx = subs.select("label", "s", F.posexplode("subv").alias("i", "x"))
+    cb = spx.groupBy("label", "s", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    cbv = (
+        cb.groupBy("label", "s")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
+        .select(
+            F.col("label").alias("code"),
+            "s",
+            F.transform("iv", lambda e: e["v"]).alias("cvec"),
+        )
+    )
+    d2 = _fold_sum(
+        F.zip_with(
+            F.col("subv"),
+            F.col("cvec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("code"))
+    codes = (
+        subs.join(broadcast(cbv), on="s")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    cell_of = spark.read.parquet(os.path.join(path, "members")).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+    codes.join(cell_of, on="vec_id").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "pq_codes"))
+    cbv.write.mode("overwrite").parquet(os.path.join(path, "pq_codebook"))
+    with open(marker, "w"):
+        pass
+    return path
+
+
+def _ivfpq_adc_oracle() -> str:
+    """The index-served ADC probe answers EXACTLY sim_ivfpq_adc_topk's
+    question — reuse its oracle verbatim so drift between the rebuilt and
+    materialized postures is a driver-hash mismatch."""
+    from trike_spark.registry import REGISTRY
+
+    return REGISTRY["sim_ivfpq_adc_topk"].oracle
+
+
+@register(
+    "sim_ivfpq_index_adc",
+    _ivfpq_adc_oracle(),
+    doc=(
+        "IVFADC probe against the MATERIALIZED index: cell-partitioned PQ "
+        "code parquet + a broadcast codebook — the probe reads only the "
+        "probed cell's code files (dynamic partition pruning) and decodes "
+        "them through the (n_codes x M)-row codebook, so per-query bytes "
+        "are cell-occupancy x M codes instead of full vectors. Results "
+        "identical to sim_ivfpq_adc_topk (same oracle)."
+    ),
+)
+def sim_ivfpq_index_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving shape of ``sim_ivfpq_adc_topk``: quantizer + code
+    assignment are a TABLE built once (``ivfpq_index_dir``), the probe is
+    (1) broadcast best-cell selection against the materialized centroids,
+    (2) a partition-pruned scan of that cell's PQ codes, (3) a broadcast
+    codebook decode + the same order-pinned ADC fold. At s=1 (every
+    correctness SF) cell == label and the codebook is the per-label
+    subvector-mean table, so the parent face's oracle certifies the whole
+    round-trip through the index layout — a dropped code row, a partition
+    type drift, or a codebook mis-join all break the driver hash.
+
+    Scale: per query the scan reads 1 of ~√n cell directories (DPP
+    asserted in tests/test_plan_shape.py), each row M ints wide; the
+    codebook broadcast is O(n_cells · M · dim/M · 8) = O(n_cells · dim)
+    bytes — the FAISS IVFADC memory budget."""
+    import os
+
+    path = ivfpq_index_dir(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = spark.read.parquet(os.path.join(path, "cells"))
+    codebook = spark.read.parquet(os.path.join(path, "pq_codebook"))
+    codes = spark.read.parquet(os.path.join(path, "pq_codes")).select(
+        F.col("vec_id").alias("n_vec_id"),
+        "s",
+        "code",
+        F.col("cell").cast("int").alias("cell"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    w_c = Window.partitionBy("q_vec_id").orderBy(
+        cosine(F.col("q_emb"), F.col("cvec")).desc(), F.col("cell")
+    )
+    best = (
+        q.crossJoin(broadcast(cells))
+        .withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") == 1)
+        .select("q_vec_id", F.col("cell").alias("probe_label"))
+    )
+    qsub = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("qs"),
+        "embedding",
+    ).select(
+        "q_vec_id",
+        "qs",
+        F.expr(f"slice(embedding, qs * {_PQ_D} + 1, {_PQ_D})").alias("q_sub"),
+    )
+    qn = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    probe = qsub.join(broadcast(best), on="q_vec_id")
+    cb = codebook.select(
+        F.col("code").alias("cb_code"),
+        F.col("s").alias("cb_s"),
+        F.col("cvec"),
+    )
+    parts = (
+        codes.join(
+            broadcast(probe),
+            (F.col("s") == F.col("qs"))
+            & (F.col("cell") == F.col("probe_label"))
+            & (F.col("n_vec_id") != F.col("q_vec_id")),
+        )
+        .join(
+            broadcast(cb),
+            (F.col("cb_s") == F.col("s")) & (F.col("cb_code") == F.col("code")),
+        )
+        .select(
+            "q_vec_id",
+            "probe_label",
+            "n_vec_id",
+            "s",
+            dot(F.col("q_sub"), F.col("cvec")).alias("dotp"),
+            dot(F.col("cvec"), F.col("cvec")).alias("np"),
+        )
+    )
+    folded = (
+        parts.groupBy("q_vec_id", "probe_label", "n_vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "dotp"))).alias("dps"),
+            F.array_sort(F.collect_list(F.struct("s", "np"))).alias("nps"),
+        )
+        .select(
+            "q_vec_id",
+            "probe_label",
+            "n_vec_id",
+            _fold_sum(F.transform("dps", lambda e: e["dotp"])).alias("adc_dot"),
+            _fold_sum(F.transform("nps", lambda e: e["np"])).alias("rnorm2"),
+        )
+    )
+    scored = folded.join(broadcast(qn), on="q_vec_id").select(
+        "q_vec_id",
+        "probe_label",
+        "n_vec_id",
+        F.round(
+            F.col("adc_dot") / (F.col("q_norm") * F.sqrt(F.col("rnorm2"))), 6
+        ).alias("adc_score"),
+    )
+    w_rank = Window.partitionBy("q_vec_id").orderBy(
+        F.col("adc_score").desc(), F.col("n_vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_vec_id", "probe_label", "n_vec_id", "adc_score", "rk")
+    )
+
+
 # --- mutual-NN bitext-style mining (margin criterion) --------------------------------
 
 BITEXT_CAP = 500  # bound the candidate grid at every SF
