@@ -62,6 +62,16 @@ def main() -> None:
     ap.add_argument("--connections", type=int, default=8)
     ap.add_argument("--sink", choices=("driver", "distributed"), default="driver")
     ap.add_argument(
+        "--put-latency-ms",
+        type=float,
+        default=0.0,
+        help="modeled per-put service round-trip (sleep before each "
+        "put_record): the strict driver chain serializes n_keys puts per "
+        "batch, the distributed sink parallelizes them across partitions "
+        "— 0 (default) measures pure pipeline capacity, a realistic "
+        "5-20 ms exposes the multi-key crossover between the two legs.",
+    )
+    ap.add_argument(
         "--trigger-ms",
         type=int,
         default=0,
@@ -96,9 +106,30 @@ def main() -> None:
     from trike_spark.streaming.sources import fake_chunk_stream
 
     spark = get_spark("stream-bench")
+    put_sleep = args.put_latency_ms / 1e3
+
+    def _with_latency(client):
+        """Model the service round-trip the fake client elides: the real
+        strict chain is SERIAL per put (SequenceNumberForOrdering means
+        the next put can't start before the previous response), so at
+        100+ keys the driver sink pays n_keys x RTT per micro-batch while
+        the distributed sink pays ceil(keys/partitions) x RTT — the
+        architectural crossover this flag makes measurable on a box with
+        no real network."""
+        if not put_sleep:
+            return client
+        inner = client.put_record
+
+        class _Latent:
+            def put_record(self, stream, partition_key, data, **kw):
+                time.sleep(put_sleep)
+                return inner(stream, partition_key, data, **kw)
+
+        return _Latent()
+
     if args.sink == "driver":
         client = FakeKinesisClient()
-        sink = KinesisSink(stream="console", client=client)
+        sink = KinesisSink(stream="console", client=_with_latency(client))
         # (arrival wall clock, raw JSON-array records) per micro-batch; the
         # decode-and-count runs AFTER the stream stops — parsing millions
         # of events with the driver's single-threaded json module inside
@@ -143,7 +174,7 @@ def main() -> None:
                     _acc.add(len(json.loads(data)))
                     return put(stream, partition_key, data, **kw)
 
-            return _Counting()
+            return _with_latency(_Counting())
 
         sink = DistributedKinesisSink(stream="console", client_factory=factory)
         batch_times = []  # (arrival wall clock, cumulative delivered)
@@ -238,6 +269,7 @@ def main() -> None:
                 "offered_rows_per_sec": args.rows_per_second,
                 "connections": args.connections,
                 "sink": args.sink,
+                "put_latency_ms": args.put_latency_ms,
                 "master": args.master or "local[default]",
                 "counting": (
                     "driver-decoded (exact)"
