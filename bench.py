@@ -116,6 +116,10 @@ HEADLINE = [
     "multimodal_y4m_frame_sample",
     "multimodal_decode_quarantine",
     "events_session_stats_dynamic_gap",
+    # round-10 addition: the index-served IVFPQ/ADC probe (the
+    # quarantine face above now also carries the progressive-JPEG
+    # members, so its row tracks the SOF2 decode cost round-over-round)
+    "sim_ivfpq_index_adc",
 ]
 
 
