@@ -574,7 +574,17 @@ def dedup_embedding_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     restore recall), keeping candidate work at Θ(n·R(n)) = Θ(n log n) —
     linear per rotation — where the fixed 4×6 table measured quadratic
     in the r7 scale probe; the r9 sf5→sf25 probe measured the schedule
-    tracking that model through the third decade (BENCH_NOTES r9)."""
+    tracking that model through the third decade (BENCH_NOTES r9).
+
+    Scale caveat, adjudicated r9 (BENCH_NOTES "LSH pairs third-decade
+    probe"): at the deliberately loose 0.4 threshold the TRUE-pair mass
+    is itself quadratic in corpus size (isotropy audit — no index can
+    emit a quadratic answer sub-quadratically), so this face's wall
+    clock at large SF tracks its output, not its candidate work. The
+    0.4 cutoff exists for oracle checkability at tiny SFs; production
+    dedup runs the ≥ 0.9 regime, where output mass and candidate work
+    are both linear under the schedule. Don't benchmark the 0.4 face at
+    sf100 and read the output cost as a scale bug."""
     from trike_spark.operators.vector_blocks import lsh_bucket_cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
