@@ -85,6 +85,24 @@ def test_ivf_index_probe_prunes_partitions_dynamically(spark):
     assert a == b
 
 
+def test_ivf_index_multiprobe_prunes_partitions_dynamically(spark):
+    """The nprobe>1 serving path keeps the index read discipline: the
+    members scan's dynamic-pruning subquery admits NPROBE partitions per
+    query (still fed by a broadcast probe set), and results match the
+    rebuild-per-call multiprobe face exactly."""
+    from trike_spark.queries.vectors import (
+        sim_ivf_index_multiprobe,
+        sim_ivf_multiprobe,
+    )
+
+    df = sim_ivf_index_multiprobe(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    a = {tuple(r) for r in df.collect()}
+    b = {tuple(r) for r in sim_ivf_multiprobe(spark, SF_DIR).collect()}
+    assert a == b
+
+
 def test_ivfpq_index_adc_prunes_partitions_dynamically(spark):
     """The PQ serving path must inherit the IVF index's read discipline:
     the pq_codes scan (parquet partitioned by cell) carries a

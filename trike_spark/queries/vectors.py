@@ -691,6 +691,76 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_multiprobe_oracle() -> str:
+    """The index-served multiprobe answers EXACTLY sim_ivf_multiprobe's
+    question — reuse its oracle verbatim so drift between the rebuilt and
+    materialized postures is a driver-hash mismatch."""
+    from trike_spark.registry import REGISTRY
+
+    return REGISTRY["sim_ivf_multiprobe"].oracle
+
+
+@register(
+    "sim_ivf_index_multiprobe",
+    _ivf_multiprobe_oracle(),
+    doc=(
+        f"IVF multiprobe against the MATERIALIZED index: the {NPROBE} "
+        "nearest centroids per query become a broadcast probe set joined "
+        "on the cell partition column, so the members scan is dynamically "
+        "pruned to exactly the probed cells' files — the production "
+        "recall-vs-read-budget lever served from the write-once index. "
+        "Results identical to sim_ivf_multiprobe (same oracle)."
+    ),
+)
+def sim_ivf_index_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the serving matrix: single-probe and ADC both have
+    index-served twins (``sim_ivf_index_probe``, ``sim_ivfpq_index_adc``);
+    this is the nprobe>1 coarse path — what a production deployment
+    actually runs, since shrinking cells (the Lloyd split's √n schedule)
+    pushes true neighbors across cell boundaries and multiprobe is the
+    recall insurance. Physically it is ``sim_ivf_index_probe`` with the
+    best-cell filter widened to rn <= NPROBE: the probe set stays a
+    broadcast (NPROBE rows per query), the members scan's dynamic-pruning
+    subquery now admits NPROBE partitions per query instead of one, and
+    cells are disjoint so the union needs no dedup. Per-query reads =
+    NPROBE x cell occupancy — the multiplier is visible in the partition
+    count, not in any shuffle."""
+    path = ivf_index_dir(spark, sf_dir)
+    cells = spark.read.parquet(f"{path}/cells")
+    members = spark.read.parquet(f"{path}/members").select(
+        F.col("vec_id").alias("n_vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("embedding").alias("n_emb"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    w_c = Window.partitionBy("q_vec_id").orderBy(
+        cosine(F.col("q_emb"), F.col("cvec")).desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(broadcast(cells))
+        .withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") <= NPROBE)
+        .select("q_vec_id", "q_emb", F.col("cell").alias("probe_label"))
+    )
+    cos = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+    w_m = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cosine").desc(), F.col("n_vec_id")
+    )
+    return (
+        members.join(
+            broadcast(probes),
+            (members.cell == F.col("probe_label"))
+            & (F.col("n_vec_id") != F.col("q_vec_id")),
+        )
+        .select("q_vec_id", "n_vec_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w_m))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
 @register(
     "sim_norms_pandas_udf",
     """
