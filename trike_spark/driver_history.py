@@ -537,7 +537,16 @@ VERIFIED_R09: frozenset[str] = frozenset(
 # only by progressive markers; the refactors around it —
 # _prep_quantized, _parse_dqt/_parse_dht, _reconstruct — are pure
 # extractions verified by the unchanged jpeg test suite + oracle runs).
-STALE_R10: frozenset[str] = frozenset({"multimodal_decode_quarantine"})
+STALE_R10: frozenset[str] = frozenset(
+    {
+        "multimodal_decode_quarantine",
+        # graph_knn_components: mutualization rewritten mid-round-10 from
+        # a reversal self-join (two exchanges) to a normalized-pair
+        # count==2 groupBy (one map-side-combined exchange, no knn
+        # checkpoint) — same mutual-kNN semantics, re-sign the new plan.
+        "graph_knn_components",
+    }
+)
 
 # Union of every name hard-verified by a past driver round and still valid.
 # The r5 window re-proved every stale name, so the stale subtractions are

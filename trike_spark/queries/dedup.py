@@ -1613,15 +1613,27 @@ def graph_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     list, never the corpus."""
     from trike_spark.operators.graph import connected_components_star
 
-    knn = cache.checkpoint(sim_knn_graph_lsh(spark, sf_dir).select("src", "dst"))
-    a, b = knn.alias("a"), knn.alias("b")
+    knn = sim_knn_graph_lsh(spark, sf_dir).select("src", "dst")
     # mutual filter: an edge survives only if BOTH endpoints rank each
     # other top-k — the standard hub-suppression rule, without which one
     # high-degree bucket node stitches everything into a single component.
-    edges = a.join(
-        b,
-        (F.col("b.src") == F.col("a.dst")) & (F.col("b.dst") == F.col("a.src")),
-    ).select(F.col("a.src").alias("src"), F.col("a.dst").alias("dst"))
+    # Physically: normalize each directed edge to (min, max) and keep
+    # pairs seen from BOTH directions — one exchange on the normalized
+    # key with a map-side-combined count, instead of self-joining the
+    # edge list against its own reversal (two exchanges, double the
+    # bytes). Each direction appears at most once (top-k is per-src
+    # distinct-dst), so count == 2 ⇔ reciprocated; CC consumes the
+    # one-row-per-undirected-pair form directly (it unions the reverse
+    # direction itself).
+    edges = (
+        knn.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_dir"))
+        .filter(F.col("n_dir") == 2)
+        .select("src", "dst")
+    )
     edges = cache.checkpoint(edges)
     labels = connected_components_star(edges, src="src", dst="dst")
     return labels.groupBy(F.col("lbl").alias("component")).agg(
