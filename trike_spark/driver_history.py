@@ -545,6 +545,12 @@ STALE_R10: frozenset[str] = frozenset(
         # count==2 groupBy (one map-side-combined exchange, no knn
         # checkpoint) — same mutual-kNN semantics, re-sign the new plan.
         "graph_knn_components",
+        # sketch_ddsketch_quantiles: exact control leg rewritten
+        # mid-round-10 from Spark's percentile() (unspillable per-task
+        # value map; 60.9 s + GC thrash at sf5, OOM at scale) to the
+        # sketch-guided two-pass selection — same quantile_cont
+        # semantics, re-sign the new plan.
+        "sketch_ddsketch_quantiles",
     }
 )
 

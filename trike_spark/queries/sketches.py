@@ -1524,17 +1524,31 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE map-side-combined bucket count (≈700 buckets for
     the full double range at γ=1.02), a cumulative window over the
     BUCKET dimension, 3 output rows — and the measured rel_err column IS
-    the ±1 % guarantee, visible."""
+    the ±1 % guarantee, visible. The exact CONTROL leg (round 10) is a
+    sketch-guided two-pass selection instead of Spark's ``percentile()``:
+    the builtin materializes a per-task value→count map that cannot
+    spill — measured 18.7 s at sf1 / 60.9 s at sf5 with GC-locker
+    thrash, and a guaranteed OOM at real scale. Pass 2 re-reads only the
+    rows whose bucket the cumulative table says contains each target
+    rank (≈ γ−1 ≈ 2 % of the corpus for all six ranks together), counts
+    per distinct value, and takes the within-bucket k-th via a window
+    PARTITIONED BY bucket — every stage is a spillable agg or a
+    partitioned window, nothing driver-side, nothing unspillable. Same
+    quantile_cont interpolation (lower + frac·(upper−lower) at position
+    1 + (n−1)q), same oracle, hash-locked."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
     v = li.select(F.col("l_extendedprice").cast("double").alias("x"))
-    n = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # n (1 row) and cum (~700 rows) each feed several consumers below;
+    # checkpoint them so the full-corpus count/bucket subtree is scanned
+    # once, not once per consumer.
+    n = cache.checkpoint(v.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
     b = v.select(
         F.ceil(F.log(F.col("x")) / F.log(F.lit(DD_GAMMA))).cast("bigint").alias("bucket")
     ).groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
     from pyspark.sql import Window
 
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = b.withColumn("cum_c", F.sum("c").over(w))
+    cum = cache.checkpoint(b.withColumn("cum_c", F.sum("c").over(w)))
     qs = None
     for q in DD_QS:
         row = n.select(
@@ -1555,21 +1569,82 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (DD_GAMMA + 1.0)
         ).alias("e"),
     )
-    exact = v.agg(
-        *[
-            F.expr(f"percentile(x, {q})").alias(f"x{int(q * 100)}")
-            for q in DD_QS
-        ]
-    )
-    ex_col = None
+    # exact control leg, sketch-guided (see docstring): 6 target ranks
+    # (lower/upper order statistic per quantile at continuous position
+    # 1 + (n-1)q), each located in its bucket by the ~700-row cumulative
+    # table, then selected exactly inside that bucket alone.
+    targets = None
     for q in DD_QS:
-        branch = F.when(F.col("q") == q, F.col(f"x{int(q * 100)}"))
-        ex_col = branch if ex_col is None else ex_col.when(
-            F.col("q") == q, F.col(f"x{int(q * 100)}")
+        pos = F.lit(1.0) + (F.col("n") - 1).cast("double") * F.lit(q)
+        row = n.select(
+            F.lit(q).alias("eq"),
+            (pos - F.floor(pos)).alias("frac"),
+            F.floor(pos).cast("bigint").alias("k_lo"),
+            F.ceil(pos).cast("bigint").alias("k_hi"),
         )
-    return est.crossJoin(F.broadcast(exact)).select(
+        targets = row if targets is None else targets.unionByName(row)
+    t6 = targets.select(
+        "eq",
+        "frac",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("side"), F.col("k_lo").alias("k")),
+                F.struct(F.lit("hi").alias("side"), F.col("k_hi").alias("k")),
+            )
+        ).alias("s"),
+    ).select("eq", "frac", F.col("s.side").alias("side"), F.col("s.k").alias("k"))
+    # bucket containing rank k = first bucket whose cum_c reaches k; the
+    # struct-min also carries that bucket's own count so the rank within
+    # the bucket is k - (cum_c - c). cum is ~700 rows — broadcast it.
+    located = (
+        t6.join(F.broadcast(cum), F.col("cum_c") >= F.col("k"))
+        .groupBy("eq", "frac", "side", "k")
+        .agg(F.min(F.struct("bucket", "cum_c", "c")).alias("b"))
+        .select(
+            "eq",
+            "frac",
+            "side",
+            F.col("b.bucket").alias("tbucket"),
+            (F.col("k") - (F.col("b.cum_c") - F.col("b.c"))).alias("k_in"),
+        )
+    )
+    # pass 2: only rows in the (<= 6) hit buckets survive the semi-join;
+    # per-value counts cumulate under a window PARTITIONED BY bucket.
+    hit_buckets = located.select(F.col("tbucket").alias("bucket")).distinct()
+    vb = v.select(
+        "x",
+        F.ceil(F.log(F.col("x")) / F.log(F.lit(DD_GAMMA)))
+        .cast("bigint")
+        .alias("bucket"),
+    ).join(F.broadcast(hit_buckets), "bucket", "left_semi")
+    wb = Window.partitionBy("bucket").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    vcum = (
+        vb.groupBy("bucket", "x")
+        .agg(F.count(F.lit(1)).alias("vc"))
+        .withColumn("vcum", F.sum("vc").over(wb))
+    )
+    picked = (
+        vcum.join(
+            F.broadcast(located),
+            (F.col("bucket") == F.col("tbucket")) & (F.col("vcum") >= F.col("k_in")),
+        )
+        .groupBy("eq", "frac", "side")
+        .agg(F.min("x").alias("xv"))
+    )
+    exact_q = (
+        picked.groupBy("eq", "frac")
+        .pivot("side", ["lo", "hi"])
+        .agg(F.first("xv"))
+        .select(
+            "eq",
+            (F.col("lo") + F.col("frac") * (F.col("hi") - F.col("lo"))).alias("xq"),
+        )
+    )
+    return est.join(exact_q, est.q == exact_q.eq).select(
         "q",
         F.round("e", 2).alias("dd_estimate"),
-        F.round(ex_col, 2).alias("exact_quantile"),
-        F.round(F.abs(F.col("e") - ex_col) / ex_col, 6).alias("rel_err"),
+        F.round("xq", 2).alias("exact_quantile"),
+        F.round(F.abs(F.col("e") - F.col("xq")) / F.col("xq"), 6).alias("rel_err"),
     )
