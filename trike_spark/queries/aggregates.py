@@ -208,21 +208,37 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the ANN recall gates (sim_*_recall_at_k). rsd=0.01 measures ≤0.9 %
     error on all test SFs; the 3 % bound is ~3 standard deviations. The
     exact leg exists to certify the sketch (at 100 TB you certify on a
-    sample, then trust the sketch)."""
+    sample, then trust the sketch).
+
+    Plan shape (round 10): the two key columns get SEPARATE expand-free
+    legs. Putting two countDistinct + two HLL in one groupBy makes Spark
+    plan an Expand (every fact row replicated ×3) feeding one
+    aggregation whose partial maps hold both key spaces at once — the
+    sf5 probe killed it with UNABLE_TO_ACQUIRE_MEMORY mid-spill. Each
+    leg is now distinct(flag, key) — a spillable two-phase hash agg —
+    then one tiny per-flag agg computing the exact count AND the HLL
+    over the distinct keys (HLL is duplicate-insensitive, so the
+    estimate is bit-identical to one over the raw rows); the flag-keyed
+    join of the two 3-row legs broadcasts."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", APPROX_DISTINCT_RSD).alias("ao"),
-        F.countDistinct("l_orderkey").alias("eo"),
-        F.approx_count_distinct("l_partkey", APPROX_DISTINCT_RSD).alias("ap"),
-        F.countDistinct("l_partkey").alias("ep"),
-    )
+
+    from pyspark.sql.functions import broadcast
 
     from trike_spark.functions.certify import within_rel_bound
 
-    return agg.select(
+    def leg(col: str, exact_alias: str, est_alias: str) -> DataFrame:
+        d = li.select("l_returnflag", col).distinct()
+        return d.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("bigint").alias(exact_alias),
+            F.approx_count_distinct(col, APPROX_DISTINCT_RSD).alias(est_alias),
+        )
+
+    orders = leg("l_orderkey", "eo", "ao")
+    parts = leg("l_partkey", "ep", "ap")
+    return orders.join(broadcast(parts), "l_returnflag").select(
         "l_returnflag",
-        F.col("eo").cast("bigint").alias("n_orders_exact"),
-        F.col("ep").cast("bigint").alias("n_parts_exact"),
+        F.col("eo").alias("n_orders_exact"),
+        F.col("ep").alias("n_parts_exact"),
         within_rel_bound("ao", "eo", APPROX_DISTINCT_BOUND).alias("orders_est_within_bound"),
         within_rel_bound("ap", "ep", APPROX_DISTINCT_BOUND).alias("parts_est_within_bound"),
     )
