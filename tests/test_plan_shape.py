@@ -623,11 +623,17 @@ def test_mann_whitney_rank_is_band_partitioned(spark):
 
 
 def test_rfm_ntiles_are_band_partitioned(spark):
-    """Three exact ntiles → three banded passes; the 3 unpartitioned
-    windows are the per-pass band-stats offsets only."""
+    """Three exact ntiles → three banded passes, each materialized before
+    the next (a pass references its input twice, so unmaterialized
+    chaining duplicated the orders scan 2³ times). Only the final pass is
+    in the visible plan: 1 unpartitioned window, over its band-stats
+    table; the earlier passes run behind checkpoints with the same
+    banded shape."""
+    from trike_spark.cache import release_checkpoints
     from trike_spark.queries.aggregates import agg_rfm_segmentation
 
-    _banded_shape(agg_rfm_segmentation(spark, SF_DIR), 3)
+    _banded_shape(agg_rfm_segmentation(spark, SF_DIR), 1)
+    release_checkpoints()
 
 
 def test_heaps_cumulatives_are_band_partitioned(spark):

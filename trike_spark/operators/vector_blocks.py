@@ -278,21 +278,42 @@ def _grid_tag(bucketed: DataFrame, bucket_cap: int | None) -> DataFrame:
     with_g = bucketed.withColumn(
         "g", F.greatest(F.ceil(occ / F.lit(bucket_cap)), F.lit(1)).cast("int")
     )
-    cold = with_g.filter(F.col("g") == 1).select(
-        "vid", "emb", "nrm", "rot", "bucket",
-        F.lit(0).alias("gr"), F.lit(0).alias("gc"), F.lit("ab").alias("side"),
+    # One explode of a per-row generated tag array replaces the previous
+    # cold ∪ hot_a ∪ hot_b three-branch union: those were three plan
+    # references to the subtree above, and Spark does not CSE across union
+    # branches, so the corpus-wide Python bucket-assignment stage (and the
+    # occupancy window) executed THREE times per query — measured as 6
+    # MapInPandas nodes in sim_lsh_bucket_topk's physical plan where the
+    # algorithm needs 2. A cold row (g == 1) emits its single self-cross
+    # cell; a hot row emits its g 'a'-cells plus g 'b'-cells — identical
+    # rows to the old union, from exactly one pass over the input.
+    g = F.col("g")
+    cold_tag = F.array(
+        F.struct(
+            F.lit(0).alias("gr"), F.lit(0).alias("gc"), F.lit("ab").alias("side")
+        )
     )
-    hot = with_g.filter(F.col("g") > 1)
-    hot_a = hot.select(
-        "vid", "emb", "nrm", "rot", "bucket",
-        F.pmod(F.col("vid"), F.col("g")).cast("int").alias("gr"),
-        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("gc"),
-        F.lit("a").alias("side"),
+    hot_tags = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), g - 1),
+            lambda j: F.struct(
+                F.pmod(F.col("vid"), g).cast("int").alias("gr"),
+                j.cast("int").alias("gc"),
+                F.lit("a").alias("side"),
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), g - 1),
+            lambda j: F.struct(
+                j.cast("int").alias("gr"),
+                F.pmod(F.col("vid"), g).cast("int").alias("gc"),
+                F.lit("b").alias("side"),
+            ),
+        ),
     )
-    hot_b = hot.select(
+    return with_g.select(
         "vid", "emb", "nrm", "rot", "bucket",
-        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("gr"),
-        F.pmod(F.col("vid"), F.col("g")).cast("int").alias("gc"),
-        F.lit("b").alias("side"),
+        F.explode(F.when(g == 1, cold_tag).otherwise(hot_tags)).alias("tag"),
+    ).select(
+        "vid", "emb", "nrm", "rot", "bucket", "tag.gr", "tag.gc", "tag.side"
     )
-    return cold.unionByName(hot_a).unionByName(hot_b)

@@ -533,6 +533,7 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so the distributed rank equals the oracle's NTILE input
     rank exactly; parallelism is #bands per pass instead of 1, and the
     per-segment rollup is a tiny keyed agg (≤125 cells)."""
+    from trike_spark import cache
     from trike_spark.operators.banded import banded_ntile
 
     o = load_table(spark, sf_dir, "orders")
@@ -541,19 +542,32 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("o_totalprice")).alias("monetary"),
     )
-    scored = banded_ntile(
-        base,
-        -F.datediff(F.col("last_order"), F.lit("1992-01-01")),
-        [F.col("last_order").desc(), F.col("custkey")],
-        RFM_BINS,
-        "r_score",
+    # Each banded pass references its input TWICE (band stats + ranked
+    # rows) and Spark does not CSE across join branches, so chaining three
+    # unmaterialized passes duplicated the upstream subtree exponentially:
+    # the orders scan + customer aggregation appeared 2³ = 8 times in the
+    # physical plan (census: scans 8, exchanges 22). Materializing the
+    # customer-sized table between passes makes every pass read one cached
+    # generation — 1 scan, and each pass adds only its own exchanges. At
+    # scale the materialized rows are O(customers), tiny next to orders.
+    scored = cache.checkpoint(base)
+    scored = cache.checkpoint(
+        banded_ntile(
+            scored,
+            -F.datediff(F.col("last_order"), F.lit("1992-01-01")),
+            [F.col("last_order").desc(), F.col("custkey")],
+            RFM_BINS,
+            "r_score",
+        )
     )
-    scored = banded_ntile(
-        scored,
-        -F.col("frequency"),
-        [F.col("frequency").desc(), F.col("custkey")],
-        RFM_BINS,
-        "f_score",
+    scored = cache.checkpoint(
+        banded_ntile(
+            scored,
+            -F.col("frequency"),
+            [F.col("frequency").desc(), F.col("custkey")],
+            RFM_BINS,
+            "f_score",
+        )
     )
     scored = banded_ntile(
         scored,

@@ -19,7 +19,7 @@ ranks) with the same engine rules as everything else here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -100,23 +100,33 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    # The loop runs on LONG node ids (custkey·2 / suppkey·2+1) instead of
+    # the output's "c…"/"s…" strings: every per-round shuffle and join then
+    # carries and compares 8-byte keys, not variable-length strings — the
+    # narrower-types move (guide §2.3) applied to the hottest column. The
+    # string form is reconstructed in the final projection only (a narrow
+    # map over O(V) rows), so the output is bit-identical.
+    cnode = (F.col("o_custkey").cast("long") * 2)
+    snode = (F.col("l_suppkey").cast("long") * 2 + 1)
     edges = e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
         e0.select(snode.alias("src"), cnode.alias("dst"))
     )
-    # One materialization feeds outdeg + every round's join — without it the
-    # orders⋈lineitem distinct would recompute 2·ITERS+1 times.
-    edges = cache.checkpoint(edges)
+    # One materialization feeds every round's join — without it the
+    # orders⋈lineitem distinct would recompute 2·ITERS+1 times. The
+    # out-degree rides INSIDE the checkpoint as a whole-partition window
+    # count (one shuffle, paid once) instead of a separate outdeg table
+    # joined back every round (ITERS extra joins of the full edge list).
+    edges = cache.checkpoint(
+        edges.withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
     scores = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("score"))
     for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(scores, edges.src == scores.node)
-            .join(outdeg, "src")
-            .select(F.col("dst"), F.expr("score div deg").alias("contrib"))
+        contrib = edges.join(scores, edges.src == scores.node).select(
+            F.col("dst"), F.expr("score div deg").alias("contrib")
         )
         incoming = contrib.groupBy("dst").agg(F.sum("contrib").alias("inc"))
         scores = nodes.join(incoming, nodes.node == incoming.dst, "left").select(
@@ -126,7 +136,13 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100")
             ).cast("long").alias("score"),
         )
-    return scores
+    return scores.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+            F.expr("node div 2").cast("string"),
+        ).alias("node"),
+        "score",
+    )
 
 
 def _bucket_case_sql(col: str) -> str:
@@ -706,8 +722,12 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    # Node ids stay LONG throughout (custkey·2 / suppkey·2+1): the face
+    # only ever outputs per-round COUNTS, so the "c…"/"s…" string encoding
+    # the shared oracle uses is pure per-round shuffle/compare overhead
+    # here — same node set, same degrees, same counts (guide §2.3).
+    cnode = (F.col("o_custkey").cast("long") * 2)
+    snode = (F.col("l_suppkey").cast("long") * 2 + 1)
     edges = cache.checkpoint(
         e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
             e0.select(snode.alias("src"), cnode.alias("dst"))

@@ -824,17 +824,28 @@ def _bpe_train(d: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     merge_rows = []
     for r in range(BPE_MERGES):
         words = cache.checkpoint(words)
-        wv = Window.partitionBy("word_id").orderBy("pos")
-        lx = words.select(
-            "word_id", "wc", F.posexplode("syms").alias("pos", "sym")
-        ).withColumn("nxt", F.lead("sym").over(wv))
-        pc = (
-            lx.filter(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
-            .agg(F.sum("wc").alias("cnt"))
+        # Adjacent-pair counts ARRAY-SIDE: zip the symbol array with its
+        # own 1-shift and explode the pair structs. The previous shape
+        # (posexplode + LEAD window, then islands-parity via two more
+        # windows and two (word_id, pos) joins to rebuild the arrays)
+        # shuffled the corpus' full (word, position) expansion several
+        # times per round; pair counting needs exactly ONE exchange (the
+        # map-side-combined (a, b) aggregate) and the merge application
+        # below needs zero.
+        n = F.size("syms")
+        pairs = words.select(
+            "wc",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.slice("syms", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
         )
-        best = pc.orderBy(F.desc("cnt"), "sym", "nxt").limit(1).select(
-            F.col("sym").alias("ba"), F.col("nxt").alias("bb"), F.col("cnt")
+        pc = pairs.groupBy("p.a", "p.b").agg(F.sum("wc").alias("cnt"))
+        best = pc.orderBy(F.desc("cnt"), "a", "b").limit(1).select(
+            F.col("a").alias("ba"), F.col("b").alias("bb"), F.col("cnt")
         )
         best = cache.checkpoint(best)
         merge_rows.append(
@@ -845,45 +856,51 @@ def _bpe_train(d: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
                 F.col("cnt").cast("bigint").alias("pair_count"),
             )
         )
-        mt = (
-            lx.crossJoin(F.broadcast(best))
-            .filter((F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")))
-            .select("word_id", "pos")
+        # Greedy LEFT-TO-RIGHT non-overlapping merge as a sequential array
+        # fold (zero shuffle, zero windows): carry (out, pend) — pend is
+        # the previous symbol still eligible to start a merge. A merged
+        # pair clears pend, so runs of overlapping matches (only possible
+        # when A = B) activate alternate members exactly like the
+        # gaps-and-islands parity rule this replaces — and exactly like
+        # the reference greedy scan in the oracle (verified hash-identical
+        # merges at sf0.01 and sf0.1 before the swap).
+        zero = F.struct(
+            F.expr("cast(array() as array<string>)").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
         )
-        isl = mt.withColumn(
-            "island", F.col("pos") - F.row_number().over(wv)
-        )
-        act = (
-            isl.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("word_id", "island").orderBy("pos")
-                ),
-            )
-            .filter(F.col("rn") % 2 == 1)
-            .select("word_id", "pos")
-        )
-        a1 = act.select(F.col("word_id").alias("w1"), F.col("pos").alias("p1"))
-        a0 = act.select(F.col("word_id").alias("w0"), (F.col("pos") + 1).alias("p0"))
-        rebuilt = (
-            lx.join(a1, (F.col("word_id") == F.col("w1")) & (F.col("pos") == F.col("p1")), "left")
-            .join(a0, (F.col("word_id") == F.col("w0")) & (F.col("pos") == F.col("p0")), "left")
-            .filter(F.col("p0").isNull())
-            .withColumn(
-                "sym_new",
+
+        def step(acc, s):
+            merged = (acc["pend"] == F.col("ba")) & (s == F.col("bb"))
+            return (
                 F.when(
-                    F.col("p1").isNotNull(), F.concat(F.col("sym"), F.col("nxt"))
-                ).otherwise(F.col("sym")),
+                    acc["pend"].isNull(),
+                    F.struct(acc["out"].alias("out"), s.alias("pend")),
+                )
+                .when(
+                    merged,
+                    F.struct(
+                        F.concat(
+                            acc["out"], F.array(F.concat(acc["pend"], s))
+                        ).alias("out"),
+                        F.lit(None).cast("string").alias("pend"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                        s.alias("pend"),
+                    )
+                )
             )
-            .groupBy("word_id", "wc")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "sym_new"))),
-                    lambda x: x.sym_new,
-                ).alias("syms")
+
+        def fin(acc):
+            return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+                F.concat(acc["out"], F.array(acc["pend"]))
             )
+
+        words = words.crossJoin(F.broadcast(best)).select(
+            "word_id", "wc", F.aggregate("syms", zero, step, fin).alias("syms")
         )
-        words = rebuilt
     return words, merge_rows
 
 

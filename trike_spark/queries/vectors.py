@@ -193,15 +193,28 @@ def _banded_candidates(spark: SparkSession, sf_dir: str):
 
     from trike_spark.operators.vector_blocks import hyperplane_buckets
 
+    from trike_spark import cache
+
     emb = load_table(spark, sf_dir, "embeddings")
     planes = np.array([_plane_values(p) for p in range(LSH_PLANES)])
     # The query-side filter sits BELOW the kernel — predicates don't push
     # through mapInPandas, so filtering first keeps that pass at |Q| rows.
-    a = hyperplane_buckets(emb.filter(F.col("vec_id") < N_QUERIES), planes).select(
-        F.col("vid").alias("q_vec_id"), F.col("bucket").alias("q_bucket")
+    # Both bucket tables are checkpointed: each feeds one join leg PER BAND
+    # below and Spark does not CSE across union branches, so without the
+    # materialization the corpus-wide Arrow bucketing pass executes once
+    # per band (measured: 6 MapInPandas nodes in the physical plan for 2
+    # kernel passes). The materialized rows are (vid, bucket) — 16 bytes a
+    # row at any corpus size, vs re-shipping every embedding across the
+    # Python boundary band-times.
+    a = cache.checkpoint(
+        hyperplane_buckets(emb.filter(F.col("vec_id") < N_QUERIES), planes).select(
+            F.col("vid").alias("q_vec_id"), F.col("bucket").alias("q_bucket")
+        )
     )
-    b = hyperplane_buckets(emb, planes).select(
-        F.col("vid").alias("n_vec_id"), F.col("bucket").alias("n_bucket")
+    b = cache.checkpoint(
+        hyperplane_buckets(emb, planes).select(
+            F.col("vid").alias("n_vec_id"), F.col("bucket").alias("n_bucket")
+        )
     )
     legs = [
         b.join(
