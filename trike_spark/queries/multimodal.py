@@ -1065,8 +1065,17 @@ def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = quarantine_fixture_dir(spark, sf_dir)
     files = read_binary_files(spark, path, glob="*.{png,jpg}")
-    per_batch = files.select("path", "content").mapInPandas(
-        _decode_or_quarantine_batch, schema=_QUARANTINE_SCHEMA
+    # Compute-width repartition before the CPU-bound Python decode — the
+    # same shape as every other codec face (BENCH_NOTES r8): the
+    # binaryFile split math (openCost-charged tiny files) yields ~5×
+    # defaultParallelism near-empty tasks here, and each task pays the
+    # Python-boundary fixed cost; one round-robin exchange of the file
+    # bytes buys evenly-loaded decode tasks (measured 1.9 → 1.4 s at
+    # sf0.1, and it is the §2.5 small-file input-skew fix at scale).
+    per_batch = (
+        files.select("path", "content")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_decode_or_quarantine_batch, schema=_QUARANTINE_SCHEMA)
     )
     return per_batch.groupBy("reason").agg(
         F.sum("n_docs").alias("n_docs"),
