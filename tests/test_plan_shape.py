@@ -201,10 +201,13 @@ def test_pack_sequences_window_is_partitioned(spark):
 
 
 def test_bloom_bits_broadcast_to_probe_side(spark):
+    """The bit set broadcasts to the probe side; since the K hash legs
+    collapsed to one explode, exactly one broadcast join remains (it was
+    >= 3 when each hash function probed through its own union leg)."""
     from trike_spark.queries.sketches import sketch_bloom_membership
 
     df = sketch_bloom_membership(spark, SF_DIR)
-    assert plans.broadcast_join_count(df) >= 3, plans.formatted_plan(df)
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
     assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)
 
 

@@ -158,21 +158,20 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     expose the sketch's exact collision behavior to the driver hash. The
     bit set is ≤ M distinct positions, broadcast to the probe side."""
     d_tbl = load_table(spark, sf_dir, "documents")
+    # One row-generated array of the K positions replaces K union branches
+    # referencing the same scan: Spark does not CSE across union legs, so
+    # the loop form re-scanned documents once per hash function on BOTH
+    # the build and the probe side (explode emits the identical row
+    # multiset the union did).
+    pos_arr = F.array(*[_bloom_pos(F.col("hh"), k) for k in range(BLOOM_K)])
     mh = d_tbl.filter(F.col("lang") == "en").select(_h60(F.md5("text")).alias("hh"))
-    bits = None
-    for k in range(BLOOM_K):
-        bk = mh.select(_bloom_pos(F.col("hh"), k).alias("pos"))
-        bits = bk if bits is None else bits.unionByName(bk)
-    bits = bits.distinct()
+    bits = mh.select(F.explode(pos_arr).alias("pos")).distinct()
     probes = d_tbl.select("doc_id", "lang", _h60(F.md5("text")).alias("hh"))
-    hits = None
-    for k in range(BLOOM_K):
-        hk = (
-            probes.withColumn("pos", _bloom_pos(F.col("hh"), k))
-            .join(F.broadcast(bits), "pos")
-            .select("doc_id", "lang")
-        )
-        hits = hk if hits is None else hits.unionByName(hk)
+    hits = (
+        probes.select("doc_id", "lang", F.explode(pos_arr).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .select("doc_id", "lang")
+    )
     return (
         hits.groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("k_hits"))
@@ -372,9 +371,18 @@ def _js_cells_df(df: DataFrame, key: Column) -> DataFrame:
     instead of 600k row-hashes ×D. The frequency vector is also exactly
     what the estimate consumes (|A⋈B| = Σ f_A·f_B), making this the
     canonical build-from-stats path."""
-    freq = df.select(key.cast("string").alias("k")).groupBy("k").agg(
+    return _js_cells_from_freq(_key_freq(df, key))
+
+
+def _key_freq(df: DataFrame, key: Column) -> DataFrame:
+    """Key-frequency vector (k, w) — the sketch build's input AND the
+    exact inner-product control's input."""
+    return df.select(key.cast("string").alias("k")).groupBy("k").agg(
         F.count(F.lit(1)).alias("w")
     )
+
+
+def _js_cells_from_freq(freq: DataFrame) -> DataFrame:
     h = _h60(F.col("k"))
     cells = F.array(*[_js_cell(h, d) for d in range(CMS_D)])
     return (
@@ -434,8 +442,15 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-pins the estimation error itself."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 25)
-    ca = _js_cells_df(li, F.col("l_partkey"))
-    cb = _js_cells_df(part, F.col("p_partkey"))
+    # The exact control |A⋈B| = Σ_k f_A(k)·f_B(k) is itself an inner
+    # product of the SAME frequency vectors the sketches build from, so
+    # the fact tables are scanned exactly once each: checkpoint the two
+    # key-frequency tables and derive sketch cells AND the exact count
+    # from them (the loop re-ran the base join for the control before).
+    fa = cache.checkpoint(_key_freq(li, F.col("l_partkey")))
+    fb = cache.checkpoint(_key_freq(part, F.col("p_partkey")))
+    ca = _js_cells_from_freq(fa)
+    cb = _js_cells_from_freq(fb)
     prod = (
         ca.alias("a")
         .join(
@@ -447,8 +462,13 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = prod.agg(F.min("s").cast("bigint").alias("cms_join_size"))
     exact = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+        fa.select("k", F.col("w").alias("wa"))
+        .join(fb.select("k", F.col("w").alias("wb")), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("wa") * F.col("wb")), F.lit(0))
+            .cast("bigint")
+            .alias("exact_join_size")
+        )
     )
     return exact.crossJoin(F.broadcast(est))
 
@@ -556,7 +576,10 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE bit_count((w & -w) - 1) + 1 END"
         ).alias("r"),
     )
-    regs = rho.groupBy("side", "reg").agg(F.max("r").alias("m"))
+    # ≤2·M register rows feed BOTH regs3 branches (own sketch + the
+    # register-wise-MAX union sketch); checkpoint so the filtered-events
+    # scan + register fold run once, not once per branch.
+    regs = cache.checkpoint(rho.groupBy("side", "reg").agg(F.max("r").alias("m")))
     regs3 = regs.unionAll(
         regs.groupBy("reg").agg(F.max("m").alias("m")).select(
             F.lit("u").alias("side"), "reg", "m"
@@ -667,21 +690,21 @@ def sketch_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     too weak); far below means the filter is oversized — both are sizing
     actions. Same broadcast-bitset scale shape as the membership face."""
     d_tbl = load_table(spark, sf_dir, "documents")
+    # Same single-reference shape as the membership face (explode of the
+    # K-position array instead of K union legs re-scanning documents);
+    # the ≤M-row bit set is checkpointed because it feeds both the probe
+    # join and the bits_set count.
+    pos_arr = F.array(*[_bloom_pos(F.col("hh"), k) for k in range(BLOOM_K)])
     mh = d_tbl.filter(F.col("lang") == "en").select(_h60(F.md5("text")).alias("hh"))
-    bits = None
-    for k in range(BLOOM_K):
-        bk = mh.select(_bloom_pos(F.col("hh"), k).alias("pos"))
-        bits = bk if bits is None else bits.unionByName(bk)
-    bits = bits.distinct()
+    bits = cache.checkpoint(mh.select(F.explode(pos_arr).alias("pos")).distinct())
     probes = d_tbl.filter(F.col("lang") != "en").select(
         "doc_id", _h60(F.md5("text")).alias("hh")
     )
-    hit_rows = None
-    for k in range(BLOOM_K):
-        hk = probes.join(
-            bits, _bloom_pos(F.col("hh"), k) == F.col("pos"), "inner"
-        ).select("doc_id")
-        hit_rows = hk if hit_rows is None else hit_rows.unionByName(hk)
+    hit_rows = (
+        probes.select("doc_id", F.explode(pos_arr).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .select("doc_id")
+    )
     fp = (
         hit_rows.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("k_hits"))
@@ -987,25 +1010,53 @@ def sketch_hll_register_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = e.select(h.alias("h"))
     from pyspark.sql.functions import broadcast
 
+    # ONE register build at the largest m; the coarser sketches fold from
+    # it exactly (HLL register folding): with reg_M = h % M and
+    # w_M = h div M, a coarser m | M has reg_m = reg_M % m and
+    # rho_m = tz(reg_M div m) + 1 when those in-between bits are nonzero
+    # (constant per fine register), else rho_M + log2(M/m) (monotone in
+    # rho_M) — so per-register MAX commutes through the fold and the
+    # derived registers are bit-identical to building at m directly. The
+    # loop form re-hashed and re-shuffled the full event stream once per
+    # m; this pays one event pass + two 256-row folds.
+    m_top = max(HLL_SWEEP_MS)
+    w_bits_top = 60 - (m_top.bit_length() - 1)
+    regs_top = cache.checkpoint(
+        hashed.select(
+            (F.col("h") % m_top).alias("reg"), F.expr(f"h div {m_top}").alias("w")
+        )
+        .select(
+            "reg",
+            F.expr(
+                f"CASE WHEN w = 0 THEN {w_bits_top + 1} "
+                "ELSE bit_count((w & -w) - 1) + 1 END"
+            ).alias("r"),
+        )
+        .groupBy("reg")
+        .agg(F.max("r").alias("mm"))
+    )
+
     legs = []
     for m in HLL_SWEEP_MS:
         w_bits = 60 - (m.bit_length() - 1)
         pow_scale = 1 << (w_bits + 1)
         alpha = _HLL_ALPHAS[m]
-        regs = (
-            hashed.select(
-                (F.col("h") % m).alias("reg"), F.expr(f"h div {m}").alias("w")
+        if m == m_top:
+            regs = regs_top
+        else:
+            shift = (m_top // m).bit_length() - 1  # log2(m_top / m)
+            regs = (
+                regs_top.select(
+                    (F.col("reg") % m).alias("reg"),
+                    F.expr(
+                        f"CASE WHEN reg div {m} <> 0 THEN "
+                        f"bit_count(((reg div {m}) & -(reg div {m})) - 1) + 1 "
+                        f"ELSE mm + {shift} END"
+                    ).alias("r"),
+                )
+                .groupBy("reg")
+                .agg(F.max("r").alias("mm"))
             )
-            .select(
-                "reg",
-                F.expr(
-                    f"CASE WHEN w = 0 THEN {w_bits + 1} "
-                    "ELSE bit_count((w & -w) - 1) + 1 END"
-                ).alias("r"),
-            )
-            .groupBy("reg")
-            .agg(F.max("r").alias("mm"))
-        )
         grid = (
             spark.range(0, m)
             .select(F.col("id").cast("bigint").alias("reg"))

@@ -1082,24 +1082,30 @@ def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark does exactly this: the CASE evaluates lazily)."""
     d = load_table(spark, sf_dir, "documents")
     t = _tokens()
-    tc = (
+    # ONE corpus pass: the (doc, token) rollup's second stage yields all
+    # three per-doc signals at once (n = Σc, nd = #distinct-token rows,
+    # mx = max c) — the old shape joined a second documents scan for
+    # n/nd, and the 5-row report unioned five aggregations of the same
+    # subtree (no CSE across union legs → 10 scans). All ten counts now
+    # fold in a single aggregation and the report rows come from an
+    # explode of a literal struct array.
+    sig = (
         d.select("doc_id", F.explode(t).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
-        .agg(F.max("c").alias("mx"))
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("nd"),
+            F.max("c").alias("mx"),
+        )
     )
-    sig = d.select(
-        "doc_id", F.size(t).alias("n"), F.size(F.array_distinct(t)).alias("nd")
-    ).join(tc, "doc_id")
-    flags = sig.select(
-        "doc_id",
+    firsts = sig.select(
         (F.col("n") < 20).alias("f1"),
         (F.col("n") > 90).alias("f2"),
         (20 * F.col("nd") < 7 * F.col("n")).alias("f3"),
         (25 * F.col("mx") > 2 * F.col("n")).alias("f4"),
-    )
-    firsts = flags.withColumn(
+    ).withColumn(
         "first_rule",
         F.when(F.col("f1"), "too_short")
         .when(F.col("f2"), "too_long")
@@ -1107,32 +1113,38 @@ def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("f4"), "repetitive")
         .otherwise("pass"),
     )
-    rows = []
-    for i, (rule, flag) in enumerate(
-        [("too_short", "f1"), ("too_long", "f2"), ("low_diversity", "f3"), ("repetitive", "f4")],
-        start=1,
-    ):
-        rows.append(
-            firsts.agg(
+    rules = [("too_short", "f1"), ("too_long", "f2"), ("low_diversity", "f3"), ("repetitive", "f4")]
+    aggd = firsts.agg(
+        *[
+            F.count(F.when(F.col("first_rule") == rule, 1)).alias(f"rf{i}")
+            for i, (rule, _) in enumerate(rules, start=1)
+        ],
+        *[
+            F.count(F.when(F.col(flag), 1)).alias(f"ff{i}")
+            for i, (_, flag) in enumerate(rules, start=1)
+        ],
+        F.count(F.when(F.col("first_rule") == "pass", 1)).alias("p"),
+    )
+    report = F.array(
+        *[
+            F.struct(
                 F.lit(rule).alias("rule"),
                 F.lit(i).alias("rule_order"),
-                F.count(F.when(F.col("first_rule") == rule, 1)).alias("n_rejected_first"),
-                F.count(F.when(F.col(flag), 1)).alias("n_failing"),
+                F.col(f"rf{i}").alias("n_rejected_first"),
+                F.col(f"ff{i}").alias("n_failing"),
             )
-        )
-    passed = F.count(F.when(F.col("first_rule") == "pass", 1))
-    rows.append(
-        firsts.agg(
+            for i, (rule, _) in enumerate(rules, start=1)
+        ],
+        F.struct(
             F.lit("pass").alias("rule"),
             F.lit(5).alias("rule_order"),
-            passed.alias("n_rejected_first"),
-            passed.alias("n_failing"),
-        )
+            F.col("p").alias("n_rejected_first"),
+            F.col("p").alias("n_failing"),
+        ),
     )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("rule_order")
+    return (
+        aggd.select(F.explode(report).alias("r")).select("r.*").orderBy("rule_order")
+    )
 
 
 # --- Jensen-Shannon divergence between language unigram profiles -------------
@@ -1184,12 +1196,20 @@ def text_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never corpus tokens. Output is |langs|·(|langs|−1)/2 rows."""
     from pyspark.sql.functions import broadcast
 
+    from trike_spark import cache
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(_tokens()).alias("t"))
-    c = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    # The vocab-sized count table feeds three branches (totals, langs,
+    # the p build) and p itself feeds two (per-lang entropies, the pair
+    # mixture) — checkpoint both so the corpus explode+rollup runs once,
+    # not once per branch (rows ∝ vocab·langs, never corpus tokens).
+    c = cache.checkpoint(tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c")))
     n = c.groupBy("lang").agg(F.sum("c").alias("n"))
-    p = c.join(n, "lang").select(
-        "lang", "t", (F.col("c").cast("double") / F.col("n")).alias("p")
+    p = cache.checkpoint(
+        c.join(n, "lang").select(
+            "lang", "t", (F.col("c").cast("double") / F.col("n")).alias("p")
+        )
     )
     hl = p.groupBy("lang").agg((-F.sum(F.col("p") * F.log2("p"))).alias("h"))
     langs = c.select("lang").distinct()
@@ -2056,7 +2076,15 @@ def text_spearman_rank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias(out))
         )
 
-    joined = freqs(SPEAR_SRC_A, "x").join(freqs(SPEAR_SRC_B, "y"), "token")
+    from trike_spark import cache
+
+    # The nested midrank passes reference their input twice each (rows +
+    # count-of-counts stats), which re-evaluated the two corpus token
+    # rollups up to 4x; the vocab-sized joined table is checkpointed so
+    # the corpus is read exactly twice (once per source filter).
+    joined = cache.checkpoint(
+        freqs(SPEAR_SRC_A, "x").join(freqs(SPEAR_SRC_B, "y"), "token")
+    )
 
     def midranks(df: DataFrame, col: str, out: str) -> DataFrame:
         stats = df.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
@@ -2168,20 +2196,29 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned BY BAND — the doc dimension never collapses to one
     partition, which matters because at corpus scale the doc dimension
     IS the fact table."""
-    tok = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(_tokens()).alias("token")
-    )
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
     first_doc = tok.groupBy("token").agg(F.min("doc_id").alias("fd"))
     news = first_doc.groupBy(F.col("fd").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_new")
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # Per-doc token count = the token array's length: a narrow per-row
+    # expression instead of a second explode + full (doc_id) shuffle of
+    # the token stream (identical counts — explode emits exactly
+    # size(tokens) rows per doc).
+    sizes = d.select("doc_id", F.size(_tokens()).cast("long").alias("n_tok"))
+    from trike_spark import cache
     from trike_spark.operators.banded import banded_cumsum
 
-    joined = sizes.join(news, "doc_id", "left").select(
-        "doc_id",
-        "n_tok",
-        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+    # banded_cumsum references its input twice (rows + band stats);
+    # checkpoint the doc-sized series input so the token rollup and the
+    # sizes scan run once.
+    joined = cache.checkpoint(
+        sizes.join(news, "doc_id", "left").select(
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
     )
     series = banded_cumsum(
         joined,
