@@ -463,15 +463,19 @@ def test_hll_registers_partial_agg_before_exchange(spark):
 
 
 def test_pq_adc_broadcasts_codebook_and_queries(spark):
-    """PQ: both small sides (codebook, query subvectors) broadcast — the
-    code table and embedding scan never build-side a shuffle join, and
-    nothing degenerates to a cartesian product."""
+    """PQ: both small sides (the one-row codebook pack, the per-query ADC
+    lookup rows) arrive by broadcast nested-loop — the corpus never
+    build-sides a shuffle join, nothing degenerates to an unbroadcast
+    cartesian product, and the ONLY exchange left is the final per-query
+    top-k window (code assignment and ADC scoring are narrow passes)."""
     from trike_spark.queries.vectors import sim_pq_adc_topk
 
     df = sim_pq_adc_topk(spark, SF_DIR)
     tree = plans.plan_tree(df)
-    assert plans.broadcast_join_count(df) >= 2, tree
+    assert tree.count("BroadcastNestedLoopJoin") >= 2, tree
     assert "CartesianProduct" not in tree, tree
+    assert plans.shuffle_count(df) <= 1, tree
+    assert plans.sort_merge_join_count(df) == 0, tree
 
 
 def test_bloom_prefilter_probe_before_exchange(spark):

@@ -1146,6 +1146,96 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
 
 
+# --- PQ broadcast-pack helpers ---------------------------------------------
+# The ADC faces used to assign codes with a (vec_id, s)-keyed argmin WINDOW
+# over corpus × M × K candidate rows (a full shuffle + sort of the widest
+# table in the family) and then re-derive dot(q_sub, cvec) per
+# (query, neighbor, s) — a value that only depends on (query, s, code).
+# These helpers replace both with broadcast lookup structures so the
+# corpus-sized passes are narrow projections (guide §2.2 fewer/smaller
+# shuffles, §2.3 shuffle narrow ints not centroid arrays, §3.1 broadcast the
+# small side):
+#   * the whole codebook packs into ONE (s, key)-sorted row — code
+#     assignment becomes an in-row argmin fold, zero exchanges;
+#   * per-query ADC dot tables (|Q| rows) and the centroid self-dot table
+#     (1 row) broadcast next to the code arrays, so scoring shuffles
+#     nothing but the final top-k window.
+# Codes are stored as POSITIONS in the key-ascending centroid list (the
+# key↔position map is a bijection shared by every pack below), so the
+# argmin tie-break "smaller key wins" and every lookup stay bit-identical
+# to the windowed form the oracle SQL still spells out.
+
+
+def _pq_sq_l2(sub: Column, cvec: Column) -> Column:
+    """Order-pinned squared L2 between a subvector and a centroid."""
+    return _fold_sum(
+        F.zip_with(
+            sub,
+            cvec,
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        )
+    )
+
+
+def _pq_centroid_pack(cbv: DataFrame, key: str) -> DataFrame:
+    """The whole codebook as ONE row: an (s, key)-sorted struct array."""
+    return cbv.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("s"), F.col(key).alias("k"), F.col("cvec")))
+        ).alias("cb")
+    )
+
+
+def _pq_winner_array() -> Column:
+    """winners[s] = the argmin-d2 centroid of subspace s as
+    struct(d2, j, cvec) — j is the 0-based key-ascending position —
+    evaluated narrowly against the broadcast ``cb`` pack; ties take the
+    first (= smallest key) exactly like the
+    ``ROW_NUMBER() ... ORDER BY d2, key`` window it replaces. Carrying
+    the winning cvec lets the caller fold rnorm2 in the same pass."""
+
+    def win_at(s: Column) -> Column:
+        sub = F.slice(F.col("embedding"), s * _PQ_D + 1, _PQ_D)
+        cands = F.filter(F.col("cb"), lambda e: e["s"] == s)
+        scored = F.transform(
+            cands,
+            lambda e, j: F.struct(
+                _pq_sq_l2(sub, e["cvec"]).alias("d2"), j.alias("j"), e["cvec"].alias("cvec")
+            ),
+        )
+        return F.element_at(F.array_sort(scored), 1)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), win_at)
+
+
+def _pq_query_dps() -> Column:
+    """dps[s][j] = dot(q_sub_s, cvec_{s,j}) — the per-query ADC lookup
+    table, computed from ``embedding`` against the broadcast ``cb`` pack
+    in one narrow projection (no joins, no groupBys)."""
+
+    def dps_at(s: Column) -> Column:
+        sub = F.slice(F.col("embedding"), s * _PQ_D + 1, _PQ_D)
+        return F.transform(
+            F.filter(F.col("cb"), lambda e: e["s"] == s), lambda e: dot(sub, e["cvec"])
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), dps_at)
+
+
+def _adc_lookup_fold(mat: str) -> Column:
+    """Σ_s mat[s][codes[s]] as a sequential s-ordered fold — the same
+    addition order as ``list_aggregate(list(x ORDER BY s), 'sum')``."""
+    return _fold_sum(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda s: F.element_at(
+                F.element_at(F.col(mat), s + 1), F.element_at(F.col("codes"), s + 1) + 1
+            ),
+        )
+    )
+
+
 @register(
     "sim_pq_adc_topk",
     f"""
@@ -1218,12 +1308,14 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFra
     partials collected in subspace order — every float op is order-pinned,
     so the score and ranking hash-match DuckDB with no tolerance games.
 
-    Scale shape: the codebook (labels × M centroids of dim/M doubles) and
-    the query subvector table (|Q|·M rows) are both broadcast; the big
-    sides — code assignment over all vectors and ADC scoring over the
-    code table — are narrow passes. The only wide exchanges are the
-    (vec, subspace)-keyed argmin window and the per-(q, n) fold, both on
-    code-sized rows, never raw embeddings."""
+    Scale shape: the codebook packs into ONE broadcast row, so code
+    assignment is an in-row argmin over the corpus — no exchange at all;
+    scoring looks ADC partials up in broadcast per-query dot tables (the
+    dot only depends on (query, s, code), so it is computed |Q|·M·K times
+    total instead of once per corpus row) and the centroid self-dots fold
+    into rnorm2 once per VECTOR, not once per (query, vector). The only
+    wide exchange left is the final per-query top-k window on
+    (q, n, score) rows — never raw embeddings, never centroid arrays."""
     emb = load_table(spark, sf_dir, "embeddings")
     subs = emb.select(
         "vec_id",
@@ -1242,60 +1334,39 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFra
         .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
         .select("label", "s", F.transform("iv", lambda e: e["v"]).alias("cvec"))
     )
-    d2 = _fold_sum(
-        F.zip_with(
-            F.col("subv"),
-            F.col("cvec"),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
+    # train the codebook once: the ONE-row pack is the only thing the
+    # corpus-derived training subtree feeds, and both consumers (code
+    # assignment, query LUTs) read it from the checkpoint
+    pack = cache.checkpoint(_pq_centroid_pack(cbv, "label"))
+    win = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(broadcast(pack))
+        .select("vec_id", _pq_winner_array().alias("w"))
+    )
+    rscored = win.select(
+        "vec_id",
+        F.transform("w", lambda x: x["j"]).alias("codes"),
+        _fold_sum(F.transform("w", lambda x: dot(x["cvec"], x["cvec"]))).alias("rnorm2"),
+    )
+    qpack = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(broadcast(pack))
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            _pq_query_dps().alias("dps"),
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
         )
     )
-    w_code = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("label"))
-    codes = (
-        subs.select("vec_id", "s", "subv")
-        .join(broadcast(cbv), on="s")
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "cvec")
-    )
-    q = subs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"), "s", F.col("subv").alias("q_sub")
-    )
-    qn = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"),
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
-    )
-    parts = (
-        codes.join(broadcast(q), on="s")
+    scored = (
+        rscored.crossJoin(broadcast(qpack))
         .filter(F.col("vec_id") != F.col("q_vec_id"))
         .select(
             "q_vec_id",
             F.col("vec_id").alias("n_vec_id"),
-            "s",
-            dot(F.col("q_sub"), F.col("cvec")).alias("dotp"),
-            dot(F.col("cvec"), F.col("cvec")).alias("np"),
+            F.round(
+                _adc_lookup_fold("dps") / (F.col("q_norm") * F.sqrt(F.col("rnorm2"))), 6
+            ).alias("adc_score"),
         )
-    )
-    folded = (
-        parts.groupBy("q_vec_id", "n_vec_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("s", "dotp"))).alias("dps"),
-            F.array_sort(F.collect_list(F.struct("s", "np"))).alias("nps"),
-        )
-        .select(
-            "q_vec_id",
-            "n_vec_id",
-            _fold_sum(F.transform("dps", lambda e: e["dotp"])).alias("adc_dot"),
-            _fold_sum(F.transform("nps", lambda e: e["np"])).alias("rnorm2"),
-        )
-    )
-    scored = folded.join(broadcast(qn), on="q_vec_id").select(
-        "q_vec_id",
-        "n_vec_id",
-        F.round(F.col("adc_dot") / (F.col("q_norm") * F.sqrt(F.col("rnorm2"))), 6).alias(
-            "adc_score"
-        ),
     )
     w_rank = Window.partitionBy("q_vec_id").orderBy(F.col("adc_score").desc(), F.col("n_vec_id"))
     return (
@@ -1578,27 +1649,30 @@ def sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cl", "s", F.transform("iv", lambda e: e["v"]).alias("cvec"))
     )
 
-    def _l2(a: str, b: str) -> Column:
-        return _fold_sum(
-            F.zip_with(
-                F.col(a),
-                F.col(b),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            )
+    # Pass 1 (assign to the parity-split seeds) runs as an in-row argmin
+    # against the ONE-row seed pack — the (vec, s)-keyed window and its
+    # corpus × M × K shuffle are gone. Cluster identity flows as the
+    # POSITION in the cl-sorted seed list (a bijection, cl is a key), so
+    # tie-breaks and the refit grouping are bit-identical.
+    a1 = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(broadcast(_pq_centroid_pack(cbv, "cl")))
+        .select(
+            "vec_id", "embedding", F.transform(_pq_winner_array(), lambda x: x["j"]).alias("codes")
         )
-
-    w_a1 = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("cl"))
-    assign1 = (
-        subs.select("vec_id", "s", "subv")
-        .join(broadcast(cbv), on="s")
-        .withColumn("d2", _l2("subv", "cvec"))
-        .withColumn("rn", F.row_number().over(w_a1))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", F.col("cl").alias("cluster"))
     )
-    rex = assign1.join(subs.select("vec_id", "s", "subv"), on=["vec_id", "s"]).select(
-        "s", "cluster", F.posexplode("subv").alias("i", "x")
+    rex = (
+        a1.select(
+            "embedding",
+            "codes",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        )
+        .select(
+            "s",
+            F.element_at(F.col("codes"), F.col("s") + 1).alias("cluster"),
+            F.expr(f"slice(embedding, s * {_PQ_D} + 1, {_PQ_D})").alias("subv"),
+        )
+        .select("s", "cluster", F.posexplode("subv").alias("i", "x"))
     )
     rcb = rex.groupBy("s", "cluster", "i").agg(
         (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias("rv")
@@ -1606,54 +1680,40 @@ def sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rcbv = (
         rcb.groupBy("s", "cluster")
         .agg(F.array_sort(F.collect_list(F.struct("i", "rv"))).alias("iv"))
-        .select("s", "cluster", F.transform("iv", lambda e: e["rv"]).alias("rvec"))
+        .select("s", "cluster", F.transform("iv", lambda e: e["rv"]).alias("cvec"))
     )
-    w_a2 = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("cluster"))
-    codes = (
-        subs.select("vec_id", "s", "subv")
-        .join(broadcast(rcbv), on="s")
-        .withColumn("d2", _l2("subv", "rvec"))
-        .withColumn("rn", F.row_number().over(w_a2))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "rvec")
+    # the refit codebook's pack is the only thing the corpus-sized refit
+    # subtree feeds — checkpoint it once for both consumers
+    pack2 = cache.checkpoint(_pq_centroid_pack(rcbv, "cluster"))
+    win = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(broadcast(pack2))
+        .select("vec_id", _pq_winner_array().alias("w"))
     )
-    q = subs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"), "s", F.col("subv").alias("q_sub")
+    rscored = win.select(
+        "vec_id",
+        F.transform("w", lambda x: x["j"]).alias("codes"),
+        _fold_sum(F.transform("w", lambda x: dot(x["cvec"], x["cvec"]))).alias("rnorm2"),
     )
-    qn = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"),
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    qpack = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(broadcast(pack2))
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            _pq_query_dps().alias("dps"),
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+        )
     )
-    parts = (
-        codes.join(broadcast(q), on="s")
+    scored = (
+        rscored.crossJoin(broadcast(qpack))
         .filter(F.col("vec_id") != F.col("q_vec_id"))
         .select(
             "q_vec_id",
             F.col("vec_id").alias("n_vec_id"),
-            "s",
-            dot(F.col("q_sub"), F.col("rvec")).alias("dotp"),
-            dot(F.col("rvec"), F.col("rvec")).alias("np"),
+            F.round(
+                _adc_lookup_fold("dps") / (F.col("q_norm") * F.sqrt(F.col("rnorm2"))), 6
+            ).alias("adc_score"),
         )
-    )
-    folded = (
-        parts.groupBy("q_vec_id", "n_vec_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("s", "dotp"))).alias("dps"),
-            F.array_sort(F.collect_list(F.struct("s", "np"))).alias("nps"),
-        )
-        .select(
-            "q_vec_id",
-            "n_vec_id",
-            _fold_sum(F.transform("dps", lambda e: e["dotp"])).alias("adc_dot"),
-            _fold_sum(F.transform("nps", lambda e: e["np"])).alias("rnorm2"),
-        )
-    )
-    scored = folded.join(broadcast(qn), on="q_vec_id").select(
-        "q_vec_id",
-        "n_vec_id",
-        F.round(F.col("adc_dot") / (F.col("q_norm") * F.sqrt(F.col("rnorm2"))), 6).alias(
-            "adc_score"
-        ),
     )
     w_rank = Window.partitionBy("q_vec_id").orderBy(F.col("adc_score").desc(), F.col("n_vec_id"))
     pqr = (
@@ -3023,10 +3083,16 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q − centroid; with per-label codebooks this corpus's residual step is
     a subtraction away and doesn't change any plan shape.)
 
-    Scale shape: coarse centroids and query subvectors broadcast; code
-    assignment is the same (vec, subspace)-keyed window as the PQ face;
-    the ADC join now carries the cell filter ``mlabel = probe_label`` so
-    the scored row count per query is cell occupancy, not corpus size."""
+    Scale shape: the PQ codebook packs into ONE broadcast row (code
+    assignment is an in-row argmin — no exchange), the coarse centroids
+    are the per-subspace centroids CONCATENATED (same exact-decimal
+    coordinate means over the same groups, so bit-identical doubles —
+    the second full-corpus explode the coarse layer used to pay is gone),
+    and ADC partials come from broadcast per-query lookup tables keyed by
+    (s, code). The scoring join carries the cell filter
+    ``mlabel = probe_label`` so the scored row count per query is cell
+    occupancy, not corpus size; the only wide exchange is the final
+    top-k window."""
     emb = load_table(spark, sf_dir, "embeddings")
     subs = emb.select(
         "vec_id",
@@ -3046,40 +3112,26 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("v")
     )
-    cbv = (
+    cbv = cache.checkpoint(
         cb.groupBy("label", "s")
         .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
         .select("label", "s", F.transform("iv", lambda e: e["v"]).alias("cvec"))
+    )  # |labels|·M rows; feeds the pack AND the coarse layer
+    pack = cache.checkpoint(_pq_centroid_pack(cbv, "label"))
+    win = (
+        emb.select("vec_id", F.col("label").alias("mlabel"), "embedding")
+        .crossJoin(broadcast(pack))
+        .select("vec_id", "mlabel", _pq_winner_array().alias("w"))
     )
-    d2 = _fold_sum(
-        F.zip_with(
-            F.col("subv"),
-            F.col("cvec"),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
-        )
-    )
-    w_code = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("label"))
-    codes = (
-        subs.select("vec_id", F.col("label").alias("mlabel"), "s", "subv")
-        .join(broadcast(cbv), on="s")
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "mlabel", "s", "cvec")
-    )
-    # coarse quantizer: full-dim per-label centroids (broadcast dimension)
-    ex = emb.select("label", F.posexplode("embedding").alias("i", "x"))
-    cent = ex.groupBy("label", "i").agg(
-        (
-            F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("v")
-    )
+    # coarse quantizer: full-dim per-label centroids. Coordinate i of the
+    # coarse centroid and coordinate i mod D of subspace i div D average
+    # the SAME value multiset with the SAME decimal formula — so the
+    # coarse vector is the s-ordered concatenation of the PQ centroids,
+    # no second corpus pass needed.
     coarse = (
-        cent.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
-        .select("label", F.transform("iv", lambda e: e["v"]).alias("cvec"))
+        cbv.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "cvec"))).alias("sc"))
+        .select("label", F.flatten(F.transform("sc", lambda e: e["cvec"])).alias("cvec"))
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
@@ -3093,50 +3145,32 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("q_vec_id", F.col("label").alias("probe_label"))
     )
-    qsub = subs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"), "s", F.col("subv").alias("q_sub")
+    rscored = win.select(
+        "vec_id",
+        "mlabel",
+        F.transform("w", lambda x: x["j"]).alias("codes"),
+        _fold_sum(F.transform("w", lambda x: dot(x["cvec"], x["cvec"]))).alias("rnorm2"),
     )
-    qn = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"),
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
-    )
-    probe = qsub.join(broadcast(best), on="q_vec_id").withColumnRenamed("s", "qs")
-    parts = (
-        codes.join(
-            broadcast(probe),
-            (F.col("s") == F.col("qs"))
-            & (F.col("mlabel") == F.col("probe_label"))
-            & (F.col("vec_id") != F.col("q_vec_id")),
-        )
+    qpack = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(broadcast(pack))
         .select(
-            "q_vec_id",
-            "probe_label",
-            F.col("vec_id").alias("n_vec_id"),
-            "s",
-            dot(F.col("q_sub"), F.col("cvec")).alias("dotp"),
-            dot(F.col("cvec"), F.col("cvec")).alias("np"),
+            F.col("vec_id").alias("q_vec_id"),
+            _pq_query_dps().alias("dps"),
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
         )
+        .join(broadcast(best), on="q_vec_id")
     )
-    folded = (
-        parts.groupBy("q_vec_id", "probe_label", "n_vec_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("s", "dotp"))).alias("dps"),
-            F.array_sort(F.collect_list(F.struct("s", "np"))).alias("nps"),
-        )
-        .select(
-            "q_vec_id",
-            "probe_label",
-            "n_vec_id",
-            _fold_sum(F.transform("dps", lambda e: e["dotp"])).alias("adc_dot"),
-            _fold_sum(F.transform("nps", lambda e: e["np"])).alias("rnorm2"),
-        )
-    )
-    scored = folded.join(broadcast(qn), on="q_vec_id").select(
+    scored = rscored.join(
+        broadcast(qpack),
+        (F.col("mlabel") == F.col("probe_label"))
+        & (F.col("vec_id") != F.col("q_vec_id")),
+    ).select(
         "q_vec_id",
         "probe_label",
-        "n_vec_id",
+        F.col("vec_id").alias("n_vec_id"),
         F.round(
-            F.col("adc_dot") / (F.col("q_norm") * F.sqrt(F.col("rnorm2"))), 6
+            _adc_lookup_fold("dps") / (F.col("q_norm") * F.sqrt(F.col("rnorm2"))), 6
         ).alias("adc_score"),
     )
     w_rank = Window.partitionBy("q_vec_id").orderBy(
