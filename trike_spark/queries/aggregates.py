@@ -2143,9 +2143,14 @@ def agg_multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one custkey-keyed join + |nations|-row aggregation; the
     ranking window runs over 25 rows; 1-row k* broadcast back."""
+    from trike_spark import cache
+
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    per = (
+    # 25 rows feeding both the global total and the z column — the
+    # checkpoint keeps the orders join+aggregation from running once per
+    # reference (4x through the flagged/kstar fan-out below)
+    per = cache.checkpoint(
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
@@ -2173,9 +2178,11 @@ def agg_multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.abs(F.col("z")).desc(), "nationkey")),
     )
     crit = F.element_at(F.array(*[F.lit(v) for v in BH_CRIT]), F.col("rk"))
-    flagged = ranked.withColumn("crit_z", crit).withColumn(
-        "hit", F.when(F.abs(F.col("z")) >= F.col("crit_z"), F.col("rk")).otherwise(0)
-    )
+    flagged = cache.checkpoint(
+        ranked.withColumn("crit_z", crit).withColumn(
+            "hit", F.when(F.abs(F.col("z")) >= F.col("crit_z"), F.col("rk")).otherwise(0)
+        )
+    )  # 25 rows, read by the k* max AND the final projection
     kstar = flagged.agg(F.max("hit").alias("kmax"))
     return flagged.crossJoin(F.broadcast(kstar)).select(
         "nationkey",

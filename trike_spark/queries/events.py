@@ -2058,16 +2058,22 @@ def events_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact counts through pinned doubles."""
     from pyspark.sql.functions import broadcast
 
+    from trike_spark import cache
+
     e = load_table(spark, sf_dir, "events")
-    baskets = e.select(
-        "user_id", F.col("ts").cast("date").alias("d"), "event_type"
-    ).distinct()
+    # the basket table feeds FIVE consumers (both pair-join sides, the
+    # basket total, and the two item-frequency legs) — without a
+    # materialization barrier each one re-scans events and re-runs the
+    # distinct (no CSE across references)
+    baskets = cache.checkpoint(
+        e.select("user_id", F.col("ts").cast("date").alias("d"), "event_type").distinct()
+    )
     nb = baskets.select("user_id", "d").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("n_baskets")
     )
-    item = baskets.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("double").alias("n")
-    )
+    item = cache.checkpoint(
+        baskets.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )  # |event-type|-sized, read by both the ia and ib legs
     a = baskets.alias("a")
     b = baskets.alias("b")
     pair = (

@@ -348,7 +348,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
     )
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # node-sized degree table, read by both orientation joins and the
+    # wedge-count aggregate — materialize the union+groupBy once
+    deg = cache.checkpoint(sym.groupBy("node").agg(F.count(F.lit(1)).alias("d")))
     keyed = (
         edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
         .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
@@ -359,10 +361,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dv").cast("long") * TRI_KEY_SCALE + F.col("v")).alias("kv"),
         )
     )
-    oriented = keyed.select(
-        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.greatest("ku", "kv").alias("kdst"),
+    # oriented edge list feeds both wedge-join sides AND the closing-edge
+    # probe — without the barrier the degree joins above run three times
+    oriented = cache.checkpoint(
+        keyed.select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.greatest("ku", "kv").alias("kdst"),
+        )
     )
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     wedges = w1.join(
