@@ -1100,26 +1100,52 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB IVF-training job wants."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select("label", F.posexplode("embedding").alias("i", "x"))
-    cent = ex.groupBy("label", "i").agg(
-        (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias("v")
+    # K·dim rows feeding the centroid pack AND the drift join — one pass
+    cent = cache.checkpoint(
+        ex.groupBy("label", "i").agg(
+            (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias(
+                "v"
+            )
+        )
     )
     cvecs = (
         cent.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("iv"))
         .select(F.col("label").alias("cluster"), F.transform("iv", lambda e: e["v"]).alias("cvec"))
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        cosine(F.col("embedding"), F.col("cvec")).desc(), F.col("cluster")
+    # assignment is an in-row argmax against the ONE-row centroid pack —
+    # no corpus × K window shuffle; negating cosine turns the
+    # (cosine DESC, cluster ASC) tie-break into one ascending struct sort
+    packed = cvecs.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "cvec"))).alias("cents")
     )
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    (-cosine(F.col("embedding"), c["cvec"])).alias("negcos"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        ),
+        1,
+    )["cluster"]
     assign = (
-        emb.crossJoin(broadcast(cvecs))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster")
+        emb.crossJoin(broadcast(packed))
+        .select("embedding", best.alias("cluster"))
     )
     rex = assign.select("cluster", F.posexplode("embedding").alias("i", "x"))
-    refined = rex.groupBy("cluster", "i").agg(
-        (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias("rv")
+    # count rides the refit aggregation: every member contributes exactly
+    # one row per dimension, so n_members = the count at any fixed i —
+    # the second corpus pass the members aggregate used to pay is gone
+    refined = cache.checkpoint(
+        rex.groupBy("cluster", "i").agg(
+            (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias(
+                "rv"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
     )
     dims = refined.join(
         cent.select(F.col("label").alias("cluster"), "i", "v"), on=["cluster", "i"]
@@ -1130,7 +1156,7 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sqrt(F.sum(F.col("rv") * F.col("rv"))), 6).alias("refined_norm"),
     )
-    members = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    members = refined.filter(F.col("i") == 0).select("cluster", F.col("cnt").alias("n_members"))
     return stats.join(members, on="cluster").select(
         "cluster", "n_members", "drift", "refined_norm"
     )
