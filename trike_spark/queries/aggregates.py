@@ -626,7 +626,13 @@ def agg_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing band found in the stats pass, the exact crossing row found
     within that band) fused into one plan."""
     o = load_table(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("spend"))
+    from trike_spark import cache
+
+    # |customers|-row rollup feeds the banded operator's two legs AND the
+    # grand total — checkpoint so the orders scan + o_custkey shuffle run once
+    spend = cache.checkpoint(
+        o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("spend"))
+    )
     tot = spend.agg(F.sum("spend").alias("total"), F.count(F.lit(1)).alias("n"))
     order = [F.col("spend").desc(), F.col("o_custkey")]
     band = -F.floor(F.col("spend") / 10_000)

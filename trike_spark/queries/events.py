@@ -2566,13 +2566,19 @@ def events_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trike_spark.operators.banded import banded_ntile
 
     e = load_table(spark, sf_dir, "events")
-    usr = e.groupBy("user_id").agg(
-        F.sum(
-            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
-        ).alias("engagement"),
-        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "converted"
-        ),
+    from trike_spark import cache
+
+    # the events rollup feeds the banded operator's two legs — checkpoint
+    # so the fact scan + user_id shuffle run once
+    usr = cache.checkpoint(
+        e.groupBy("user_id").agg(
+            F.sum(
+                F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+            ).alias("engagement"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "converted"
+            ),
+        )
     )
     scored = banded_ntile(
         usr,
@@ -2581,26 +2587,28 @@ def events_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
         "decile",
     ).select("engagement", "converted", "decile")
-    base = scored.agg(
-        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("base_rate")
-    )
     per = scored.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("converted").cast("bigint").alias("n_converted"),
         (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("rate"),
     )
-    from pyspark.sql.functions import broadcast
-
     wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return per.crossJoin(broadcast(base)).select(
+    # the base rate folds from the 10-row decile table: the per-decile
+    # bigint counts sum to the same longs the full-population aggregate
+    # produced, so the double division is bit-identical — no second pass
+    # over the scored users
+    base_rate = (
+        F.sum("n_converted").over(wall).cast("double") / F.sum("n_users").over(wall)
+    )
+    return per.select(
         "decile",
         "n_users",
         "n_converted",
         F.round(F.col("rate"), 6).alias("conversion_rate"),
-        F.round(F.col("rate") / F.col("base_rate"), 4).alias("lift"),
+        F.round(F.col("rate") / base_rate, 4).alias("lift"),
         F.round(
             F.sum("n_converted").over(wc).cast("double")
             / F.sum("n_converted").over(wall),
