@@ -1016,21 +1016,55 @@ def sim_sq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg runs on a sampled query set; the quantized leg is the 4x-cheaper
     scan being qualified. Counts are small integers so recall is exact in
     double and cross-engine hash-stable."""
-    truth = sim_topk_bruteforce(spark, sf_dir).select("q_vec_id", "n_vec_id")
-    sq = sim_sq_int8_topk(spark, sf_dir).select(
-        F.col("q_vec_id").alias("s_q"), F.col("n_vec_id").alias("c_vec_id")
-    )
-    return (
-        truth.join(
-            sq,
-            (truth.q_vec_id == F.col("s_q")) & (truth.n_vec_id == F.col("c_vec_id")),
-            "left",
+    # fused form of truth⋈quantized: both legs rank the SAME (q, n) pair
+    # set, so one cross-join carrying (embedding, qe) on each side scores
+    # float and int8 cosine together — one corpus transform instead of
+    # two, one (q_vec_id) exchange shared by both rank windows, and
+    # rank-membership-in-both replaces the left join
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = cache.checkpoint(
+        emb.agg(
+            F.max(
+                F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+            ).alias("maxabs")
         )
-        .select(truth.q_vec_id.alias("q"), F.col("c_vec_id"))
-        .groupBy(F.col("q").alias("q_vec_id"))
+    )
+    qe = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 127.0 / F.col("maxabs")).cast("int"),
+    )
+    vecs = emb.crossJoin(F.broadcast(maxabs)).select("vec_id", "embedding", qe.alias("qe"))
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("qe").alias("q_qe"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("n_vec_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("qe").alias("n_qe"),
+    )
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("s_t"),
+            F.round(cosine(F.col("q_qe"), F.col("n_qe")), 6).alias("s_q"),
+        )
+    )
+    w_t = Window.partitionBy("q_vec_id").orderBy(F.col("s_t").desc(), F.col("n_vec_id"))
+    w_q = Window.partitionBy("q_vec_id").orderBy(F.col("s_q").desc(), F.col("n_vec_id"))
+    in_both = F.sum(F.when(F.col("rk_q") <= TOP_K, 1).otherwise(0))
+    return (
+        scored.withColumn("rk_t", F.row_number().over(w_t))
+        .withColumn("rk_q", F.row_number().over(w_q))
+        .filter(F.col("rk_t") <= TOP_K)
+        .groupBy("q_vec_id")
         .agg(
-            F.count("c_vec_id").cast("bigint").alias("n_found"),
-            (F.count("c_vec_id").cast("double") / TOP_K).alias("recall"),
+            in_both.cast("bigint").alias("n_found"),
+            (in_both.cast("double") / TOP_K).alias("recall"),
         )
     )
 
@@ -2320,30 +2354,27 @@ def sim_mips_reduction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug_cos = (ip + F.lit(0.0) * F.sqrt(F.col("m2") - norm2_b)) / (
         F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(F.col("m2"))
     )
-    w = Window.partitionBy("q_vec_id").orderBy(F.col("score").desc(), F.col("n_vec_id"))
-
-    def topk(score_col):
-        return (
-            pairs.select("q_vec_id", "n_vec_id", score_col.alias("score"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K)
-            .select("q_vec_id", "n_vec_id")
-        )
-
-    truth = topk(F.round(ip, 6))
-    red = topk(F.round(aug_cos, 6)).select(
-        F.col("q_vec_id").alias("r_q"), F.col("n_vec_id").alias("r_n")
+    # one corpus pass scores BOTH legs (both ranks derive from the same
+    # pair row); the two per-query windows share one (q_vec_id) exchange,
+    # and rank-membership-in-both replaces the truth⋈reduction join —
+    # n_found = |{truth top-k} ∩ {reduction top-k}| either way
+    scored = pairs.select(
+        "q_vec_id",
+        "n_vec_id",
+        F.round(ip, 6).alias("s_t"),
+        F.round(aug_cos, 6).alias("s_r"),
     )
+    w_t = Window.partitionBy("q_vec_id").orderBy(F.col("s_t").desc(), F.col("n_vec_id"))
+    w_r = Window.partitionBy("q_vec_id").orderBy(F.col("s_r").desc(), F.col("n_vec_id"))
+    in_both = F.sum(F.when(F.col("rk_r") <= TOP_K, 1).otherwise(0))
     return (
-        truth.join(
-            red,
-            (F.col("q_vec_id") == F.col("r_q")) & (F.col("n_vec_id") == F.col("r_n")),
-            "left",
-        )
+        scored.withColumn("rk_t", F.row_number().over(w_t))
+        .withColumn("rk_r", F.row_number().over(w_r))
+        .filter(F.col("rk_t") <= TOP_K)
         .groupBy("q_vec_id")
         .agg(
-            F.count("r_n").cast("bigint").alias("n_found"),
-            (F.count("r_n").cast("double") / TOP_K).alias("recall"),
+            in_both.cast("bigint").alias("n_found"),
+            (in_both.cast("double") / TOP_K).alias("recall"),
         )
     )
 
@@ -2735,7 +2766,10 @@ def sim_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.filter(F.col("vec_id") >= N_QUERIES)
     rel = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
     w0 = Window.partitionBy("q_vec_id").orderBy(F.col("rel").desc(), F.col("n_vec_id"))
-    seed = (
+    # Q·K-row seed set feeds BOTH the Rocchio members and the final
+    # was_in_seed join — checkpoint so the corpus-wide seed scoring pass
+    # (cross-join + per-query window) runs once
+    seed = cache.checkpoint(
         c.crossJoin(broadcast(q))
         .select("q_vec_id", F.col("vec_id").alias("n_vec_id"), rel.alias("rel"))
         .withColumn("rk", F.row_number().over(w0))
@@ -2750,8 +2784,13 @@ def sim_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     mex = members.select("q_vec_id", F.posexplode("embedding").alias("dim0", "x")).select(
         "q_vec_id", (F.col("dim0") + 1).alias("dim"), "x"
     )
-    expq = mex.groupBy("q_vec_id", "dim").agg(
-        F.sum(F.col("x").cast("decimal(20,10)")).cast("decimal(12,10)").alias("e")
+    # Q·D-row expanded query feeds its norm AND the dot products —
+    # checkpoint so the members build (emb scan + seed join + explode)
+    # runs once
+    expq = cache.checkpoint(
+        mex.groupBy("q_vec_id", "dim").agg(
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("decimal(12,10)").alias("e")
+        )
     )
     norme = expq.groupBy("q_vec_id").agg(
         F.sum(F.col("e") * F.col("e")).cast("double").alias("ne")
