@@ -939,10 +939,14 @@ def sim_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, per-query window over the k survivors.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    maxabs = emb.agg(
-        F.max(
-            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-        ).alias("maxabs")
+    # 1-row scale scalar feeds the quantization of BOTH join sides —
+    # checkpoint so the corpus max-abs aggregate runs once, not per side
+    maxabs = cache.checkpoint(
+        emb.agg(
+            F.max(
+                F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+            ).alias("maxabs")
+        )
     )
     q8 = (
         emb.crossJoin(broadcast(maxabs))
@@ -1016,55 +1020,21 @@ def sim_sq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg runs on a sampled query set; the quantized leg is the 4x-cheaper
     scan being qualified. Counts are small integers so recall is exact in
     double and cross-engine hash-stable."""
-    # fused form of truth⋈quantized: both legs rank the SAME (q, n) pair
-    # set, so one cross-join carrying (embedding, qe) on each side scores
-    # float and int8 cosine together — one corpus transform instead of
-    # two, one (q_vec_id) exchange shared by both rank windows, and
-    # rank-membership-in-both replaces the left join
-    emb = load_table(spark, sf_dir, "embeddings")
-    maxabs = cache.checkpoint(
-        emb.agg(
-            F.max(
-                F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-            ).alias("maxabs")
-        )
+    truth = sim_topk_bruteforce(spark, sf_dir).select("q_vec_id", "n_vec_id")
+    sq = sim_sq_int8_topk(spark, sf_dir).select(
+        F.col("q_vec_id").alias("s_q"), F.col("n_vec_id").alias("c_vec_id")
     )
-    qe = F.transform(
-        "embedding",
-        lambda x: F.round(x.cast("double") * 127.0 / F.col("maxabs")).cast("int"),
-    )
-    vecs = emb.crossJoin(F.broadcast(maxabs)).select("vec_id", "embedding", qe.alias("qe"))
-    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("qe").alias("q_qe"),
-    )
-    c = vecs.select(
-        F.col("vec_id").alias("n_vec_id"),
-        F.col("embedding").alias("n_emb"),
-        F.col("qe").alias("n_qe"),
-    )
-    scored = (
-        c.crossJoin(broadcast(q))
-        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
-        .select(
-            "q_vec_id",
-            "n_vec_id",
-            F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("s_t"),
-            F.round(cosine(F.col("q_qe"), F.col("n_qe")), 6).alias("s_q"),
-        )
-    )
-    w_t = Window.partitionBy("q_vec_id").orderBy(F.col("s_t").desc(), F.col("n_vec_id"))
-    w_q = Window.partitionBy("q_vec_id").orderBy(F.col("s_q").desc(), F.col("n_vec_id"))
-    in_both = F.sum(F.when(F.col("rk_q") <= TOP_K, 1).otherwise(0))
     return (
-        scored.withColumn("rk_t", F.row_number().over(w_t))
-        .withColumn("rk_q", F.row_number().over(w_q))
-        .filter(F.col("rk_t") <= TOP_K)
-        .groupBy("q_vec_id")
+        truth.join(
+            sq,
+            (truth.q_vec_id == F.col("s_q")) & (truth.n_vec_id == F.col("c_vec_id")),
+            "left",
+        )
+        .select(truth.q_vec_id.alias("q"), F.col("c_vec_id"))
+        .groupBy(F.col("q").alias("q_vec_id"))
         .agg(
-            in_both.cast("bigint").alias("n_found"),
-            (in_both.cast("double") / TOP_K).alias("recall"),
+            F.count("c_vec_id").cast("bigint").alias("n_found"),
+            (F.count("c_vec_id").cast("double") / TOP_K).alias("recall"),
         )
     )
 
@@ -2354,27 +2324,30 @@ def sim_mips_reduction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug_cos = (ip + F.lit(0.0) * F.sqrt(F.col("m2") - norm2_b)) / (
         F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(F.col("m2"))
     )
-    # one corpus pass scores BOTH legs (both ranks derive from the same
-    # pair row); the two per-query windows share one (q_vec_id) exchange,
-    # and rank-membership-in-both replaces the truth⋈reduction join —
-    # n_found = |{truth top-k} ∩ {reduction top-k}| either way
-    scored = pairs.select(
-        "q_vec_id",
-        "n_vec_id",
-        F.round(ip, 6).alias("s_t"),
-        F.round(aug_cos, 6).alias("s_r"),
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("score").desc(), F.col("n_vec_id"))
+
+    def topk(score_col):
+        return (
+            pairs.select("q_vec_id", "n_vec_id", score_col.alias("score"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("q_vec_id", "n_vec_id")
+        )
+
+    truth = topk(F.round(ip, 6))
+    red = topk(F.round(aug_cos, 6)).select(
+        F.col("q_vec_id").alias("r_q"), F.col("n_vec_id").alias("r_n")
     )
-    w_t = Window.partitionBy("q_vec_id").orderBy(F.col("s_t").desc(), F.col("n_vec_id"))
-    w_r = Window.partitionBy("q_vec_id").orderBy(F.col("s_r").desc(), F.col("n_vec_id"))
-    in_both = F.sum(F.when(F.col("rk_r") <= TOP_K, 1).otherwise(0))
     return (
-        scored.withColumn("rk_t", F.row_number().over(w_t))
-        .withColumn("rk_r", F.row_number().over(w_r))
-        .filter(F.col("rk_t") <= TOP_K)
+        truth.join(
+            red,
+            (F.col("q_vec_id") == F.col("r_q")) & (F.col("n_vec_id") == F.col("r_n")),
+            "left",
+        )
         .groupBy("q_vec_id")
         .agg(
-            in_both.cast("bigint").alias("n_found"),
-            (in_both.cast("double") / TOP_K).alias("recall"),
+            F.count("r_n").cast("bigint").alias("n_found"),
+            (F.count("r_n").cast("double") / TOP_K).alias("recall"),
         )
     )
 
