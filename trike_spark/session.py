@@ -107,6 +107,23 @@ def get_spark(app_name: str = "trike_spark", config: EngineConfig | None = None)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Optimization-guide §9 knobs, env-parameterized so cluster
+        # deployments can flip them without code changes.
+        # preferSortMergeJoin stays TRUE by default: SMJ spills, a
+        # shuffled-hash build side must fit task memory — the safe
+        # default for 100 TB fact-fact joins; flip per-job where the
+        # build side provably fits (measurement in OPTIMIZATION_r10.md).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_PREFER_SMJ", "true"),
+        )
+        # AQE target for post-shuffle partition size: 64m default keeps
+        # local-mode partitions parallel; production guidance is 256m
+        # (guide §9) via env, scaling reducer counts with data, not code.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_ADVISORY_PARTITION_BYTES", "64m"),
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
         # In local[] mode the driver JVM IS the executor: all task memory,
