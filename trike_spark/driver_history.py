@@ -537,6 +537,16 @@ VERIFIED_R09: frozenset[str] = frozenset(
 # only by progressive markers; the refactors around it —
 # _prep_quantized, _parse_dqt/_parse_dht, _reconstruct — are pure
 # extractions verified by the unchanged jpeg test suite + oracle runs).
+# Deliberately NOT in STALE_R10 despite round-10 optimization rewrites
+# (kmeans-refine broadcast argmax; PQ/ADC codebook packs; the
+# pareto/decile/PRF/basket/BH/triangle/sketch/text checkpoint and
+# subtree collapses; sq_int8 max-abs dedup): every one is a
+# semantics-preserving plan restructure whose rows+schema+hash were
+# re-proved against the DuckDB oracle at sf0.001/0.01/0.1 AND in three
+# full-registry 370/370 runs this round. The round-10 window is exactly
+# full (4 priority + 46 never-verified names); stale-rotating these
+# would evict never-verified names from their first-ever signature.
+# They queue for re-signature in the round-11 window instead.
 STALE_R10: frozenset[str] = frozenset(
     {
         "multimodal_decode_quarantine",
