@@ -764,3 +764,39 @@ def test_gwin_allowlist_windows_consume_bounded_inputs(spark, name):
             f"{name}: unpartitioned window's input spine is unbounded "
             f"({verdict}); spine = {[op for op, _ in spine]}"
         )
+
+
+def test_recall_faces_keep_rank_pushdown(spark):
+    """Round-10 finding (OPTIMIZATION_r10.md §20): the two-leg recall
+    faces rely on WindowGroupLimit's Partial mode BELOW the exchange —
+    each leg shuffles ~top-k rows per query per map partition, not the
+    full scored pair stream. A "fused" single-pass variant is locally
+    faster but loses the pushdown and shuffles corpus×Q rows; this pins
+    the shape so the fusion cannot silently return."""
+    from trike_spark.queries.vectors import (
+        sim_mips_reduction_check,
+        sim_prefix_dim_recall,
+        sim_sq_recall_at_k,
+        sim_topk_bruteforce,
+    )
+
+    for fn in (
+        sim_topk_bruteforce,
+        sim_prefix_dim_recall,
+        sim_mips_reduction_check,
+        sim_sq_recall_at_k,
+    ):
+        df = fn(spark, SF_DIR)
+        plan = plans.formatted_plan(df)
+        assert "WindowGroupLimit" in plan, (fn.__name__, plan[:2000])
+        assert ", Partial" in plan, (fn.__name__, plan[:2000])
+
+
+def test_kmeans_refine_assignment_is_window_free(spark):
+    """Round-10 rewrite (OPTIMIZATION_r10.md §15): Lloyd assignment is an
+    in-row argmax against a broadcast centroid pack — the corpus×K
+    row_number window (and its corpus-wide exchange) must not come back."""
+    from trike_spark.queries.vectors import sim_kmeans_refine
+
+    df = sim_kmeans_refine(spark, SF_DIR)
+    assert "Window" not in plans.plan_tree(df), plans.plan_tree(df)
