@@ -740,16 +740,24 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _counts(e: DataFrame, rnd: int) -> DataFrame:
-        return e.agg(
-            F.lit(rnd).cast("int").alias("round"),
-            F.count_distinct("src").alias("n_nodes"),
-            F.count(F.lit(1)).alias("n_edges"),
+    # ONE |V|-row degree table per round serves the census AND the
+    # survivor filter: n_nodes = |deg| (every src with ≥1 edge has a deg
+    # row) and n_edges = Σd (the doubled edge list counts each row once
+    # under its src) — the same longs count_distinct(src)/count(*) gave,
+    # without a second full-edge aggregation pass per round.
+    out: DataFrame | None = None
+    for r in range(0, KCORE_ROUNDS + 1):
+        deg = cache.checkpoint(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         )
-
-    out = _counts(edges, 0)
-    for r in range(1, KCORE_ROUNDS + 1):
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        cnt = deg.agg(
+            F.lit(r).cast("int").alias("round"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("bigint").alias("n_edges"),
+        )
+        out = cnt if out is None else out.unionByName(cnt)
+        if r == KCORE_ROUNDS:
+            break
         keep = deg.filter(F.col("d") >= KCORE_K).select(F.col("src").alias("node"))
         edges = cache.checkpoint(
             edges.join(
@@ -757,7 +765,6 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).join(broadcast(keep.withColumnRenamed("node", "dst")), "dst")
             .select("src", "dst")
         )
-        out = out.unionByName(_counts(edges, r))
     return out
 
 
