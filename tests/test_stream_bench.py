@@ -13,12 +13,15 @@ import pytest
 
 @pytest.mark.parametrize("sink", ["driver", "distributed"])
 def test_stream_bench_emits_contract_json(sink):
-    # One retry with a longer window: when the whole suite (its own Spark
-    # JVM on all cores) runs alongside, the subprocess can start micro-
-    # batches slowly enough that a short run yields < 3 of them — that is
-    # harness-under-load noise, not a contract violation. A genuine
-    # contract break (bad JSON, wrong keys) fails on both attempts.
-    for duration in ("14", "30"):
+    # Retries with longer windows: when the whole suite (its own Spark
+    # JVM on all cores) runs alongside, or the host's per-task fixed costs
+    # are high (measured on the r10-opt box: first micro-batch ~15-20 s
+    # after start, then one per 3-7 s — 30 s yields only 2), a short run
+    # produces < 3 micro-batches. That is harness/host pacing, not a
+    # contract violation; the ladder ends at a window that seats ~10
+    # batches even at the slow cadence. A genuine contract break (bad
+    # JSON, wrong keys) fails on every attempt.
+    for duration in ("14", "75"):
         out = subprocess.run(
             [
                 sys.executable,

@@ -209,7 +209,17 @@ def main() -> None:
                 raise RuntimeError(str(q.exception()))
             time.sleep(0.5)
     finally:
-        q.stop()
+        # stop() cancels the in-flight micro-batch's job group; a task
+        # killed mid state-store commit then surfaces as the query's
+        # terminal exception (CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT),
+        # which stop() re-raises. That is stop-time collateral, not a
+        # pipeline failure — the loop above checked q.exception() 0.5 s
+        # ago, and every measured batch is already in batch_times. Real
+        # mid-run errors still fail through the loop's RuntimeError.
+        try:
+            q.stop()
+        except Exception as e:  # noqa: BLE001 — shutdown collateral only
+            print(f"note: stop-time exception ignored: {e}", file=sys.stderr)
 
     # steady state: drop the first batch (cold start), measure from its
     # arrival to the last batch's arrival
