@@ -65,20 +65,34 @@ def block_cosine_pairs(
     )
     # Each row enters its grid row as side 'a' (replicated over columns) and
     # its grid column as side 'b' (replicated over rows): every pair meets
-    # in exactly one cell.
-    a = base.select(
-        "vid", "emb", "nrm",
-        F.pmod(F.col("vid"), F.lit(r_blocks)).alias("gr"),
-        F.explode(F.sequence(F.lit(0), F.lit(c_blocks - 1))).alias("gc"),
-        F.lit("a").alias("side"),
+    # in exactly one cell. ONE explode of a per-row generated tag array —
+    # the former a ∪ b two-branch union referenced `base` twice, and Spark
+    # does not CSE across union branches, so the embeddings scan AND the
+    # per-row norm fold ran twice per query (the same duplication _grid_tag
+    # had; identical row multiset either way).
+    tags = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(c_blocks - 1)),
+            lambda j: F.struct(
+                F.pmod(F.col("vid"), F.lit(r_blocks)).cast("int").alias("gr"),
+                j.cast("int").alias("gc"),
+                F.lit("a").alias("side"),
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(r_blocks - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("gr"),
+                F.pmod(F.col("vid"), F.lit(c_blocks)).cast("int").alias("gc"),
+                F.lit("b").alias("side"),
+            ),
+        ),
     )
-    b = base.select(
-        "vid", "emb", "nrm",
-        F.explode(F.sequence(F.lit(0), F.lit(r_blocks - 1))).alias("gr"),
-        F.pmod(F.col("vid"), F.lit(c_blocks)).alias("gc"),
-        F.lit("b").alias("side"),
+    tagged = (
+        base.select("vid", "emb", "nrm", F.explode(tags).alias("t"))
+        .select("vid", "emb", "nrm", "t.gr", "t.gc", "t.side")
+        .repartition(r_blocks * c_blocks, "gr", "gc")
     )
-    tagged = a.unionByName(b).repartition(r_blocks * c_blocks, "gr", "gc")
 
     def cell_cross(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = list(batches)

@@ -1313,8 +1313,16 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-small pair sets plus scalar counts. Banding theory predicts
     recall ≈ 1-(1-s^r)^b per pair similarity s — this face is the
     empirical check of that curve on the real corpus."""
-    truth = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    # Both pair pipelines fan out to two consumers each (the hit join and
+    # their scalar count) — checkpoint at the fan-out so the full shingle/
+    # signature pipelines run once, not once per consumer (guide §2.4;
+    # pair tables are sub-corpus-sized at any scale).
+    truth = cache.checkpoint(
+        dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    cand = cache.checkpoint(
+        dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    )
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -1419,18 +1427,27 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
 
-    legs = None
+    # ONE pass over the checkpointed signature table emits every
+    # (n_bands, band_idx) bucket row via explode of a generated struct
+    # array — the former Σ|SWEEP_BANDS| union legs (14 here) each
+    # re-read the cached sigs and the self-join below doubled that to 28
+    # branch scans. Identical row multiset; the md5s are computed in one
+    # projection (guide §2.4).
+    band_structs = []
     for nb in SWEEP_BANDS:
         rows = K_HASHES // nb
         for b in range(nb):
             parts = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
-            leg = sigs.select(
-                "doc_id",
-                F.lit(nb).alias("n_bands"),
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("_", *parts)).alias("band_hash"),
+            band_structs.append(
+                F.struct(
+                    F.lit(nb).alias("n_bands"),
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat_ws("_", *parts)).alias("band_hash"),
+                )
             )
-            legs = leg if legs is None else legs.unionAll(leg)
+    legs = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("t")).select(
+        "doc_id", "t.n_bands", "t.band_idx", "t.band_hash"
+    )
     a, bb = legs.alias("a"), legs.alias("b")
     cand = (
         a.join(
@@ -1532,11 +1549,29 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
         .distinct()
     )
+    # Direction-double with ONE reference: the former
+    # unionAll(pairs, reversed(pairs)) put the ENTIRE LSH pipeline (both
+    # Arrow bucket/cross stages, the occupancy window, the distinct) into
+    # the plan twice — Spark does not CSE across union branches, and the
+    # census showed 4 MapInPandas nodes where the algorithm needs 2. One
+    # explode of a per-row two-struct array emits the identical directed
+    # multiset from a single evaluation (same move as _grid_tag).
     edges = pairs.select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine"
-    ).unionAll(
-        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cosine")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("src"),
+                    F.col("vec_b").alias("dst"),
+                    F.col("cosine").alias("cosine"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("src"),
+                    F.col("vec_a").alias("dst"),
+                    F.col("cosine").alias("cosine"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cosine")
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
         edges.withColumn("rk", F.row_number().over(w))

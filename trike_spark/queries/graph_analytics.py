@@ -34,6 +34,25 @@ PR_BASE = 15 * PR_SCALE // 100  # (1 - d) · SCALE with d = 0.85
 _DEG_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128, 256]
 
 
+def _sym_edges(e0: DataFrame, cnode: F.Column, snode: F.Column) -> DataFrame:
+    """Symmetrize the (customer, supplier) edge set with ONE reference to
+    ``e0``: explode a per-row two-struct array instead of
+    ``unionAll(e0.select(c→s), e0.select(s→c))``. Spark does not CSE
+    across union branches, so the union form evaluated the
+    orders⋈lineitem distinct subtree twice — with exchange reuse the
+    shuffles dedup at runtime, but the post-exchange distinct aggregation
+    and projection still ran once per branch. Identical directed-edge
+    multiset either way (guide §2.4, the _grid_tag move)."""
+    return e0.select(
+        F.explode(
+            F.array(
+                F.struct(cnode.alias("src"), snode.alias("dst")),
+                F.struct(snode.alias("src"), cnode.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 def _sql_edges() -> str:
     """Symmetric purchase edges with namespaced node ids ('c…' / 's…')."""
     return """
@@ -108,9 +127,7 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map over O(V) rows), so the output is bit-identical.
     cnode = (F.col("o_custkey").cast("long") * 2)
     snode = (F.col("l_suppkey").cast("long") * 2 + 1)
-    edges = e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
-        e0.select(snode.alias("src"), cnode.alias("dst"))
-    )
+    edges = _sym_edges(e0, cnode, snode)
     # One materialization feeds every round's join — without it the
     # orders⋈lineitem distinct would recompute 2·ITERS+1 times. The
     # out-degree rides INSIDE the checkpoint as a whole-partition window
@@ -194,9 +211,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
     snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    edges = e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
-        e0.select(snode.alias("src"), cnode.alias("dst"))
-    )
+    edges = _sym_edges(e0, cnode, snode)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     return (
         deg.select(
@@ -466,9 +481,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
     snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    edges = e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
-        e0.select(snode.alias("src"), cnode.alias("dst"))
-    )
+    edges = _sym_edges(e0, cnode, snode)
     edges = cache.checkpoint(edges)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -545,9 +558,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
     snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
     edges = cache.checkpoint(
-        e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
-            e0.select(snode.alias("src"), cnode.alias("dst"))
-        )
+        _sym_edges(e0, cnode, snode)
     )
     visited = spark.createDataFrame([(BFS_SEED, 0)], "node string, dist int")
     frontier = visited.select("node")
@@ -625,9 +636,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
     snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
     edges = cache.checkpoint(
-        e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
-            e0.select(snode.alias("src"), cnode.alias("dst"))
-        )
+        _sym_edges(e0, cnode, snode)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ds = deg.select(F.col("src").alias("s_node"), F.col("d").alias("xd"))
@@ -735,9 +744,7 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnode = (F.col("o_custkey").cast("long") * 2)
     snode = (F.col("l_suppkey").cast("long") * 2 + 1)
     edges = cache.checkpoint(
-        e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
-            e0.select(snode.alias("src"), cnode.alias("dst"))
-        )
+        _sym_edges(e0, cnode, snode)
     )
 
     # ONE |V|-row degree table per round serves the census AND the
@@ -919,9 +926,7 @@ def graph_harmonic_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataF
     cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
     snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
     edges = cache.checkpoint(
-        e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
-            e0.select(snode.alias("src"), cnode.alias("dst"))
-        )
+        _sym_edges(e0, cnode, snode)
     )
     visited = spark.createDataFrame(
         [(s, s, 0) for s in HC_SEEDS], "seed string, node string, dist int"
@@ -1030,9 +1035,7 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
     snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
     edges = cache.checkpoint(
-        e0.select(cnode.alias("src"), snode.alias("dst")).unionAll(
-            e0.select(snode.alias("src"), cnode.alias("dst"))
-        )
+        _sym_edges(e0, cnode, snode)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

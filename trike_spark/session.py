@@ -124,6 +124,18 @@ def get_spark(app_name: str = "trike_spark", config: EngineConfig | None = None)
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_ADVISORY_PARTITION_BYTES", "64m"),
         )
+        # Shuffle/spill codec (guide §2.3/§9 "measure both"): default stays
+        # Spark's lz4 — the r10 interleaved A/B on the five heaviest-
+        # shuffle faces split 3-2 with the two largest deltas cancelling
+        # (numbers in OPTIMIZATION_r10.md): no consistent local winner,
+        # because local[] shuffles never cross a NIC, so zstd's ratio win
+        # buys nothing here while its CPU cost shows on label-pair-heavy
+        # shuffles. A 100 TB deployment shuffling over real networks
+        # should re-measure with SPARK_IO_COMPRESSION=zstd.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_IO_COMPRESSION", "lz4"),
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
         # In local[] mode the driver JVM IS the executor: all task memory,
