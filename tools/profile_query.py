@@ -83,7 +83,10 @@ def main() -> None:
         sc.setJobDescription(None)
         times.sort()
         med = times[len(times) // 2]
-        print(f"\n=== {name}: warm {warm:.3f}s | min {times[0]:.3f}s | med {med:.3f}s | runs {[round(t,3) for t in times]}")
+        print(
+            f"\n=== {name}: warm {warm:.3f}s | min {times[0]:.3f}s "
+            f"| med {med:.3f}s | runs {[round(t, 3) for t in times]}"
+        )
 
         if not ui:
             continue
