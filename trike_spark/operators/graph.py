@@ -120,9 +120,29 @@ def connected_components(
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     """One large-star (connect strictly-larger neighbors to the
     neighborhood min) or small-star (connect ≤-neighbors and self to the
-    min) round. ``edges`` is directed (u, v); both ops are a groupBy-min
-    plus a broadcastable-by-Catalyst equi-join — no ``collect_list``, so a
-    high-degree node costs a wide group, never a wide row."""
+    min) round. ``edges`` is directed (u, v).
+
+    Large-star stays groupBy-min + equi-join: its group key is the
+    neighborhood CENTER, whose degree mid-convergence reaches component
+    size — min is map-side combinable and the u-keyed join is AQE-skew-
+    splittable, so the hot root never lands in one task's sort buffer.
+
+    Small-star keeps the same combinable groupBy + join, but the former
+    third reference — ``unionByName(mins)`` to add the (u, m) self rows —
+    is replaced by exploding each joined edge row into (v, m) AND (u, m):
+    the trailing distinct collapses the per-edge (u, m) duplicates to the
+    exact row set the union produced, while the small-star input (the
+    un-checkpointed large-star output, whose post-shuffle aggregations
+    re-run once per referencing branch — Spark does not CSE across
+    join/union branches and exchange reuse only dedups the shuffle) is
+    referenced twice instead of three times. A full window rewrite of
+    small-star (single reference) was measured and REJECTED: 5-10 %
+    slower at sf0.1 across three consuming faces (the window exchange
+    carries every edge row un-combined where groupBy ships per-key
+    partials, and the runtime exchange reuse already dedups the two
+    remaining references' shuffles). Measured on the sf0.01 pair graph:
+    composite-round plan 22 → 17 Exchanges, identical row sets 4 rounds
+    deep (guide §2.4)."""
     if large:
         # Γ(u) over the symmetric view; m = min(Γ(u) ∪ {u}).
         sym = edges.unionByName(
@@ -149,9 +169,7 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     )
     return (
         small.join(mins, "u")
-        .select(F.col("v").alias("w"), F.col("m"))
-        .unionByName(mins.select(F.col("u").alias("w"), F.col("m")))
-        .select(F.col("w").alias("u"), F.col("m").alias("v"))
+        .select(F.explode(F.array("v", "u")).alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
